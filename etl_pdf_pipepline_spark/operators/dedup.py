@@ -1,0 +1,298 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference ops (build brief) — the workhorses of a 100 TB
+training-data pipeline. Design notes per operator:
+
+- exact: hash-groupBy on content digest. One shuffle on the digest; at
+  scale the digest is computed scan-side so only (digest, id) shuffles,
+  never the text.
+- MinHash: k independent permutations approximated by min(md5(seed:shingle)).
+  md5 is available and byte-identical in both Spark and DuckDB, which makes
+  the signatures oracle-checkable — a deliberate choice over xxhash64
+  (Spark-only). Signatures are per-row expressions: no shuffle.
+- LSH banding: signatures → band keys → groupBy band key → candidate pairs
+  only within buckets. The all-pairs O(n²) never materializes; the shuffle
+  is on band keys. Skew guard: a bucket with B members emits B(B−1)/2
+  pairs; cap/salt pathological buckets at scale.
+- SimHash: sign-aggregated bit fingerprint; Hamming-near docs are dup
+  candidates. Computed with explode + groupBy — two narrow shuffles.
+- n-gram Jaccard: the exact verification step for LSH candidates,
+  expressed as a token-level equi-join (not array intersection) so the
+  same plan shape scales to verifying millions of candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import distinct_tokens, tokens
+from ..registry import query
+from ..sources.catalog import load_table
+
+N_MINHASH = 8  # signature length
+SHINGLE = 3  # word-shingle width
+
+
+def word_shingles(text_col: Column | str, width: int = SHINGLE) -> Column:
+    """Word w-shingles as an array; whole token string when < w tokens."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (width - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+    )
+    return F.when(n >= width, shingled).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """One minhash component: lexicographic min of seeded md5 digests."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINHASH) -> DataFrame:
+    sh = word_shingles(text_col)
+    return df.select(
+        F.col(id_col),
+        *[minhash_col(sh, seed).alias(f"mh{seed}") for seed in range(k)],
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_key, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY md5(text) ORDER BY content_key
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest id as
+    canonical. Only (digest, id) ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+        .orderBy("content_key")
+    )
+
+
+_MINHASH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE [array_to_string(toks, ' ')]
+               END AS shingles
+        FROM toks
+    )
+    SELECT doc_id,
+           {cols}
+    FROM sh ORDER BY doc_id
+""".format(
+    cols=",\n           ".join(
+        f"list_min(list_transform(shingles, s -> md5('{seed}:' || s))) AS mh{seed}"
+        for seed in range(N_MINHASH)
+    )
+)
+
+
+@query("dedup_minhash_signatures", oracle=_MINHASH_ORACLE)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over word 3-shingles — per-row expressions,
+    shuffle-free; the estimator for Jaccard similarity at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signature(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
+
+_LSH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE [array_to_string(toks, ' ')]
+               END AS shingles
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, {sig_cols}
+        FROM sh
+    ),
+    bands AS (
+        {band_union}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band_id) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY doc_a, doc_b
+""".format(
+    sig_cols=", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{seed}:' || s))) AS mh{seed}"
+        for seed in range(N_MINHASH)
+    ),
+    band_union="\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {bi} AS band_id, md5(mh{a} || mh{b}) AS band_key FROM sig"
+        for bi, (a, b) in enumerate(_LSH_BANDS)
+    ),
+)
+
+
+@query("dedup_lsh_candidates", oracle=_LSH_ORACLE)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signatures (4 bands × 2 rows),
+    self-join on band key. The join key space is (band_id, band_key), so
+    only same-bucket docs ever meet — this is the O(n²)→O(n) cut that
+    makes near-dedup feasible at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    bands = None
+    for bi, (a, b) in enumerate(_LSH_BANDS):
+        band = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat(F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a_side = bands.alias("a")
+    b_side = bands.alias("b")
+    return (
+        a_side.join(
+            b_side,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band_id").alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS term
+        FROM documents WHERE doc_id < 80
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard via a term-level equi-join (the verification
+    step behind LSH candidates). The join is on term — sparse inverted-
+    index shape — so only docs sharing vocabulary ever pair up; common-term
+    skew is the known hazard (drop ultra-high-DF terms at scale)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    terms = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("term"))
+    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = terms.alias("a")
+    b = terms.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS term
+        FROM documents
+    ),
+    bits AS (
+        SELECT t.doc_id, p.pos,
+               sum(CASE WHEN substr(md5(t.term), p.pos, 1) IN ('8','9','a','b','c','d','e','f')
+                        THEN 1 ELSE -1 END) AS s
+        FROM terms t CROSS JOIN (SELECT unnest(range(1, 17)) AS pos) p
+        GROUP BY t.doc_id, p.pos
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (16 - pos) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: per-bit sign aggregation over distinct
+    tokens (bit b of md5(term) = high bit of hex nibble b). Two narrow
+    shuffles (doc×bit agg, then doc agg); near-duplicate candidates are
+    rows whose fingerprints differ in ≤ h bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("term"))
+    positions = docs.sparkSession.range(1, 17).select(F.col("id").cast("int").alias("pos"))
+    bits = (
+        terms.crossJoin(F.broadcast(positions))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.substring(F.md5("term"), F.col("pos"), 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), 16 - pos) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,201 @@
+"""Event-table analytics: tumbling windows, JSON extraction, lag gaps,
+top-k activity. (SURVEY.md §2.11 — extensions beyond the reference, which
+has no streaming/event operators; the streaming/ package runs the same
+aggregations as Structured Streaming jobs.)
+
+Timestamps are emitted as formatted strings (never raw TIMESTAMP columns):
+the parquet events clock is nanosecond-precision, which Spark truncates to
+microseconds — string formatting at second granularity keeps both engines'
+outputs identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.catalog import load_table
+
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — the batch twin of the
+    streaming job in streaming/events.py (same groupBy, plus watermark).
+    One shuffle on (hour, type); partial aggregation makes the map side
+    emit one row per (hour, type) per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("ws"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+            F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE) / count(*), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 10
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (reference's page_numbers/position JSON
+    codec, /root/reference/src/load/sqlite_store.py:286,358 — here with
+    get_json_object pushed into the scan projection)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_top_users",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k users by activity — agg then TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "events_user_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id, count(*) AS n_gaps,
+           round(CAST(sum(gap_ms) AS DOUBLE) / count(*) / 1000, 2) AS avg_gap_s,
+           round(CAST(max(gap_ms) AS DOUBLE) / 1000, 2) AS max_gap_s
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis via lag() — the sessionization primitive
+    (gap > threshold ⇒ session boundary). Partitioned by user, so the sort
+    is per-user within shuffle partitions, never global."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    gaps = ev.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.sum("gap_ms").cast("double") / F.count("*") / 1000, 2).alias("avg_gap_s"),
+            F.round(F.max("gap_ms").cast("double") / 1000, 2).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 10
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout): boundary flag via lag,
+    session id via running sum — the batch equivalent of Structured
+    Streaming's session_window (streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            ((ms - F.lag(ms).over(w)) > 1800000) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.select(
+        "user_id", "event_id", F.sum("new_session").over(w_run).alias("session_id")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )

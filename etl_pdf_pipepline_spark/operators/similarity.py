@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (beyond-reference, build brief).
+
+Three tiers, matching how ANN actually scales on Spark:
+
+1. brute-force cosine top-k (`ann_cosine_topk`) — the exact baseline;
+   scored scan + TakeOrderedAndProject, shuffle-free until the final k.
+2. IVF-style assignment (`ivf_assignment`) — assign every vector to its
+   nearest centroid. At 100 TB the table is then repartitioned/bucketed by
+   centroid id, and a query probes only its nearest centroid partitions —
+   this is the partition-pruning path that replaces a full scan per query.
+3. threshold similarity self-join (`embedding_near_dup_pairs`) — the
+   embedding-cosine near-dup detector. Quadratic in the bucket, so at
+   scale it runs per-IVF-cell (or LSH bucket), never globally.
+
+All vector math is built-in `zip_with`/`aggregate` on double-cast arrays
+(functions/vectors.py) — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from ..registry import query
+from ..sources.catalog import load_table
+
+_COS_ORACLE_EXPR = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM d WHERE vec_id = 0)
+    SELECT d.vec_id, d.label,
+           round({cos}, 4) AS score
+    FROM d CROSS JOIN q
+    WHERE d.vec_id <> 0
+    ORDER BY score DESC, d.vec_id
+    LIMIT 10
+    """.format(cos=_COS_ORACLE_EXPR.format(a="d.v", b="q.qv")),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN for one query vector (reference Q1 shape,
+    /root/reference/src/load/lancedb_store.py:127-152): broadcast the
+    1-row query side, score every vector, take top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "ivf_assignment",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id < 4),
+    scored AS (
+        SELECT d.vec_id, c.centroid_id,
+               round({cos}, 4) AS score,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY round({cos}, 4) DESC, c.centroid_id) AS rn
+        FROM d CROSS JOIN c
+        WHERE d.vec_id >= 4
+    )
+    SELECT vec_id, centroid_id, score FROM scored WHERE rn = 1 ORDER BY vec_id
+    """.format(cos=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv")),
+)
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid assignment (centroids =
+    first 4 vectors, deterministic stand-in for trained centroids). The
+    centroid table broadcasts; argmax is a per-vector window over
+    |centroids| rows. Downstream, repartitionByRange(centroid_id) makes
+    every ANN probe a partition-pruned scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", as_double("embedding").alias("v"))
+    c = d.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    score = F.round(cosine(F.col("v"), F.col("cv")), 4)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("centroid_id"))
+    return (
+        d.filter(F.col("vec_id") >= 4)
+        .crossJoin(F.broadcast(c))
+        .select("vec_id", "centroid_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "score")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 120
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({cos}, 4) AS score
+    FROM d a JOIN d b ON a.vec_id < b.vec_id
+    WHERE round({cos}, 4) >= 0.3
+    ORDER BY score DESC, vec_a, vec_b
+    """.format(cos=_COS_ORACLE_EXPR.format(a="a.v", b="b.v")),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold. Bounded here to a
+    window of ids; at scale the same join runs within IVF cells (see
+    ivf_assignment) so the quadratic term is per-cell, not global."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    d = emb.select("vec_id", as_double("embedding").alias("v"))
+    a = d.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = d.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    score = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", score.alias("score"))
+        .filter(F.col("score") >= 0.3)
+        .orderBy(F.desc("score"), "vec_a", "vec_b")
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT e.label, p.pos AS dim,
+           round(CAST(sum(CAST(e.embedding[p.pos] AS DOUBLE)) AS DOUBLE) / count(*), 6) AS centroid_val
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p
+    GROUP BY e.label, p.pos
+    ORDER BY e.label, p.pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (first 8 dims) — the centroid-training step of
+    IVF expressed as posexplode + groupBy. Sum-then-divide keeps the
+    cross-engine value deterministic enough to round at 6 places."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("pos0", "val")
+    ).filter(F.col("pos0") < 8)
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("dim"))
+        .agg(F.round(F.sum("val") / F.count("*"), 6).alias("centroid_val"))
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,201 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Beyond-reference ops (build brief): the reference computes per-document
+quality metrics imperatively (`analyze_quality`,
+/root/reference/src/extract/pymupdf_extractor.py:173-205); these generalize
+that into corpus-scale column expressions — all JVM-side built-ins, no
+Python in the hot path, embarrassingly parallel (no shuffle at all except
+where an aggregate is the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    avg_word_length,
+    distinct_tokens,
+    non_ascii_ratio,
+    tokens,
+    whitespace_ratio,
+)
+from ..registry import query
+from ..sources.catalog import load_table
+
+# A small English stopword list for the n-gram/stopword language heuristic.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _stopword_ratio(text_col) -> F.Column:
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS ttr,
+           round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / greatest(len(toks), 1), 4) AS avg_word_len
+    FROM toks ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, type-token ratio, average word length —
+    the core text-quality signals, one narrow projection per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(distinct_tokens("text")).alias("n_distinct"),
+            F.round(
+                F.size(distinct_tokens("text")).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)),
+                4,
+            ).alias("ttr"),
+            F.round(avg_word_length(F.col("text")), 4).alias("avg_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               CAST(length(regexp_replace(text, '\\S', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS ws_ratio,
+               CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS non_ascii,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS n_words
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual,
+           round(ws_ratio, 4) AS ws_ratio,
+           round(non_ascii, 4) AS non_ascii_ratio,
+           (n_chars_actual >= 50 AND n_words >= 10 AND ws_ratio <= 0.5 AND non_ascii <= 0.3)
+               AS quality_ok
+    FROM m ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F2+F3: quality metrics then threshold gate
+    (/root/reference/src/extract/pymupdf_extractor.py:173-236). The gate is
+    a when()-free boolean expression; rows are never dropped — the flag is
+    the OCR-fallback trigger, matching the reference's design
+    (plans/etl-pipeline-plan.md:355-419)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = F.size(tokens(t))
+    ws = whitespace_ratio(t)
+    na = non_ascii_ratio(t)
+    return (
+        docs.select(
+            "doc_id",
+            F.length(t).alias("n_chars_actual"),
+            F.round(ws, 4).alias("ws_ratio"),
+            F.round(na, 4).alias("non_ascii_ratio"),
+            (
+                (F.length(t) >= 50)
+                & (n_words >= 10)
+                & (ws <= 0.5)
+                & (na <= 0.3)
+            ).alias("quality_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_language_id",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, t -> list_contains(
+                   ['the','a','an','of','and','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio
+        FROM toks
+    )
+    SELECT doc_id, round(sw_ratio, 4) AS sw_ratio,
+           CASE WHEN sw_ratio >= 0.02 THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM r ORDER BY doc_id
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (beyond-reference): the cheap
+    first-pass lang filter of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = _stopword_ratio(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.round(sw, 4).alias("sw_ratio"),
+            F.when(sw >= 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))), ' ')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — the canonical-form dedup key (beyond-reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(distinct_tokens("text")))
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint")).orderBy("doc_id")
+
+
+@query(
+    "doc_bpe_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (beyond-reference): whitespace tokens and a
+    BPE-ish pre-tokenizer regex — both as scan-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)).alias(
+                "bpe_tokens"
+            ),
+            F.size(tokens("text")).alias("ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,514 @@
+"""Relational query plans over the TPC-H-ish tables.
+
+These exercise the reference's join/aggregate/window/sort families
+(SURVEY.md §2.3–§2.7) at relational scale: the reference performs these
+operations imperatively over Python lists (e.g. the hash anti-join at
+/root/reference/src/pipeline.py:203-213, the count-by-status loop at
+src/pipeline.py:297-311, the enrichment joins at
+src/api/routes/documents.py:64-65); here each is a declarative DataFrame
+plan Catalyst can push down, prune, broadcast, and AQE-tune.
+
+Cross-engine determinism convention (see registry.py): money aggregates are
+summed as DECIMAL(18,4) (exact in both Spark and DuckDB), cast to double
+and rounded only at output; orderings are made total with key tie-breaks.
+
+Scale notes are inline per query — which side broadcasts, where the
+shuffles are, and why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.catalog import load_table
+
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast("decimal(18,4)") if isinstance(c, str) else c.cast("decimal(18,4)")
+
+
+def _money(c, alias: str, scale: int = 2) -> F.Column:
+    return F.round(c.cast("double"), scale).alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A-family)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan hash aggregate with partial+final phases.
+    One shuffle on the (tiny-cardinality) group key; scan reads only the 7
+    referenced columns (parquet pruning)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_quantity")), "sum_qty"),
+            _money(F.sum(_dec("l_extendedprice")), "sum_base_price"),
+            _money(F.sum(disc_price), "sum_disc_price"),
+            _money(F.sum(charge), "sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filters all pushed to the parquet scan
+    (range on shipdate prunes row groups via min/max stats), then a single
+    global aggregate — no shuffle beyond the 1-row final combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money(F.sum(_dec("l_extendedprice") * _dec("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "orders_status_counts",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def orders_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1: count-by-status loop (/root/reference/src/pipeline.py:297-311)
+    as a hash aggregate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "segment_acctbal_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_acctbal,
+           round(min(c_acctbal), 2) AS min_acctbal,
+           round(max(c_acctbal), 2) AS max_acctbal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def segment_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double") / F.count("*"), 4).alias("avg_acctbal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "brand_price_stats",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(max(p_retailprice), 2) AS max_price
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum(_dec("p_retailprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J-family)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_profile",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           coalesce(o.order_count, 0) AS order_count,
+           round(coalesce(CAST(o.total_spend AS DOUBLE), 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS order_count,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J3 (document detail enrichment,
+    /root/reference/src/api/routes/documents.py:64-65): join pre-aggregated
+    child counts onto the parent. Aggregate-before-join keeps the shuffled
+    payload at one row per customer, and the pre-aggregate side is then
+    small enough for AQE to broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(_dec("o_totalprice")).alias("total_spend"),
+        )
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.round(F.coalesce(F.col("total_spend").cast("double"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J1 (new-document detection anti-join,
+    /root/reference/src/pipeline.py:203-213). Left-anti join; the probe
+    side only needs the join key so the scan prunes to one column."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+@query(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J2 (upload dedup semi-join,
+    /root/reference/src/api/routes/documents.py:139-153)."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(open_orders, "c_custkey", "left_semi").select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape. Dimension chain region→nation→customer is broadcast
+    (explicitly hinted); the only real shuffle is orders⋈lineitem on
+    orderkey, and the region filter prunes customers *before* that join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey", "n_name")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(_money(F.sum(rev), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → broadcast → agg → top-k
+    (TakeOrderedAndProject, no global sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.sum(rev), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "lineitem_after_order_purge",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def lineitem_after_order_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J5/M2 delete-cascade semantics
+    (/root/reference/src/pipeline.py:270-295): the anti-join rewrite of the
+    child table against the victim set, here summarized post-purge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    victims = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        li.join(victims, "l_orderkey", "left_anti")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _money(F.sum(_dec("l_quantity")), "sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k (O-family)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_by_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O3 search top-k (orderBy desc + limit,
+    /root/reference/src/load/lancedb_store.py:146) — Spark plans this as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (A5/A6/A7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_sequence_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1 AS order_seq,
+           count(*)     OVER (PARTITION BY o_custkey) AS total_orders
+    FROM orders
+    WHERE o_custkey < 50
+    ORDER BY o_custkey, order_seq
+    """,
+)
+def order_sequence_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A5 (chunk_index assignment) + A6 (total_chunks backfill,
+    /root/reference/src/transform/chunker.py:107,113-115): dense ordinal and
+    partition count in one window pass, partitioned by the parent key — the
+    exact pattern the chunker uses with document_id at scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.row_number().over(w_seq) - 1).alias("order_seq"),
+            F.count("*").over(w_all).alias("total_orders"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@query(
+    "running_spend_budget",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+        FROM orders WHERE o_custkey < 30
+    )
+    SELECT o_custkey, o_orderkey, round(CAST(cum_spend AS DOUBLE), 2) AS cum_spend
+    FROM seq WHERE cum_spend <= 400000
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def running_spend_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A7 (greedy token-budget cut,
+    /root/reference/src/retrieve/hybrid_retriever.py:190-200): ordered
+    running sum + budget filter, partitioned so the window never needs a
+    single global ordering."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn("cum_spend_dec", F.sum(_dec("o_totalprice")).over(w))
+        .filter(F.col("cum_spend_dec") <= 400000)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("cum_spend_dec").cast("double"), 2).alias("cum_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.7 — absent in the reference, present for completeness)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "priority_set_ops",
+    oracle="""
+    (SELECT DISTINCT o_orderpriority AS priority FROM orders WHERE o_totalprice > 300000
+     INTERSECT
+     SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+    EXCEPT
+    SELECT DISTINCT o_orderpriority FROM orders WHERE o_totalprice > 500000
+    ORDER BY priority
+    """,
+)
+def priority_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over distinct priority sets."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_orderpriority").alias("priority")).distinct()
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("priority")).distinct()
+    huge = o.filter(F.col("o_totalprice") > 500000).select(F.col("o_orderpriority").alias("priority")).distinct()
+    return big.intersect(open_).exceptAll(huge).orderBy("priority")

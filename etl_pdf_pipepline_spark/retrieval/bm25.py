@@ -1,0 +1,101 @@
+"""Explicit BM25 keyword search (reference Q2/S12/A8).
+
+The reference delegates BM25 to LanceDB's Tantivy FTS index
+(/root/reference/src/load/lancedb_store.py:104-112,192-222). Here the
+"index" is an explicit pair of DataFrames — postings (term frequencies) and
+doc stats — built with plain tokenize→explode→groupBy aggregations, so
+Catalyst plans them as partial+final hash aggregates with map-side combine.
+
+Scale posture (100 TB): postings build shuffles once on (doc, term); the
+corpus-level scalars (N, avgdl) are a one-row aggregate cross-joined back
+in (broadcast). Query scoring joins the tiny query-term list against
+postings — broadcast join, no full-corpus shuffle — then TakeOrderedAndProject
+for top-k. Persist postings as a bucketed-by-term table to make repeated
+query scoring shuffle-free.
+
+Parameters k1=1.2, b=0.75 (Lucene/LanceDB defaults, SURVEY.md §7.3), idf =
+ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def build_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — term frequencies per document."""
+    return (
+        docs.select(F.col(id_col).alias("doc_key"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_key", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_doc_stats(postings: DataFrame) -> DataFrame:
+    """(id, dl) — token length per document, derived from postings."""
+    return postings.groupBy("doc_key").agg(F.sum("tf").alias("dl"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score every document containing ≥1 query term; returns (doc_key, score).
+
+    Only rows whose term is in the (tiny, broadcast) query list survive the
+    first join, so the scored set is the posting lists of the query terms —
+    the same work a posting-list index union would do.
+    """
+    spark = docs.sparkSession
+    postings = build_postings(docs, id_col, text_col)
+    doc_stats = build_doc_stats(postings)
+    n_docs = docs.select(F.count("*").alias("n"))
+    corpus = doc_stats.agg(F.avg("dl").alias("avgdl")).crossJoin(n_docs)
+
+    qterms = spark.createDataFrame([(t,) for t in query_terms], ["term"]).distinct()
+
+    matched = postings.join(F.broadcast(qterms), "term")
+    df_counts = matched.groupBy("term").agg(F.countDistinct("doc_key").alias("df"))
+
+    scored = (
+        matched.join(F.broadcast(df_counts), "term")
+        .join(doc_stats, "doc_key")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "term_score",
+            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_key")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int,
+) -> DataFrame:
+    """Top-k by rounded score (rounding makes cross-engine ordering total
+    when combined with the id tie-break). Spark executes orderBy().limit()
+    as TakeOrderedAndProject — no global sort materialization."""
+    scored = bm25_scores(docs, id_col, text_col, query_terms)
+    return (
+        scored.select(F.col("doc_key"), F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_key"))
+        .limit(k)
+    )

@@ -1,0 +1,243 @@
+"""Registered retrieval queries (reference Q1–Q6) with DuckDB oracles.
+
+The BM25 oracle SQL mirrors bm25.py's DataFrame plan CTE-for-stage:
+tokenize→explode (toks), tf, dl, corpus stats, df over query terms, then
+the Lucene-style score. The hybrid oracle composes the BM25 and cosine
+rankings with RRF exactly as hybrid.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count_estimate
+from ..functions.vectors import as_double, cosine
+from ..registry import query
+from ..sources.catalog import load_table
+from .bm25 import bm25_scores, bm25_topk
+from .hybrid import context_budget_cut, rank_by_score, route_topic, rrf_fuse
+
+QUERY_TERMS = ["spark", "join", "fast", "table"]
+_QTERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
+
+# BM25 pipeline as reusable oracle CTEs (k1=1.2, b=0.75, Lucene idf).
+_BM25_CTES = """
+    toks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+        FROM documents{doc_filter}
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents{doc_filter}) AS n,
+               (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
+    ),
+    qterms AS (SELECT DISTINCT unnest({qterms}) AS term),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    bm25 AS (
+        SELECT tf.doc_id,
+               sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+        FROM tf
+        JOIN qterms q ON tf.term = q.term
+        JOIN dfreq d  ON tf.term = d.term
+        JOIN dl       ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+"""
+
+
+def _bm25_ctes(doc_filter: str = "", qterms: str = _QTERMS_SQL) -> str:
+    return _BM25_CTES.format(doc_filter=doc_filter, qterms=qterms)
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH {_bm25_ctes()}
+    SELECT doc_id, round(score, 4) AS score
+    FROM bm25 ORDER BY round(score, 4) DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q2 keyword search
+    (/root/reference/src/load/lancedb_store.py:192-222) as an explicit
+    postings-join BM25, top-15."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", QUERY_TERMS, 15).withColumnRenamed("doc_key", "doc_id")
+
+
+@query(
+    "bm25_search_title_filtered",
+    oracle=f"""
+    WITH {_bm25_ctes(doc_filter=" WHERE source LIKE '%src1%'")}
+    SELECT doc_id, round(score, 4) AS score
+    FROM bm25 ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search_title_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q4 + F8: keyword search with a metadata pre-filter
+    (title LIKE, /root/reference/src/retrieve/hybrid_retriever.py:77-81).
+    The filter is applied BEFORE scoring — pre-filter semantics, matching
+    the reference's `.where()` pushdown into LanceDB — so corpus stats (N,
+    avgdl, df) are those of the filtered corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source").contains("src1"))
+    return bm25_topk(docs, "doc_id", "text", QUERY_TERMS, 10).withColumnRenamed("doc_key", "doc_id")
+
+
+@query(
+    "routed_search",
+    oracle=f"""
+    WITH {_bm25_ctes(qterms="['how', 'fast', 'is', 'spark']")}
+    SELECT b.doc_id, round(b.score, 4) AS score
+    FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+    WHERE contains(lower(d.text), 'spark')
+    ORDER BY round(b.score, 4) DESC, b.doc_id LIMIT 10
+    """,
+)
+def routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q5 topic routing
+    (/root/reference/src/retrieve/hybrid_retriever.py:92-126): the query
+    string is matched against the KNOWN_TOPICS list driver-side; the first
+    hit ('spark') becomes a content filter, then keyword search runs over
+    the full query tokens."""
+    user_query = "how fast is spark"
+    topic = route_topic(user_query)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, "doc_id", "text", user_query.split())
+    filtered = docs.filter(F.lower(F.col("text")).contains(topic)).select(
+        F.col("doc_id").alias("doc_key")
+    )
+    return (
+        scored.join(filtered, "doc_key", "left_semi")
+        .select(F.col("doc_key").alias("doc_id"), F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round("score", 4)), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH {_bm25_ctes()},
+    kw_rank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank_kw
+        FROM bm25 QUALIFY rank_kw <= 20
+    ),
+    vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    qv AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+        FROM vecs CROSS JOIN qv
+    ),
+    vec_rank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_vec
+        FROM cos QUALIFY rank_vec <= 20
+    )
+    SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + k.rank_kw), 0) + coalesce(1.0 / (60 + v.rank_vec), 0), 6) AS score
+    FROM kw_rank k FULL OUTER JOIN vec_rank v ON k.doc_id = v.doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q3 hybrid search
+    (/root/reference/src/load/lancedb_store.py:154-190): overfetch 20 from
+    each modality, full-outer join, RRF(k=60) fusion, top-10. Both ranked
+    inputs are k rows, so the fusion join is trivially broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
+    kw_rank = rank_by_score(kw, "doc_key").filter(F.col("rank") <= 20)
+
+    qdf = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    vec_scored = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select(
+            F.col("vec_id").alias("doc_key"),
+            F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
+        )
+    )
+    vec_rank = rank_by_score(vec_scored, "doc_key").filter(F.col("rank") <= 20)
+
+    return rrf_fuse(kw_rank, vec_rank, "doc_key", k=10).withColumnRenamed("doc_key", "doc_id")
+
+
+@query(
+    "context_assembly",
+    oracle=f"""
+    WITH {_bm25_ctes()},
+    topk AS (
+        SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+        FROM bm25 QUALIFY rank <= 20
+    ),
+    budget AS (
+        SELECT t.rank, t.doc_id, d.source,
+               CAST(floor(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x <> '')) * 1.3) AS INT) AS tokens
+        FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    cum AS (
+        SELECT rank, doc_id, source, tokens,
+               sum(tokens) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM budget
+    )
+    SELECT rank, doc_id, source, tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 400 ORDER BY rank
+    """,
+)
+def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q6 get_context
+    (/root/reference/src/retrieve/hybrid_retriever.py:167-206): overfetch
+    20, greedy running token-budget cut at 400 tokens (A7 window), keeping
+    source attribution for the [Source: title] blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    topk = (
+        rank_by_score(bm25_scores(docs, "doc_id", "text", QUERY_TERMS), "doc_key")
+        .filter(F.col("rank") <= 20)
+    )
+    enriched = topk.join(
+        docs.select(F.col("doc_id").alias("doc_key"), "source", "text"), "doc_key"
+    )
+    cut = context_budget_cut(enriched, "text", max_tokens=400, order_col="rank")
+    return cut.select(
+        "rank", F.col("doc_key").alias("doc_id"), "source", "tokens", "cum_tokens"
+    ).orderBy("rank")
+
+
+@query(
+    "context_distinct_sources",
+    oracle=f"""
+    WITH {_bm25_ctes()},
+    topk AS (
+        SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+        FROM bm25 QUALIFY rank <= 20
+    )
+    SELECT DISTINCT d.source FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+    ORDER BY source
+    """,
+)
+def context_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A9: distinct source documents among assembled context
+    (/root/reference/src/retrieve/hybrid_retriever.py:188-205)."""
+    docs = load_table(spark, sf_dir, "documents")
+    topk = (
+        rank_by_score(bm25_scores(docs, "doc_id", "text", QUERY_TERMS), "doc_key")
+        .filter(F.col("rank") <= 20)
+    )
+    return (
+        topk.join(docs.select(F.col("doc_id").alias("doc_key"), "source"), "doc_key")
+        .select("source")
+        .distinct()
+        .orderBy("source")
+    )

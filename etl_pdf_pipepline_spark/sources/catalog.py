@@ -1,0 +1,59 @@
+"""Table catalog over the driver-provided parquet directories.
+
+The reference keeps three hand-synchronized schemas (dataclasses, SQLite DDL,
+LanceDB PyArrow — `/root/reference/src/models.py`,
+`src/load/sqlite_store.py:44-117`, `src/load/lancedb_store.py:33-47`).
+Here the parquet footer IS the schema; this module is just a thin, cached
+loader so every operator reads through one code path (and therefore one
+place to attach bucketing/partitioning decisions at cluster scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Column pruning + predicate pushdown are Catalyst's
+    job — callers express plain DataFrame ops and the parquet scan shrinks
+    to what is actually referenced."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # The events clock is parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects. Read nanos as raw int64 and rebuild a
+        # microsecond timestamp (floor), matching how DuckDB/Arrow truncate
+        # nanos — keeps both engines on the identical clock.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so `spark.sql` queries work."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
