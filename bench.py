@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = one representative per operator family (scan-agg, multi-way
+join, top-k, window, BM25, hybrid, vector, dedup, chunker, events) so the
+number tracks the engine, not one hot loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pdf_pipepline_spark.registry import all_queries
+from etl_pdf_pipepline_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "revenue_by_nation",
+    "shipping_priority_top10",
+    "customer_order_profile",
+    "top_orders_by_value",
+    "order_sequence_window",
+    "bm25_search",
+    "hybrid_rrf_search",
+    "ann_cosine_topk",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "chunk_fixed_window",
+    "events_hourly_rollup",
+    "events_sessionization",
+    "doc_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # warm the JVM (codegen, parquet reader, shuffle machinery) outside timing
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).groupBy(
+        "l_returnflag"
+    ).count().collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

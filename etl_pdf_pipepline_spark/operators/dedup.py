@@ -23,7 +23,7 @@ training-data pipeline. Design notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, tokens
@@ -35,7 +35,12 @@ SHINGLE = 3  # word-shingle width
 
 
 def word_shingles(text_col: Column | str, width: int = SHINGLE) -> Column:
-    """Word w-shingles as an array; whole token string when < w tokens."""
+    """Word w-shingles as an array; whole token string when < w tokens.
+
+    Array-valued form for composition/tests. The hot path
+    (`shingle_rows`) avoids this expression: higher-order functions
+    (transform/slice) are interpreted, not codegen'd, and measured ~5×
+    slower than the posexplode+lead plan at sf0.1."""
     toks = tokens(text_col)
     n = F.size(toks)
     shingled = F.transform(
@@ -45,18 +50,50 @@ def word_shingles(text_col: Column | str, width: int = SHINGLE) -> Column:
     return F.when(n >= width, shingled).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_col(shingles: Column, seed: int) -> Column:
-    """One minhash component: lexicographic min of seeded md5 digests."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, width: int = SHINGLE) -> DataFrame:
+    """(__id, sh) — one row per word shingle, built on the codegen path:
+    posexplode tokens, window lead(1..w−1) partitioned by document. The
+    only shuffle is by document id, which downstream per-doc aggregations
+    (minhash) need anyway."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    big = base.filter(F.size("__toks") >= width)
+    t = big.select("__id", F.posexplode("__toks").alias("pos", "tok"))
+    w = Window.partitionBy("__id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, width)]
+    sh = (
+        t.select(
+            "__id",
+            F.concat_ws(" ", *parts).alias("sh"),
+            F.lead("tok", width - 1).over(w).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("__id", "sh")
     )
+    small = base.filter(F.size("__toks") < width).select(
+        "__id", F.concat_ws(" ", "__toks").alias("sh")
+    )
+    return sh.unionAll(small)
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINHASH) -> DataFrame:
-    sh = word_shingles(text_col)
-    return df.select(
-        F.col(id_col),
-        *[minhash_col(sh, seed).alias(f"mh{seed}") for seed in range(k)],
+    """(id, mh0..mh{k-1}) — lexicographic min of seeded md5 over shingles.
+
+    Shape matters: tokenize+shingle ONCE (codegen path, see shingle_rows),
+    then k min-aggregates in a single hash-agg pass (one shuffle of k
+    strings per doc). The naive per-column form (k independent
+    array_min(transform(...)) expressions) re-tokenizes the document k
+    times in interpreted mode — measured 20× slower at sf0.1."""
+    sh = shingle_rows(df, id_col, text_col)
+    return (
+        sh.groupBy("__id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")))).alias(f"mh{seed}")
+                for seed in range(k)
+            ]
+        )
+        .withColumnRenamed("__id", id_col)
     )
 
 
@@ -268,31 +305,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (doc×bit agg, then doc agg); near-duplicate candidates are
     rows whose fingerprints differ in ≤ h bits."""
     docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("term"))
-    positions = docs.sparkSession.range(1, 17).select(F.col("id").cast("int").alias("pos"))
-    bits = (
-        terms.crossJoin(F.broadcast(positions))
-        .withColumn(
-            "contrib",
-            F.when(
-                F.substring(F.md5("term"), F.col("pos"), 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
-                1,
-            ).otherwise(-1),
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    hashed = docs.select(
+        "doc_id", F.explode(distinct_tokens("text")).alias("term")
+    ).select("doc_id", F.md5("term").alias("h"))
+    # md5 once per (doc, term); all 16 bit-sums in ONE hash-agg pass (the
+    # position cross-join variant shuffles 16× the rows for the same answer).
+    sums = hashed.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), 16 - pos) "
-                    "ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
+                F.when(F.substring("h", pos, 1).isin(*high), 1).otherwise(-1)
+            ).alias(f"s{pos}")
+            for pos in range(1, 17)
+        ]
     )
+    simhash = None
+    for pos in range(1, 17):
+        bit = F.when(F.col(f"s{pos}") > 0, F.lit(1 << (16 - pos)).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")

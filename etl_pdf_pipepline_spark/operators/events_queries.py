@@ -18,8 +18,9 @@ from ..registry import query
 from ..sources.catalog import load_table
 
 
-def _dec(c) -> F.Column:
-    return F.col(c).cast("decimal(18,4)")
+def _cents(c) -> F.Column:
+    """Exact integer cents (see plans/relational.py module docstring)."""
+    return F.round(F.col(c) * 100, 0).cast("bigint")
 
 
 @query(
@@ -28,8 +29,8 @@ def _dec(c) -> F.Column:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY window_start, event_type
@@ -48,8 +49,8 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
-            F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 4).alias("avg_value"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+            F.round(F.sum(_cents("value")).cast("double") / 100 / F.count("*"), 4).alias("avg_value"),
         )
         .select(
             F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -97,7 +98,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_top_users",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
     FROM events GROUP BY user_id
     ORDER BY n_events DESC, user_id
     LIMIT 20
@@ -110,7 +111,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
         )
         .orderBy(F.desc("n_events"), "user_id")
         .limit(20)

@@ -57,15 +57,25 @@ def bm25_scores(
     the same work a posting-list index union would do.
     """
     spark = docs.sparkSession
-    postings = build_postings(docs, id_col, text_col)
-    doc_stats = build_doc_stats(postings)
-    n_docs = docs.select(F.count("*").alias("n"))
-    corpus = doc_stats.agg(F.avg("dl").alias("avgdl")).crossJoin(n_docs)
+    # The postings/doc-stats pair IS the FTS index (reference S12,
+    # /root/reference/src/load/lancedb_store.py:104-112). Within a session
+    # we .cache() both: Spark's cache manager matches canonicalized plans,
+    # so every query against the same corpus (bm25, hybrid, routed,
+    # context) reuses one materialization instead of re-tokenizing — the
+    # same build-once-query-many contract as the reference's index. At
+    # cluster scale the same DataFrames are persisted as a bucketed-by-term
+    # parquet/Delta table instead of executor memory.
+    postings = build_postings(docs, id_col, text_col).cache()
+    doc_stats = build_doc_stats(postings).cache()
+    # N = docs with ≥1 token (= |doc_stats|): one single-row aggregate
+    # serves both corpus scalars, broadcast everywhere.
+    corpus = doc_stats.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
 
     qterms = spark.createDataFrame([(t,) for t in query_terms], ["term"]).distinct()
 
     matched = postings.join(F.broadcast(qterms), "term")
-    df_counts = matched.groupBy("term").agg(F.countDistinct("doc_key").alias("df"))
+    # postings rows are unique per (doc, term), so count(*) == distinct docs
+    df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
         matched.join(F.broadcast(df_counts), "term")

@@ -30,8 +30,7 @@ _BM25_CTES = """
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (
-        SELECT (SELECT count(*) FROM documents{doc_filter}) AS n,
-               (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
+        SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
     ),
     qterms AS (SELECT DISTINCT unnest({qterms}) AS term),
     dfreq AS (
