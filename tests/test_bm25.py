@@ -1,0 +1,53 @@
+"""BM25 against hand-computed scores (SURVEY.md §7.3 risk item 2)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_pdf_pipepline_spark.retrieval.bm25 import B, K1, bm25_scores, bm25_topk
+
+CORPUS = [
+    ("d1", "spark engine spark"),
+    ("d2", "spark sql window"),
+    ("d3", "window window window sql"),
+    ("d4", "completely unrelated words here"),
+]
+
+
+def hand_bm25(term_tf: int, df: int, n: int, dl: int, avgdl: float) -> float:
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * (term_tf * (K1 + 1)) / (term_tf + K1 * (1 - B + B * dl / avgdl))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_single_term_scores_match_formula(spark, docs):
+    got = {r.doc_key: r.score for r in bm25_scores(docs, "doc_id", "text", ["spark"]).collect()}
+    n = 4
+    avgdl = (3 + 3 + 4 + 4) / 4
+    assert got["d1"] == pytest.approx(hand_bm25(2, 2, n, 3, avgdl))
+    assert got["d2"] == pytest.approx(hand_bm25(1, 2, n, 3, avgdl))
+    assert set(got) == {"d1", "d2"}  # only matching docs scored
+
+
+def test_multi_term_sum(spark, docs):
+    got = {r.doc_key: r.score for r in bm25_scores(docs, "doc_id", "text", ["spark", "sql"]).collect()}
+    n, avgdl = 4, 3.5
+    want_d2 = hand_bm25(1, 2, n, 3, avgdl) + hand_bm25(1, 2, n, 3, avgdl)
+    assert got["d2"] == pytest.approx(want_d2)
+    assert set(got) == {"d1", "d2", "d3"}
+
+
+def test_topk_order_and_limit(spark, docs):
+    rows = bm25_topk(docs, "doc_id", "text", ["window"], k=1).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_key == "d3"  # tf=3 wins
+
+
+def test_absent_term_empty(spark, docs):
+    assert bm25_scores(docs, "doc_id", "text", ["zzz"]).count() == 0
