@@ -77,20 +77,34 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, width: int = SHINGLE
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINHASH) -> DataFrame:
-    """(id, mh0..mh{k-1}) — lexicographic min of seeded md5 over shingles.
+    """(id, mh0..mh{k-1}) — minhash components as the min over shingles of
+    32-bit (8-hex-char) slices of seeded md5 digests.
 
-    Shape matters: tokenize+shingle ONCE (codegen path, see shingle_rows),
-    then k min-aggregates in a single hash-agg pass (one shuffle of k
-    strings per doc). The naive per-column form (k independent
-    array_min(transform(...)) expressions) re-tokenizes the document k
-    times in interpreted mode — measured 20× slower at sf0.1."""
+    Shape matters twice:
+    - tokenize+shingle ONCE (codegen path, see shingle_rows), then all k
+      min-aggregates in a single hash-agg pass (one shuffle of k short
+      strings per doc). The naive per-column form (k independent
+      array_min(transform(...)) expressions) re-tokenizes the document k
+      times in interpreted mode — measured 20× slower at sf0.1.
+    - each 128-bit digest funds FOUR 32-bit components, so k=8 costs 2 md5
+      calls per shingle instead of 8; the digests are projected before the
+      agg so they are computed exactly once per shingle row. Lexicographic
+      min on fixed-width hex equals numeric min on the 32-bit values."""
+    assert k % 4 == 0, "k must be a multiple of 4 (4 components per digest)"
     sh = shingle_rows(df, id_col, text_col)
+    digests = sh.select(
+        "__id",
+        *[
+            F.md5(F.concat(F.lit(f"{d}:"), F.col("sh"))).alias(f"__d{d}")
+            for d in range(k // 4)
+        ],
+    )
     return (
-        sh.groupBy("__id")
+        digests.groupBy("__id")
         .agg(
             *[
-                F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")))).alias(f"mh{seed}")
-                for seed in range(k)
+                F.min(F.substring(F.col(f"__d{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
+                for i in range(k)
             ]
         )
         .withColumnRenamed("__id", id_col)
@@ -136,8 +150,8 @@ _MINHASH_ORACLE = """
     FROM sh ORDER BY doc_id
 """.format(
     cols=",\n           ".join(
-        f"list_min(list_transform(shingles, s -> md5('{seed}:' || s))) AS mh{seed}"
-        for seed in range(N_MINHASH)
+        f"list_min(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8))) AS mh{i}"
+        for i in range(N_MINHASH)
     )
 )
 
@@ -181,8 +195,8 @@ _LSH_ORACLE = """
     ORDER BY doc_a, doc_b
 """.format(
     sig_cols=", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{seed}:' || s))) AS mh{seed}"
-        for seed in range(N_MINHASH)
+        f"list_min(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8))) AS mh{i}"
+        for i in range(N_MINHASH)
     ),
     band_union="\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {bi} AS band_id, md5(mh{a} || mh{b}) AS band_key FROM sig"

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-coalesce the output partitioning of cached plans
+        # (postings/doc-stats caches otherwise freeze at
+        # spark.sql.shuffle.partitions tiny partitions; measured ~1.5×
+        # whole-bench speedup at sf0.1, and at cluster scale it sizes
+        # cached-index partitions to data volume instead of a static conf).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

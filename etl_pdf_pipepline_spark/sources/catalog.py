@@ -31,12 +31,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Column pruning + predicate pushdown are Catalyst's
     job — callers express plain DataFrame ops and the parquet scan shrinks
-    to what is actually referenced."""
+    to what is actually referenced.
+
+    The scan DataFrame is memoized per (session, dir, table): DataFrames
+    are immutable, and rebuilding one re-reads parquet footers over py4j
+    (~0.2s per table per query — pure fixed overhead)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _DF_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # The events clock is parquet TIMESTAMP(NANOS), which Spark's
