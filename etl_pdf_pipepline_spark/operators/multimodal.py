@@ -1,0 +1,252 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond-reference ops (build brief). The reference's only media handling is
+PDF image extraction — a 1→N UDTF writing PIL-decoded files
+(/root/reference/src/extract/image_extractor.py:23-155) with a min-size
+filter (:30,134-136) and typed position metadata JSON-encoded into SQLite
+(/root/reference/src/load/sqlite_store.py:334-364). Here media is engine
+data, not side files:
+
+- one `media` table shape: (media_id, media_type, content binary,
+  meta struct<...>) — binary stays opaque; all relational ops (filter,
+  join, partition) work on the typed metadata columns.
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  `mapInPandas` over the binary column. The per-batch shape is the real
+  thing (one pandas DataFrame per Arrow batch, binary cells as Python
+  bytes); only the innermost codec call is stubbed because no image/audio
+  libraries exist in this container.
+
+STUB POLICY: `decode_image_real` raises NotImplementedError (the PIL/ffmpeg
+slot); the default codecs are DETERMINISTIC FAKES deriving plausible
+metadata from content length/digest so every query is reproducible and
+DuckDB-oracle-checkable. Swapping in a real codec changes one function, not
+the plan: partitioning, UDF signatures, batch handling, and schemas are
+production-shaped.
+
+Scale posture (100 TB of media): binary columns ride Parquet/columnar
+storage; decode parallelism is partition parallelism (mapInPandas), with
+`spark.sql.files.maxPartitionBytes` sizing batches so executor memory
+bounds hold; frame sampling is a 1→N explode whose fan-out factor is
+explicit (frames_per_clip), so output volume is plannable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.catalog import load_table
+
+MIN_IMAGE_SIDE = 100  # reference min_width/min_height (image_extractor.py:30)
+
+
+# --------------------------------------------------------------------------
+# Media table: binary content + typed metadata derived from `documents`.
+# The driver ships no binary fixtures, so content := utf-8 bytes of the
+# document text — deterministic, and every byte-level op (length, digest,
+# slicing) is as real as with a JPEG.
+# --------------------------------------------------------------------------
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mt.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Decode stubs — the codec seam.
+# --------------------------------------------------------------------------
+
+
+def decode_image_real(content: bytes) -> tuple[int, int, str]:
+    """The real-codec slot (PIL `Image.open`, reference
+    image_extractor.py:127). Not available in this container."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use decode_image_fake for deterministic tests"
+    )
+
+
+def decode_image_fake(content: bytes) -> tuple[int, int, str]:
+    """Deterministic fake: dims derived from content length, format from
+    the leading byte. Mirrors what a real decode returns (width, height,
+    format) without a codec."""
+    n = len(content)
+    width = 100 + n % 900
+    height = 100 + (n * 7) % 900
+    fmt = "png" if (content[:1] or b"\x00")[0] % 2 == 0 else "jpeg"
+    return width, height, fmt
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: one pandas DataFrame per batch, binary cells
+    arrive as Python bytes. Output partitioning == input partitioning (no
+    shuffle); batch size is governed by the Arrow batch config, not code."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_image_fake(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "format": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("offset_bytes", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frames_per_clip: int = 4) -> DataFrame:
+    """1→N frame sampling over video binaries: evenly spaced byte offsets
+    stand in for timestamps; the per-frame 'decode' is a digest of the
+    64-byte window at the offset (deterministic fake). Fan-out factor is
+    explicit so output volume is input_rows × frames_per_clip by plan."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in ("media_id", "frame_index", "offset_bytes", "frame_digest")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = len(content)
+                for i in range(frames_per_clip):
+                    off = (n * i) // frames_per_clip
+                    window = content[off : off + 64]
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["offset_bytes"].append(off)
+                    out["frame_digest"].append(hashlib.sha256(window).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Registered queries
+# --------------------------------------------------------------------------
+
+
+@query(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary: byte length + content digest,
+    computed scan-side (JVM builtins, no Python). At scale this is the
+    manifest build for a media lake — narrow output, full pushdown."""
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha"),
+    ).orderBy("media_id")
+
+
+@query(
+    "media_decode_filter",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, n_bytes,
+           100 + n_bytes % 900 AS width,
+           100 + (n_bytes * 7) % 900 AS height
+    FROM m
+    WHERE 100 + n_bytes % 900 >= {MIN_IMAGE_SIDE + 50}
+      AND 100 + (n_bytes * 7) % 900 >= {MIN_IMAGE_SIDE + 50}
+    ORDER BY media_id
+    """,
+)
+def media_decode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode images via mapInPandas, then the reference's min-size filter
+    (F4, image_extractor.py:134-136; threshold shifted so both branches
+    are exercised on this corpus). The filter runs AFTER the Python stage,
+    so the plan shows the real cost boundary: decode everything, filter
+    on decoded metadata."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    decoded = decode_media(media)
+    side = MIN_IMAGE_SIDE + 50
+    return (
+        decoded.filter((F.col("width") >= side) & (F.col("height") >= side))
+        .select("media_id", "n_bytes", "width", "height")
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+    WITH v AS (
+        -- documents text is pure ASCII (checked: octet_length == length for
+        -- every row), so the char-based substring below slices the exact
+        -- byte window the Spark side hashes.
+        SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+        FROM documents
+        WHERE NOT (doc_id % 3 = 0) AND NOT (doc_id % 3 = 1)
+    ),
+    frames AS (
+        SELECT media_id, i AS frame_index, (n * i) // 4 AS offset_bytes,
+               sha256(substring(text, ((n * i) // 4) + 1, 64)) AS frame_digest
+        FROM v, generate_series(0, 3) AS t(i)
+    )
+    SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+           offset_bytes, frame_digest
+    FROM frames ORDER BY media_id, frame_index
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling (4 frames/clip) over video binaries — the
+    mapInPandas fan-out pattern for video pipelines; per-frame digest of
+    the byte window stands in for the frame decode."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    return sample_frames(media, 4).orderBy("media_id", "frame_index")
