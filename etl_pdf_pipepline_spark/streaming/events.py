@@ -1,0 +1,180 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming surface (SURVEY.md §2.11) — its closest
+analogue is incremental batch via file-hash anti-join
+(/root/reference/src/pipeline.py:192-220). These operators are the
+beyond-reference streaming layer: the same event-time semantics a 100 TB
+ingest firehose needs, run here against the driver's events table through
+a real `readStream` file source so the plans are genuine streaming plans
+(watermarks, stateful operators, micro-batch triggers).
+
+Execution contract: each query runs with `Trigger.AvailableNow` — process
+everything currently in the source, then stop. On the fixed test corpus
+that makes results deterministic and therefore DuckDB-oracle-checkable;
+in production the same code runs continuously (drop the trigger) and
+writes to a real sink (Delta/parquet) instead of the memory sink used
+here to hand results back as a DataFrame.
+
+Scale posture: the tumbling-window rollup is a streaming hash aggregate —
+partial aggregation per micro-batch, state keyed by (window, event_type),
+watermark bounding state size. Sessionization keys state by user_id;
+state volume is O(active users), not O(events)."""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+_SINK_COUNTER = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-stream source. Schema comes from a batch read of
+    the same file (file streams require an explicit schema); the
+    TIMESTAMP(NANOS) column rides in as int64 and is rebuilt to
+    microseconds exactly as the batch catalog does."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_available_now(stage: DataFrame, output_mode: str) -> DataFrame:
+    """Drain the stream into a memory sink and return the result table."""
+    name = f"stream_result_{next(_SINK_COUNTER)}"
+    q = (
+        stage.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stage.sparkSession.table(name)
+
+
+@query(
+    "streaming_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 1-hour watermark —
+    the canonical streaming rollup. Complete output mode so every window
+    is emitted when the stream drains (append would hold back windows the
+    final watermark hasn't passed). Matches the batch rollup bit-for-bit:
+    1-hour tumbling windows are epoch-aligned, i.e. date_trunc('hour')."""
+    ev = stream_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "complete").orderBy("window_start", "event_type")
+
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _sessionize(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionization (30-min timeout), state = (last event
+    ms, session count, event count). Arbitrary stateful logic the built-in
+    session_window can't express lives exactly here — this function is the
+    `applyInPandasWithState` slot."""
+    if state.exists:
+        last_ts_ms, n_sessions, n_events = state.get
+    else:
+        last_ts_ms, n_sessions, n_events = -1, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            ts_ms = int(ts.value // 1_000_000)
+            if last_ts_ms < 0 or ts_ms - last_ts_ms > SESSION_GAP_MS:
+                n_sessions += 1
+            last_ts_ms = ts_ms
+            n_events += 1
+    state.update((last_ts_ms, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+@query(
+    "streaming_session_counts",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 10
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM marked GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user session/event counts
+    via applyInPandasWithState (GroupStateTimeout.NoTimeout). Emits each
+    user's running totals once per micro-batch; the events table is one
+    file, so AvailableNow drains it in a single batch and the emitted
+    totals are final — which is what the batch oracle checks. The same
+    oracle result falls out of the lag/running-sum batch plan
+    (events_sessionization)."""
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 10)
+    staged = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(staged, "update").orderBy("user_id")
