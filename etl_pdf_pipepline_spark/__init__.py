@@ -14,3 +14,13 @@ Layout (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    """Lazy functional API (mirrors reference src/__init__.py:68-232)
+    without importing pyspark at package-import time."""
+    if name in ("extract_pdf", "chunk_text", "chunk_dataframe", "embed_chunks", "process_pdf"):
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(name)

@@ -1,0 +1,53 @@
+"""Table sinks + mutation patterns over immutable parquet (reference S8–S11,
+M1–M3, J5).
+
+The reference mutates SQLite rows in place under a write lock
+(/root/reference/src/load/sqlite_store.py:27,120-172) and deletes with FK
+cascades (:229-240). On an immutable columnar lake the same lifecycle is:
+
+- append: plain partitioned write (S8–S11 collapse into one code path —
+  the SQLite/LanceDB dual-store split disappears, SURVEY.md §1.3).
+- update/delete (M1/M2/J5): anti-join rewrite — keep everything that does
+  NOT match the victim keys, overwrite. At scale victims are tiny →
+  broadcast anti-join, and with partitioning on the victim key the rewrite
+  touches only affected partitions (partition-overwrite, not full table).
+- reprocess (M3): delete-then-append = the same rewrite with replacement
+  rows unioned in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "append") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def delete_where(table: DataFrame, victims: DataFrame, key: str) -> DataFrame:
+    """J5/M2: the surviving rows after deleting every key in `victims`.
+    Broadcast left-anti join — victims are small by construction."""
+    return table.join(F.broadcast(victims.select(key).distinct()), key, "left_anti")
+
+
+def upsert(table: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """M1: replace rows by key (anti-join out the old, union the new).
+    Columns must match; at scale this is Delta MERGE — the plan shape
+    (broadcast anti-join + union) is identical."""
+    survivors = table.join(F.broadcast(updates.select(key).distinct()), key, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """M3 reprocess: dynamic partition overwrite — only partitions present
+    in df are replaced."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
