@@ -39,6 +39,9 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_sessionization",
     "doc_token_stats",
+    "media_metadata",
+    "media_frame_sample",
+    "streaming_hourly_rollup",
 ]
 
 
