@@ -200,3 +200,119 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) t
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 30 min slide): every event
+    lands in exactly 2 windows. Spark's window() generates the assignment
+    scan-side (no join); the oracle reconstructs it as an explicit
+    ×2 unnest since both engines align buckets to the epoch. Scale: the
+    fan-out factor (len/slide) is explicit, so shuffle volume is
+    2× events — plannable, and partial aggregation halves it map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_daily_rollup_totals",
+    oracle="""
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+    ORDER BY day, event_type
+    """,
+)
+def events_daily_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (day, event_type) → per-type, per-day, and grand
+    totals in ONE pass — Spark expands grouping sets inside the same
+    partial+final hash aggregate, so the three levels cost one shuffle,
+    not three scans. Subtotal keys surface as NULL and are coalesced to
+    'ALL' identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.coalesce("d", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "events_asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 50) p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator the reference lacks and Spark has no
+    primitive for): each purchase matched to the user's most recent
+    click at-or-before it. Implemented as the union-and-running-last
+    pattern — tag both streams, one shuffle on user_id, ordered window
+    carrying the last click timestamp forward; at any scale this is one
+    shuffle + sort, never a range cross-join. Tie rule (click at the
+    exact purchase ts matches) is encoded in the (ts, kind) sort order."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ets"), F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ets"), F.lit(1).alias("kind"),
+        F.col("event_id").alias("pid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "click_ets",
+        F.last(F.when(F.col("kind") == 0, F.col("ets")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter(F.col("kind") == 1)
+        .select(
+            F.col("pid").alias("event_id"),
+            "user_id",
+            F.date_format("ets", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("click_ets", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            (F.unix_micros("ets") - F.unix_micros("click_ets")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
