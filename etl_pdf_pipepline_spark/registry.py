@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
     from .operators import textstats  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import events_queries  # noqa: F401
+    from .operators import approx  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .streaming import events as streaming_events  # noqa: F401
     from .retrieval import queries as retrieval_queries  # noqa: F401
