@@ -162,3 +162,85 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("val") / F.count("*"), 6).alias("centroid_val"))
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "ivf_probe_topk",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id < 4),
+    q AS (SELECT v AS qv FROM d WHERE vec_id = 4),
+    qprobe AS (
+        SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   round({cosqc}, 4) AS s,
+                   row_number() OVER (ORDER BY round({cosqc}, 4) DESC, c.centroid_id) AS rn
+            FROM c CROSS JOIN q
+        ) WHERE rn <= 2
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT d.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY round({cosdc}, 4) DESC, c.centroid_id) AS rn
+            FROM d CROSS JOIN c WHERE d.vec_id > 4
+        ) WHERE rn = 1
+    )
+    SELECT d.vec_id, round({cosdq}, 4) AS score
+    FROM d
+    JOIN assign ON d.vec_id = assign.vec_id
+    CROSS JOIN q
+    WHERE assign.centroid_id IN (SELECT centroid_id FROM qprobe)
+    ORDER BY score DESC, d.vec_id
+    LIMIT 10
+    """.format(
+        cosqc=_COS_ORACLE_EXPR.format(a="c.cv", b="q.qv"),
+        cosdc=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv"),
+        cosdq=_COS_ORACLE_EXPR.format(a="d.v", b="q.qv"),
+    ),
+)
+def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF-ANN search path: rank centroids against the query,
+    probe only the nprobe=2 nearest cells, exact-score just those
+    candidates. With the table partitioned by centroid_id the probe is
+    partition pruning — the scan touches nprobe/nlist of the data instead
+    of all of it, which is the entire point of IVF at 100 TB. (Recall is
+    approximate by design: candidates outside probed cells are unseen.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", as_double("embedding").alias("v"))
+    c = d.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    q = d.filter(F.col("vec_id") == 4).select(F.col("v").alias("qv"))
+
+    # nprobe=2 nearest centroids to the query (|centroids| rows — driver-ok)
+    qc_w = Window.orderBy(F.desc("s"), F.asc("centroid_id"))
+    qprobe = (
+        c.crossJoin(F.broadcast(q))
+        .select("centroid_id", F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("s"))
+        .withColumn("rn", F.row_number().over(qc_w))
+        .filter(F.col("rn") <= 2)
+        .select("centroid_id")
+    )
+
+    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("centroid_id"))
+    assign = (
+        d.filter(F.col("vec_id") > 4)
+        .crossJoin(F.broadcast(c))
+        .select("vec_id", "centroid_id", F.round(cosine(F.col("v"), F.col("cv")), 4).alias("s"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+    candidates = assign.join(F.broadcast(qprobe), "centroid_id", "left_semi")
+    return (
+        d.join(candidates, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
