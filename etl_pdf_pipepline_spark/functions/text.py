@@ -77,9 +77,11 @@ def words_per_page(text: Column, page_count: Column) -> Column:
 
 
 def avg_word_length(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total / F.greatest(F.size(toks), F.lit(1))
+    # Σ token lengths == length of the text with all whitespace removed
+    # (tokens are exactly the non-whitespace runs), which keeps the whole
+    # expression in codegen instead of an interpreted F.aggregate fold.
+    total = F.length(F.regexp_replace(text, r"\s+", ""))
+    return total / F.greatest(F.size(tokens(text)), F.lit(1))
 
 
 def whitespace_ratio(text: Column) -> Column:

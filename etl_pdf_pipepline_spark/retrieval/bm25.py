@@ -109,3 +109,65 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_key"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted index — the build-once-query-many contract at cluster scale.
+# --------------------------------------------------------------------------
+
+
+def persist_index(docs: DataFrame, id_col: str, text_col: str, path: str, n_buckets: int = 16) -> None:
+    """Materialize the postings + doc-stats pair as parquet, postings
+    hash-partitioned by term (repartition(n_buckets, term) + sorted
+    within partitions). A query's term lookup then touches only the
+    partitions its terms hash to, and the per-term posting rows arrive
+    contiguously — the explicit-files analogue of a bucketed Delta/Hive
+    table (bucketBy needs a metastore; the plan shape is identical).
+    Rebuild cadence mirrors the reference: once per ingest batch
+    (/root/reference/src/pipeline.py:164-165)."""
+    postings = build_postings(docs, id_col, text_col)
+    (
+        postings.repartition(n_buckets, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    build_doc_stats(postings).write.mode("overwrite").parquet(f"{path}/doc_stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Query a persisted index: no tokenization, no corpus scan — read the
+    posting lists of the query terms (term-dictionary filter pushed to
+    parquet), join doc stats, score, top-k."""
+    postings = spark.read.parquet(f"{path}/postings")
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    corpus = doc_stats.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
+
+    qterms = spark.createDataFrame([(t,) for t in set(query_terms)], ["term"])
+    matched = postings.join(F.broadcast(qterms), "term")
+    df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        matched.join(F.broadcast(df_counts), "term")
+        .join(doc_stats, "doc_key")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "term_score",
+            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_key")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return (
+        scored.select("doc_key", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_key"))
+        .limit(k)
+    )

@@ -51,3 +51,13 @@ def test_topk_order_and_limit(spark, docs):
 
 def test_absent_term_empty(spark, docs):
     assert bm25_scores(docs, "doc_id", "text", ["zzz"]).count() == 0
+
+
+def test_persisted_index_matches_in_memory(spark, docs, tmp_path):
+    from etl_pdf_pipepline_spark.retrieval.bm25 import bm25_topk_from_index, persist_index
+
+    path = str(tmp_path / "idx")
+    persist_index(docs, "doc_id", "text", path, n_buckets=2)
+    live = bm25_topk(docs, "doc_id", "text", ["spark", "sql"], k=10).collect()
+    from_idx = bm25_topk_from_index(spark, path, ["spark", "sql"], k=10).collect()
+    assert [(r.doc_key, r.score) for r in live] == [(r.doc_key, r.score) for r in from_idx]
