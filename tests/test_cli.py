@@ -1,0 +1,43 @@
+"""CLI verbs over the engine (reference scripts/run_pipeline.py parity)."""
+
+from __future__ import annotations
+
+import json
+
+from etl_pdf_pipepline_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(capsys, *argv):
+    rc = main(["--sf-dir", SF, *argv])
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, [json.loads(line) for line in out if line.startswith("{")]
+
+
+def test_search_keyword(spark, capsys):
+    rc, rows = run(capsys, "search", "spark table", "--mode", "keyword", "-k", "3")
+    assert rc == 0 and len(rows) == 3
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_hybrid(spark, capsys):
+    rc, rows = run(capsys, "search", "spark joins", "-k", "5")
+    assert rc == 0 and len(rows) == 5
+
+
+def test_stats_and_list(spark, capsys):
+    rc, rows = run(capsys, "stats")
+    assert rc == 0 and {r["source"] for r in rows}
+    rc, rows = run(capsys, "list", "--limit", "7")
+    assert rc == 0 and len(rows) == 7
+
+
+def test_query_verb_unknown(spark, capsys):
+    assert main(["--sf-dir", SF, "query", "nope_not_real"]) == 2
+
+
+def test_query_verb_runs_registered(spark, capsys):
+    rc, rows = run(capsys, "query", "orders_status_counts")
+    assert rc == 0 and len(rows) >= 1
