@@ -11,8 +11,12 @@ in double → identical left-to-right sums).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def as_double(vec: Column | str) -> Column:
@@ -37,3 +41,26 @@ def cosine(a: Column, b: Column) -> Column:
 def query_vector_lit(vec: list[float]) -> Column:
     """A literal query vector as an array<double> column."""
     return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk_pandas(df, vec_col: str, query_vec: list[float], k: int, id_col: str = "vec_id"):
+    """Vectorized scorer — the scale path for wide embeddings.
+
+    zip_with/aggregate HOFs are interpreted per element (fine at dim 64 /
+    small corpora); for dim ≥ 512 at corpus scale, one Arrow batch into
+    numpy turns the whole partition's scoring into a single BLAS matmul.
+    Same scores as `cosine` (double accumulation), same top-k contract."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf(DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(sims)
+
+    return (
+        df.select(id_col, F.round(score(F.col(vec_col)), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

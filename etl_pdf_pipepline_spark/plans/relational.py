@@ -530,3 +530,42 @@ def priority_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("priority")).distinct()
     huge = o.filter(F.col("o_totalprice") > 500000).select(F.col("o_orderpriority").alias("priority")).distinct()
     return big.intersect(open_).exceptAll(huge).orderBy("priority")
+
+
+@query(
+    "customer_balance_quartiles",
+    oracle="""
+    WITH t AS (
+        SELECT c_mktsegment,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile,
+               c_acctbal
+        FROM customer
+    )
+    SELECT c_mktsegment, quartile, count(*) AS n,
+           round(CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / count(*), 2) AS avg_bal
+    FROM t GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking (the one ranking family O1–O5 didn't cover): balance
+    quartiles per market segment. The window partitions by segment, so the
+    sort is per-segment, parallel — never a single-partition global sort.
+    Total order inside the window ((acctbal, custkey)) keeps ntile
+    boundaries identical across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    t = cust.select(
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        _cents("c_acctbal").alias("bal_c"),
+    )
+    return (
+        t.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("bal_c").cast("double") / 100 / F.count("*"), 2).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
