@@ -88,8 +88,11 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINH
       times in interpreted mode — measured 20× slower at sf0.1.
     - each 128-bit digest funds FOUR 32-bit components, so k=8 costs 2 md5
       calls per shingle instead of 8; the digests are projected before the
-      agg so they are computed exactly once per shingle row. Lexicographic
-      min on fixed-width hex equals numeric min on the 32-bit values."""
+      agg so they are computed exactly once per shingle row.
+    - components are BIGINTs (hex slice → int), not hex strings: min(long)
+      keeps the aggregate a HashAggregate — min(string) falls back to
+      SortAggregate, which inserts two extra full sorts of the shingle
+      stream (visible in tools/audit_plans.py), and shuffles 4× the bytes."""
     assert k % 4 == 0, "k must be a multiple of 4 (4 components per digest)"
     sh = shingle_rows(df, id_col, text_col)
     digests = sh.select(
@@ -103,7 +106,11 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINH
         digests.groupBy("__id")
         .agg(
             *[
-                F.min(F.substring(F.col(f"__d{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
+                F.min(
+                    F.conv(
+                        F.substring(F.col(f"__d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
+                    ).cast("bigint")
+                ).alias(f"mh{i}")
                 for i in range(k)
             ]
         )
@@ -150,7 +157,7 @@ _MINHASH_ORACLE = """
     FROM sh ORDER BY doc_id
 """.format(
     cols=",\n           ".join(
-        f"list_min(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8))) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8) AS BIGINT))) AS mh{i}"
         for i in range(N_MINHASH)
     )
 )
@@ -195,11 +202,11 @@ _LSH_ORACLE = """
     ORDER BY doc_a, doc_b
 """.format(
     sig_cols=", ".join(
-        f"list_min(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8))) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8) AS BIGINT))) AS mh{i}"
         for i in range(N_MINHASH)
     ),
     band_union="\n        UNION ALL\n        ".join(
-        f"SELECT doc_id, {bi} AS band_id, md5(mh{a} || mh{b}) AS band_key FROM sig"
+        f"SELECT doc_id, {bi} AS band_id, md5(CAST(mh{a} AS VARCHAR) || ':' || CAST(mh{b} AS VARCHAR)) AS band_key FROM sig"
         for bi, (a, b) in enumerate(_LSH_BANDS)
     ),
 )
@@ -218,7 +225,7 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         band = sig.select(
             "doc_id",
             F.lit(bi).alias("band_id"),
-            F.md5(F.concat(F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
+            F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
         )
         bands = band if bands is None else bands.unionAll(band)
     a_side = bands.alias("a")
