@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (~0.2s per table per query — pure fixed overhead)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Pin the session timezone even when the caller supplied its own
+    # SparkSession (the driver's correctness gate does): the test tables
+    # hold naive timestamps, and every date_format/date_trunc rendering
+    # must agree with the (timezone-naive) DuckDB oracle.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
     if cached is not None:

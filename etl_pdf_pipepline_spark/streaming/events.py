@@ -44,6 +44,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) column rides in as int64 and is rebuilt to
     microseconds exactly as the batch catalog does."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same session hardening as sources/catalog.load_table: the driver may
+    # hand us a non-UTC session, and window renderings must match the
+    # timezone-naive oracle.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return (
         spark.readStream.schema(raw_schema)
