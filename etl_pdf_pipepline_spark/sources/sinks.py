@@ -51,3 +51,19 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def compact(spark, path: str, target_partitions: int) -> None:
+    """Small-files compaction: rewrite a table directory into
+    `target_partitions` files. Long-running ingest (especially streaming
+    micro-batches) accretes small files that poison scan parallelism and
+    NameNode/listing cost; periodic coalesce-rewrite is the standard
+    lake-maintenance pass. Uses repartition (full shuffle) rather than
+    coalesce so output files are size-balanced, not input-lineage-skewed."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

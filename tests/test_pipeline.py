@@ -97,3 +97,18 @@ def test_sink_mutations(spark):
     merged = upsert(table, updates, "k")
     got = {r.k: r.val for r in merged.collect()}
     assert got[3] == "NEW" and got[5] == "v5" and len(got) == 10
+
+
+def test_compact_rewrites_to_target_files(spark, tmp_path):
+    from etl_pdf_pipepline_spark.sources.sinks import compact
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    df.repartition(16).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*")) == 16
+    compact(spark, path, 2)
+    assert len(glob.glob(f"{path}/part-*")) == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 1000 and sorted(back.columns) == ["k"]
