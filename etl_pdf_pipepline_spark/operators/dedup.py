@@ -308,17 +308,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS term
         FROM documents
     ),
-    bits AS (
-        SELECT t.doc_id, p.pos,
-               sum(CASE WHEN substr(md5(t.term), p.pos, 1) IN ('8','9','a','b','c','d','e','f')
-                        THEN 1 ELSE -1 END) AS s
-        FROM terms t CROSS JOIN (SELECT unnest(range(1, 17)) AS pos) p
-        GROUP BY t.doc_id, p.pos
+    ints AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS b1,
+               CAST('0x' || substr(md5(term), 9, 8) AS BIGINT) AS b2
+        FROM terms
+    ),
+    sums AS (
+        SELECT doc_id,
+               {s_cols}
+        FROM ints GROUP BY doc_id
     )
-    SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (16 - pos) ELSE 0 END) AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
-    """,
+    SELECT doc_id, {simhash_expr} AS simhash
+    FROM sums ORDER BY doc_id
+    """.format(
+        s_cols=",\n               ".join(
+            "sum(2 * (({col} >> {shift}) & 1) - 1) AS s{pos}".format(
+                col="b1" if pos <= 8 else "b2",
+                shift=((8 - pos) if pos <= 8 else (16 - pos)) * 4 + 3,
+                pos=pos,
+            )
+            for pos in range(1, 17)
+        ),
+        simhash_expr=" + ".join(
+            f"(CASE WHEN s{pos} > 0 THEN CAST(1 AS BIGINT) << (16 - {pos}) ELSE 0 END)"
+            for pos in range(1, 17)
+        ),
+    ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: per-bit sign aggregation over distinct
@@ -326,19 +342,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (doc×bit agg, then doc agg); near-duplicate candidates are
     rows whose fingerprints differ in ≤ h bits."""
     docs = load_table(spark, sf_dir, "documents")
-    high = ("8", "9", "a", "b", "c", "d", "e", "f")
     hashed = docs.select(
         "doc_id", F.explode(distinct_tokens("text")).alias("term")
     ).select("doc_id", F.md5("term").alias("h"))
-    # md5 once per (doc, term); all 16 bit-sums in ONE hash-agg pass (the
-    # position cross-join variant shuffles 16× the rows for the same answer).
-    sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.substring("h", pos, 1).isin(*high), 1).otherwise(-1)
-            ).alias(f"s{pos}")
-            for pos in range(1, 17)
-        ]
+    # md5 once per (doc, term); the first 16 hex digits become two 32-bit
+    # ints so each bit-sign test is an integer shift+mask (codegen) instead
+    # of a substring+IN over hex characters; all 16 bit-sums still run in
+    # ONE hash-agg pass (the position cross-join variant shuffles 16× the
+    # rows for the same answer).
+    ints = hashed.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("b1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b2"),
+    )
+
+    def bit_sign(pos: int):
+        col = "b1" if pos <= 8 else "b2"
+        shift = ((8 - pos) if pos <= 8 else (16 - pos)) * 4 + 3
+        return F.sum(F.shiftright(F.col(col), shift).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    sums = ints.groupBy("doc_id").agg(
+        *[bit_sign(pos).alias(f"s{pos}") for pos in range(1, 17)]
     )
     simhash = None
     for pos in range(1, 17):

@@ -183,3 +183,23 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(staged, "update").orderBy("user_id")
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicates on the event key keeps a
+    state-store entry per key and emits each event exactly once, however
+    often the source re-delivers it — the at-least-once → exactly-once
+    bridge for streaming ingest. State is O(distinct keys); in production
+    dropDuplicatesWithinWatermark bounds it by event time. Counts per
+    type after dedup equal the batch DISTINCT counts."""
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_available_now(agg, "complete").orderBy("event_type")

@@ -30,3 +30,47 @@ def test_streaming_sessionization_matches_batch_aggregate(spark):
         .collect()
     }
     assert stream == agg
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    qs = all_queries()
+    stream = {r.event_type: r.n_unique for r in
+              qs["streaming_dedup_counts"](spark, SF).collect()}
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+    batch = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_foreachbatch_ingest_exactly_once(spark, tmp_path):
+    """Checkpointed availableNow ingest: run the same stream twice; the
+    second run must add nothing (source offsets are committed in the
+    checkpoint) — the idiomatic form of the reference's hash-based
+    incremental skip (SURVEY §2.11)."""
+    from etl_pdf_pipepline_spark.streaming.events import stream_events
+
+    out = str(tmp_path / "ingested")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            stream_events(spark, SF)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 1000  # sf0.001 events rows; second run is a no-op
