@@ -300,10 +300,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle="""
-    WITH terms AS (
+# Shared simhash CTEs (through `sig(doc_id, simhash)`), reused by the
+# signature query and the near-dup pair query.
+_SIMHASH_CTES = """
+    terms AS (
         SELECT doc_id, unnest(list_distinct(
             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS term
         FROM documents
@@ -318,32 +318,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                {s_cols}
         FROM ints GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, {simhash_expr} AS simhash FROM sums
     )
-    SELECT doc_id, {simhash_expr} AS simhash
-    FROM sums ORDER BY doc_id
-    """.format(
-        s_cols=",\n               ".join(
-            "sum(2 * (({col} >> {shift}) & 1) - 1) AS s{pos}".format(
-                col="b1" if pos <= 8 else "b2",
-                shift=((8 - pos) if pos <= 8 else (16 - pos)) * 4 + 3,
-                pos=pos,
-            )
-            for pos in range(1, 17)
-        ),
-        simhash_expr=" + ".join(
-            f"(CASE WHEN s{pos} > 0 THEN CAST(1 AS BIGINT) << (16 - {pos}) ELSE 0 END)"
-            for pos in range(1, 17)
-        ),
+""".format(
+    s_cols=",\n               ".join(
+        "sum(2 * (({col} >> {shift}) & 1) - 1) AS s{pos}".format(
+            col="b1" if pos <= 8 else "b2",
+            shift=((8 - pos) if pos <= 8 else (16 - pos)) * 4 + 3,
+            pos=pos,
+        )
+        for pos in range(1, 17)
+    ),
+    simhash_expr=" + ".join(
+        f"(CASE WHEN s{pos} > 0 THEN CAST(1 AS BIGINT) << (16 - {pos}) ELSE 0 END)"
+        for pos in range(1, 17)
     ),
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: per-bit sign aggregation over distinct
-    tokens (bit b of md5(term) = high bit of hex nibble b). Two narrow
-    shuffles (doc×bit agg, then doc agg); near-duplicate candidates are
-    rows whose fingerprints differ in ≤ h bits."""
-    docs = load_table(spark, sf_dir, "documents")
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — the shared signature computation."""
     hashed = docs.select(
-        "doc_id", F.explode(distinct_tokens("text")).alias("term")
+        F.col(id_col).alias("doc_id"), F.explode(distinct_tokens(text_col)).alias("term")
     ).select("doc_id", F.md5("term").alias("h"))
     # md5 once per (doc, term); the first 16 hex digits become two 32-bit
     # ints so each bit-sign test is an integer shift+mask (codegen) instead
@@ -370,4 +368,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         simhash = bit if simhash is None else simhash + bit
-    return sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: per-bit sign aggregation over distinct
+    tokens (bit b of md5(term) = high bit of hex nibble b). Two narrow
+    shuffles (doc×bit agg, then doc agg); near-duplicate candidates are
+    rows whose fingerprints differ in ≤ h bits (dedup_simhash_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+        SELECT doc_id, 0 AS band_id, simhash >> 8 AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id, simhash & 255 AS band_key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 1 via 2-band pigeonhole: split
+    the 16-bit fingerprint into two 8-bit halves; any pair within hamming
+    1 agrees exactly on at least one half, so only same-half-bucket pairs
+    are ever compared — the O(n²)→O(n) cut, same shape as MinHash-LSH but
+    on fingerprint halves. Verification is an integer popcount on the
+    candidate set only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs).cache()
+    bands = (
+        sig.select("doc_id", F.lit(0).alias("band_id"), F.shiftright("simhash", 8).alias("band_key"))
+        .unionAll(
+            sig.select(
+                "doc_id", F.lit(1).alias("band_id"),
+                F.col("simhash").bitwiseAND(F.lit(255)).alias("band_key"),
+            )
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -112,3 +112,22 @@ def test_compact_rewrites_to_target_files(spark, tmp_path):
     assert len(glob.glob(f"{path}/part-*")) == 2
     back = spark.read.parquet(path)
     assert back.count() == 1000 and sorted(back.columns) == ["k"]
+
+
+def test_read_markdown_checkpoints(spark, tmp_path):
+    from etl_pdf_pipepline_spark.sources.extract import read_markdown_checkpoints
+
+    d = tmp_path / "md"
+    d.mkdir()
+    (d / "doc1.md").write_text(
+        "---\ndocument_id: abc-123\ntitle: My Doc\npage_count: 4\n---\n# Body\ncontent here\n"
+    )
+    (d / "doc2.md").write_text("no frontmatter, just text\n")
+    rows = {r.path.split("/")[-1]: r for r in read_markdown_checkpoints(spark, str(d)).collect()}
+    r1 = rows["doc1.md"]
+    assert r1.frontmatter["document_id"] == "abc-123"
+    assert r1.frontmatter["title"] == "My Doc"
+    assert r1.frontmatter["page_count"] == "4"
+    assert r1.markdown.startswith("# Body")
+    r2 = rows["doc2.md"]
+    assert r2.markdown.startswith("no frontmatter")
