@@ -67,11 +67,16 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         cold[name] = round(time.time() - t0, 3)
 
+    # Timed phase: min of 2 repetitions per query (timeit convention) —
+    # shared-machine noise and JVM GC make single-shot numbers swing ±50%.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        per_query[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     print(
