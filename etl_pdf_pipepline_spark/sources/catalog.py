@@ -52,7 +52,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
-    if cached is not None:
+    # Guard against id() reuse after a session is stopped and collected:
+    # only serve a cached scan built by THIS live session object.
+    if cached is not None and cached.sparkSession is spark:
         return cached
     df = _read_table(spark, sf_dir, name)
     _DF_CACHE[key] = df
