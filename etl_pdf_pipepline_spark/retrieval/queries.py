@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count_estimate
 from ..functions.vectors import as_double, cosine
 from ..registry import query
 from ..sources.catalog import load_table

@@ -36,6 +36,7 @@ from ..registry import query
 SESSION_GAP_MS = 30 * 60 * 1000
 
 _SINK_COUNTER = itertools.count()
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +50,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timezone-naive oracle.
     if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    key = (id(spark), sf_dir)
+    raw_schema = _SCHEMA_CACHE.get(key)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _SCHEMA_CACHE[key] = raw_schema
     return (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
