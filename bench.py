@@ -69,6 +69,9 @@ def main() -> None:
 
     # Timed phase: min of 2 repetitions per query (timeit convention) —
     # shared-machine noise and JVM GC make single-shot numbers swing ±50%.
+    # Each repetition REBUILDS the DataFrame: re-collecting a prepared one
+    # would let the DAG scheduler skip already-computed shuffle map stages
+    # (measured 5× "speedup" that is really result reuse, not execution).
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
