@@ -569,3 +569,73 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (the
+    driver's synthetic lineitem has no commit/receipt dates, so the
+    existence predicate is 'has a returned item'). The correlated
+    subquery never executes per-row — one semi-join of orders against
+    the pre-filtered lineitems, scanning only 2 lineitem columns."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey,
+               0.2 * (CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / count(*)) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar subquery (per-part average
+    quantity) decorrelated into a pre-aggregated join side. The per-part
+    averages table is |parts|-sized → broadcast; lineitem is touched
+    exactly twice (once to aggregate, once to filter), never per-row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum(_cents("l_quantity")).cast("double") / 100 / F.count("*"))).alias("threshold")
+    )
+    filtered = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+    )
+    return filtered.agg(
+        F.round(F.sum(_cents("l_extendedprice")).cast("double") / 100 / 7.0, 2).alias("avg_yearly")
+    )
