@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .registry import all_queries
 from .retrieval.bm25 import bm25_scores
-from .retrieval.hybrid import SearchMode, rank_by_score, route_topic, rrf_fuse
+from .retrieval.hybrid import SearchMode, rank_top, route_topic, rrf_fuse
 from .retrieval.embedder import embed_query
 from .session import get_spark
 from .sources.catalog import DEFAULT_SF_DIR, load_table
@@ -76,8 +76,8 @@ def cmd_search(args) -> int:
                 .limit(args.k)
             )
         else:  # hybrid
-            kw_rank = rank_by_score(kw, "doc_key").filter(F.col("rank") <= 2 * args.k)
-            vec_rank = rank_by_score(vec, "doc_key").filter(F.col("rank") <= 2 * args.k)
+            kw_rank = rank_top(kw, 2 * args.k, "doc_key")
+            vec_rank = rank_top(vec, 2 * args.k, "doc_key")
             result = rrf_fuse(kw_rank, vec_rank, "doc_key", k=args.k).withColumnRenamed(
                 "doc_key", "doc_id"
             )

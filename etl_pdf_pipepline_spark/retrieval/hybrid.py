@@ -59,9 +59,25 @@ KNOWN_TOPICS = (
 def rank_by_score(scored: DataFrame, id_col: str = "doc_key") -> DataFrame:
     """Dense total-order ranking: rounded score desc, id asc. Rounding
     first turns near-ties (1-ulp cross-engine drift) into exact ties broken
-    deterministically by id."""
+    deterministically by id.
+
+    The single-partition window here ranks the WHOLE scored set — use
+    only when that set is already small; for top-k consumers use
+    `rank_top`, which bounds the window to k rows."""
     w = Window.orderBy(F.desc(F.round("score", 4)), F.asc(id_col))
     return scored.select(id_col, F.row_number().over(w).alias("rank"))
+
+
+def rank_top(scored: DataFrame, k: int, id_col: str = "doc_key") -> DataFrame:
+    """Top-k ranking that scales: TakeOrderedAndProject reduces the set to
+    k rows FIRST (parallel per-partition top-k + merge, never a global
+    sort), then the row_number window runs over just those k. Identical
+    output to `rank_by_score(...).filter(rank <= k)` because the ordering
+    (rounded score desc, id asc) is total."""
+    order = [F.desc(F.round("score", 4)), F.asc(id_col)]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.select(id_col, "score", F.row_number().over(w).alias("rank")).drop("score")
 
 
 def rrf_fuse(

@@ -15,7 +15,7 @@ from ..functions.vectors import as_double, cosine
 from ..registry import query
 from ..sources.catalog import load_table
 from .bm25 import bm25_scores, bm25_topk
-from .hybrid import context_budget_cut, rank_by_score, route_topic, rrf_fuse
+from .hybrid import context_budget_cut, rank_top, route_topic, rrf_fuse
 
 QUERY_TERMS = ["spark", "join", "fast", "table"]
 _QTERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
@@ -157,7 +157,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
-    kw_rank = rank_by_score(kw, "doc_key").filter(F.col("rank") <= 20)
+    kw_rank = rank_top(kw, 20, "doc_key")
 
     qdf = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     vec_scored = (
@@ -167,7 +167,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
         )
     )
-    vec_rank = rank_by_score(vec_scored, "doc_key").filter(F.col("rank") <= 20)
+    vec_rank = rank_top(vec_scored, 20, "doc_key")
 
     return rrf_fuse(kw_rank, vec_rank, "doc_key", k=10).withColumnRenamed("doc_key", "doc_id")
 
@@ -200,10 +200,7 @@ def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     20, greedy running token-budget cut at 400 tokens (A7 window), keeping
     source attribution for the [Source: title] blocks."""
     docs = load_table(spark, sf_dir, "documents")
-    topk = (
-        rank_by_score(bm25_scores(docs, "doc_id", "text", QUERY_TERMS), "doc_key")
-        .filter(F.col("rank") <= 20)
-    )
+    topk = rank_top(bm25_scores(docs, "doc_id", "text", QUERY_TERMS), 20, "doc_key")
     enriched = topk.join(
         docs.select(F.col("doc_id").alias("doc_key"), "source", "text"), "doc_key"
     )
@@ -229,10 +226,7 @@ def context_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference A9: distinct source documents among assembled context
     (/root/reference/src/retrieve/hybrid_retriever.py:188-205)."""
     docs = load_table(spark, sf_dir, "documents")
-    topk = (
-        rank_by_score(bm25_scores(docs, "doc_id", "text", QUERY_TERMS), "doc_key")
-        .filter(F.col("rank") <= 20)
-    )
+    topk = rank_top(bm25_scores(docs, "doc_id", "text", QUERY_TERMS), 20, "doc_key")
     return (
         topk.join(docs.select(F.col("doc_id").alias("doc_key"), "source"), "doc_key")
         .select("source")
