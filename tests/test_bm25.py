@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from etl_pdf_pipepline_spark.retrieval.bm25 import B, K1, bm25_scores, bm25_topk
 
@@ -61,3 +63,31 @@ def test_persisted_index_matches_in_memory(spark, docs, tmp_path):
     live = bm25_topk(docs, "doc_id", "text", ["spark", "sql"], k=10).collect()
     from_idx = bm25_topk_from_index(spark, path, ["spark", "sql"], k=10).collect()
     assert [(r.doc_key, r.score) for r in live] == [(r.doc_key, r.score) for r in from_idx]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_property_bm25_invariants(texts, k):
+    """For arbitrary corpora: limit honored; scores positive; only docs
+    containing a query term are scored."""
+    from etl_pdf_pipepline_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(docs, "doc_id", "text", ["a", "ab"], k=k).collect()
+    assert len(out) <= k
+    matching = {
+        i for i, t in rows
+        if {"a", "ab"} & set(t.lower().split())
+    }
+    for r in out:
+        assert r.score > 0
+        assert r.doc_key in matching
