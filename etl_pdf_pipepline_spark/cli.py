@@ -62,9 +62,13 @@ def cmd_search(args) -> int:
         )
     else:
         from .functions.vectors import as_double, cosine, query_vector_lit
+        from .retrieval.embedder import HashEmbedder
 
         emb = load_table(spark, args.sf_dir, "embeddings")
-        qv = query_vector_lit(embed_query(args.query))
+        # Embed the query at the CORPUS dimension — a mismatched query
+        # vector zip_withs to nulls and every cosine score becomes NULL.
+        corpus_dim = len(emb.select("embedding").first()[0])
+        qv = query_vector_lit(embed_query(args.query, HashEmbedder(dim=corpus_dim)))
         vec = emb.select(
             F.col("vec_id").alias("doc_key"),
             F.round(cosine(as_double("embedding"), qv), 4).alias("score"),

@@ -182,12 +182,21 @@ def _chunk_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: chunk_text(t if isinstance(t, str) else ""))
 
 
-def chunk_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """documents → chunks: 1→N explode of the chunker UDF output."""
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, carry: list[str] | None = None
+) -> DataFrame:
+    """documents → chunks: 1→N explode of the chunker UDF output. `carry`
+    columns replicate onto every chunk of their document (the reference's
+    title denormalization, J6) without a join back onto the source."""
+    carry = carry or []
     return (
-        df.select(F.col(id_col).alias("document_id"), _chunk_udf(F.col(text_col)).alias("chunks"))
-        .select("document_id", F.explode("chunks").alias("c"))
-        .select("document_id", "c.*")
+        df.select(
+            F.col(id_col).alias("document_id"),
+            *carry,
+            _chunk_udf(F.col(text_col)).alias("chunks"),
+        )
+        .select("document_id", *carry, F.explode("chunks").alias("c"))
+        .select("document_id", *carry, "c.*")
     )
 
 

@@ -18,9 +18,7 @@ from ..registry import query
 from ..sources.catalog import load_table
 
 
-def _cents(c) -> F.Column:
-    """Exact integer cents (see plans/relational.py module docstring)."""
-    return F.round(F.col(c) * 100, 0).cast("bigint")
+from ..functions.money import cents as _cents  # shared exact-cents convention
 
 
 @query(
@@ -337,9 +335,14 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     want at scale, where an open-ended pivot is a schema landmine. The
     oracle expresses the same thing as FILTERed counts."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
         ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .pivot("event_type", types)
         .count()
-        .orderBy("day")
     )
+    # pivot emits NULL for absent (day, type) combos; the oracle's FILTERed
+    # count emits 0 — coalesce so a day missing one type still hash-matches.
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("day")

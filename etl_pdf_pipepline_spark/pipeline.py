@@ -24,16 +24,19 @@ from .sources.extract import extract_markdown, scan_pdf_dir, with_validation
 def extract_pdf(spark: SparkSession, directory: str) -> DataFrame:
     """Reference `extract_pdf` (src/__init__.py:68-131), directory-shaped:
     scan → validate → parse valid files → (path, markdown, page_count,
-    method, error) + identity metadata (title F10, file_hash F11)."""
+    method, error) + identity metadata (title F10, file_hash F11).
+
+    Metadata is computed scan-side in the SAME projection that feeds the
+    parse UDF and carried through it — one binaryFile read, one parse per
+    document, no self-join of the scan lineage."""
     files = with_validation(scan_pdf_dir(spark, directory))
-    valid = files.filter(F.col("validation_result") == "valid")
-    extracted = extract_markdown(valid)
-    meta = valid.select(
-        "path",
-        file_hash("content").alias("file_hash"),
-        title_from_filename(F.element_at(F.split("path", "/"), -1)).alias("title"),
+    valid = files.filter(F.col("validation_result") == "valid").withColumns(
+        {
+            "file_hash": file_hash("content"),
+            "title": title_from_filename(F.element_at(F.split("path", "/"), -1)),
+        }
     )
-    return extracted.join(meta, "path")
+    return extract_markdown(valid, carry=["file_hash", "title"])
 
 
 def chunk_text(text: str, size: int = 512, overlap: int = 50) -> list[dict]:
@@ -58,11 +61,8 @@ def process_pdf(spark: SparkSession, directory: str, embedder: Embedder | None =
     → embed, returning embedded chunk rows for custom storage. One lazy
     lineage — nothing materializes until the caller acts on it."""
     extracted = extract_pdf(spark, directory)
-    docs = extracted.filter(F.col("error").isNull()).select(
-        "path", "title", "file_hash", F.col("markdown")
-    )
-    chunks = chunk_documents(docs, "path", "markdown").withColumnRenamed(
-        "document_id", "path"
-    )
-    enriched = chunks.join(docs.select("path", "title", "file_hash"), "path")
-    return embed_chunks(enriched, "text", embedder)
+    docs = extracted.filter(F.col("error").isNull())
+    chunks = chunk_documents(
+        docs, "path", "markdown", carry=["title", "file_hash"]
+    ).withColumnRenamed("document_id", "path")
+    return embed_chunks(chunks, "text", embedder)

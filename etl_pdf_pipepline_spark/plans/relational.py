@@ -29,10 +29,7 @@ from ..registry import query
 from ..sources.catalog import load_table
 
 
-def _cents(c, scale: int = 100) -> F.Column:
-    """Exact integer representation of a fixed-point double column."""
-    col = F.col(c) if isinstance(c, str) else c
-    return F.round(col * scale, 0).cast("bigint")
+from ..functions.money import cents as _cents  # shared exact-cents convention
 
 
 # --------------------------------------------------------------------------

@@ -56,7 +56,6 @@ def bm25_scores(
     first join, so the scored set is the posting lists of the query terms —
     the same work a posting-list index union would do.
     """
-    spark = docs.sparkSession
     # The postings/doc-stats pair IS the FTS index (reference S12,
     # /root/reference/src/load/lancedb_store.py:104-112). Within a session
     # we .cache() both: Spark's cache manager matches canonicalized plans,
@@ -64,20 +63,39 @@ def bm25_scores(
     # context) reuses one materialization instead of re-tokenizing — the
     # same build-once-query-many contract as the reference's index. At
     # cluster scale the same DataFrames are persisted as a bucketed-by-term
-    # parquet/Delta table instead of executor memory.
+    # parquet/Delta table instead of executor memory (persist_index below).
     postings = build_postings(docs, id_col, text_col).cache()
     doc_stats = build_doc_stats(postings).cache()
+    return _score_postings(postings, doc_stats, query_terms, k1, b)
+
+
+def _score_postings(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query_terms: list[str],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """The one copy of the Lucene-style scoring plan, shared by the live
+    (cached) and persisted-index paths: broadcast the query-term list,
+    join df-counts/doc-stats/corpus scalars, sum per-doc term scores."""
+    spark = postings.sparkSession
+    if not query_terms:
+        # Empty query scores nothing (createDataFrame([]) cannot infer a
+        # schema, and zero terms genuinely means an empty posting union).
+        return (
+            doc_stats.select(F.col("doc_key"), F.lit(0.0).alias("score")).limit(0)
+        )
     # N = docs with ≥1 token (= |doc_stats|): one single-row aggregate
     # serves both corpus scalars, broadcast everywhere.
     corpus = doc_stats.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
-
-    qterms = spark.createDataFrame([(t,) for t in query_terms], ["term"]).distinct()
+    qterms = spark.createDataFrame([(t,) for t in set(query_terms)], ["term"])
 
     matched = postings.join(F.broadcast(qterms), "term")
     # postings rows are unique per (doc, term), so count(*) == distinct docs
     df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
 
-    scored = (
+    return (
         matched.join(F.broadcast(df_counts), "term")
         .join(doc_stats, "doc_key")
         .crossJoin(F.broadcast(corpus))
@@ -90,7 +108,15 @@ def bm25_scores(
         .groupBy("doc_key")
         .agg(F.sum("term_score").alias("score"))
     )
-    return scored
+
+
+def _topk_by_score(scored: DataFrame, k: int) -> DataFrame:
+    """Rounded-score top-k with the id tie-break (total order)."""
+    return (
+        scored.select(F.col("doc_key"), F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_key"))
+        .limit(k)
+    )
 
 
 def bm25_topk(
@@ -103,12 +129,7 @@ def bm25_topk(
     """Top-k by rounded score (rounding makes cross-engine ordering total
     when combined with the id tie-break). Spark executes orderBy().limit()
     as TakeOrderedAndProject — no global sort materialization."""
-    scored = bm25_scores(docs, id_col, text_col, query_terms)
-    return (
-        scored.select(F.col("doc_key"), F.round("score", 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_key"))
-        .limit(k)
-    )
+    return _topk_by_score(bm25_scores(docs, id_col, text_col, query_terms), k)
 
 
 # --------------------------------------------------------------------------
@@ -145,29 +166,7 @@ def bm25_topk_from_index(
 ) -> DataFrame:
     """Query a persisted index: no tokenization, no corpus scan — read the
     posting lists of the query terms (term-dictionary filter pushed to
-    parquet), join doc stats, score, top-k."""
+    parquet), then the same shared scoring plan as the live path."""
     postings = spark.read.parquet(f"{path}/postings")
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
-    corpus = doc_stats.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
-
-    qterms = spark.createDataFrame([(t,) for t in set(query_terms)], ["term"])
-    matched = postings.join(F.broadcast(qterms), "term")
-    df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        matched.join(F.broadcast(df_counts), "term")
-        .join(doc_stats, "doc_key")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "term_score",
-            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_key")
-        .agg(F.sum("term_score").alias("score"))
-    )
-    return (
-        scored.select("doc_key", F.round("score", 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_key"))
-        .limit(k)
-    )
+    return _topk_by_score(_score_postings(postings, doc_stats, query_terms, k1, b), k)

@@ -63,15 +63,13 @@ def with_validation(df: DataFrame) -> DataFrame:
     )
 
 
-EXTRACTED_SCHEMA = T.StructType(
-    [
-        T.StructField("path", T.StringType()),
-        T.StructField("markdown", T.StringType()),
-        T.StructField("page_count", T.IntegerType()),
-        T.StructField("method", T.StringType()),
-        T.StructField("error", T.StringType()),
-    ]
-)
+EXTRACTED_FIELDS = [
+    T.StructField("path", T.StringType()),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("page_count", T.IntegerType()),
+    T.StructField("method", T.StringType()),
+    T.StructField("error", T.StringType()),
+]
 
 
 def _parse_pymupdf(content: bytes) -> tuple[str, int]:  # pragma: no cover
@@ -95,10 +93,17 @@ def _parse_passthrough(content: bytes) -> tuple[str, int]:
     return text, max(1, text.count("\x0c") + 1)
 
 
-def extract_markdown(df: DataFrame) -> DataFrame:
+def extract_markdown(df: DataFrame, carry: list[str] | None = None) -> DataFrame:
     """S3/S4 slot: binary → (markdown, page_count) via mapInPandas. Errors
     are captured per-row (error column), not raised — the reference's
-    stop-on-failure (M4) is a driver policy applied on top."""
+    stop-on-failure (M4) is a driver policy applied on top.
+
+    `carry` columns (e.g. scan-side file_hash/title) pass straight through
+    the UDF, so downstream metadata needs NO self-join back onto the scan
+    lineage — without this the binaryFile read + parse would re-execute
+    once per join branch (the parse being the dominant cost with a real
+    PDF codec)."""
+    carry = carry or []
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parse = _parse_pymupdf if HAVE_PYMUPDF else _parse_passthrough
@@ -116,9 +121,15 @@ def extract_markdown(df: DataFrame) -> DataFrame:
                 out["page_count"].append(pages)
                 out["method"].append(method)
                 out["error"].append(err)
-            yield pd.DataFrame(out)
+            result = pd.DataFrame(out)
+            for c in carry:
+                result[c] = pdf[c].values
+            yield result
 
-    return df.select("path", "content").mapInPandas(run, EXTRACTED_SCHEMA)
+    schema = T.StructType(
+        EXTRACTED_FIELDS + [df.schema[c] for c in carry]
+    )
+    return df.select("path", "content", *carry).mapInPandas(run, schema)
 
 
 def read_markdown_checkpoints(spark: SparkSession, directory: str) -> DataFrame:

@@ -59,11 +59,23 @@ def compact(spark, path: str, target_partitions: int) -> None:
     micro-batches) accretes small files that poison scan parallelism and
     NameNode/listing cost; periodic coalesce-rewrite is the standard
     lake-maintenance pass. Uses repartition (full shuffle) rather than
-    coalesce so output files are size-balanced, not input-lineage-skewed."""
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    coalesce so output files are size-balanced, not input-lineage-skewed.
+
+    Swap order is crash-safe: the old directory is renamed ASIDE before
+    the rewrite moves into place, and deleted only once the new data is
+    live — at no point is the table path missing without a recoverable
+    copy. (Local-filesystem paths only: on an object store/HDFS this is a
+    table-format job — Delta OPTIMIZE — not directory renames.)"""
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+    except Exception:
+        shutil.move(old, path)  # roll back: restore the original directory
+        raise
+    shutil.rmtree(old)

@@ -142,14 +142,23 @@ def _sessionize(
         last_ts_ms, n_sessions, n_events = state.get
     else:
         last_ts_ms, n_sessions, n_events = -1, 0, 0
+    # The group arrives as an ITERATOR of Arrow chunks with no cross-chunk
+    # ordering guarantee — a user spanning multiple batches would interleave
+    # timestamps if each chunk were walked independently. Materialize the
+    # batch's keys and sort ONCE (memory is O(events in this micro-batch
+    # for this user), the same bound applyInPandasWithState already has).
+    stamps: list[tuple[int, int]] = []
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts in pdf["ts"]:
-            ts_ms = int(ts.value // 1_000_000)
-            if last_ts_ms < 0 or ts_ms - last_ts_ms > SESSION_GAP_MS:
-                n_sessions += 1
-            last_ts_ms = ts_ms
-            n_events += 1
+        stamps.extend(
+            (int(ts.value // 1_000_000), int(eid))
+            for ts, eid in zip(pdf["ts"], pdf["event_id"])
+        )
+    stamps.sort()
+    for ts_ms, _eid in stamps:
+        if last_ts_ms < 0 or ts_ms - last_ts_ms > SESSION_GAP_MS:
+            n_sessions += 1
+        last_ts_ms = ts_ms
+        n_events += 1
     state.update((last_ts_ms, n_sessions, n_events))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}

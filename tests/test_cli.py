@@ -25,6 +25,15 @@ def test_search_keyword(spark, capsys):
 def test_search_hybrid(spark, capsys):
     rc, rows = run(capsys, "search", "spark joins", "-k", "5")
     assert rc == 0 and len(rows) == 5
+    assert all(r["score"] is not None and r["score"] > 0 for r in rows)
+
+
+def test_search_vector_scores_not_null(spark, capsys):
+    # regression: query embedded at a different dim than the corpus made
+    # every cosine NULL
+    rc, rows = run(capsys, "search", "spark joins", "--mode", "vector", "-k", "3")
+    assert rc == 0 and len(rows) == 3
+    assert all(r["score"] is not None for r in rows)
 
 
 def test_stats_and_list(spark, capsys):

@@ -22,12 +22,16 @@ from etl_pdf_pipepline_spark.registry import _ensure_loaded, _REGISTRY  # noqa: 
 from etl_pdf_pipepline_spark.session import get_spark  # noqa: E402
 
 
-def audit(plan: str) -> list[str]:
+def audit(plan: str) -> tuple[list[str], int]:
     flags = []
     if "CartesianProduct" in plan:
         flags.append("CartesianProduct")
     if "BatchEvalPython" in plan:
         flags.append("row-at-a-time PythonUDF")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = m.group(1).count(",") + 1 if m.group(1) else 0
+        if ncols > 12:
+            flags.append(f"wide scan ({ncols} cols — pruning?)")
     # Global sorts: formatted mode details each Sort as
     # "(n) Sort\nInput...\nArguments: [keys], <global:bool>, 0". Partition-
     # local sorts (window operators) have global=false and are fine. A
@@ -38,10 +42,6 @@ def audit(plan: str) -> list[str]:
     if n_global > 1:
         flags.append(f"{n_global} global Sorts (intermediate full sort?)")
     return flags, n_global
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        ncols = m.group(1).count(",") + 1 if m.group(1) else 0
-        if ncols > 12:
-            flags.append(f"wide scan ({ncols} cols — pruning?)")
 
 
 def main() -> int:
