@@ -110,6 +110,38 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """M2/J5: anti-join rewrite of a parquet table minus the victim keys.
+    Writes survivors to --out (immutable-lake semantics; the reference
+    mutates SQLite in place)."""
+    from .sources.sinks import delete_where
+
+    spark = get_spark("cli-delete")
+    table = spark.read.parquet(args.table)
+    victims = spark.createDataFrame(
+        [(v,) for v in args.ids.split(",")], [args.key]
+    ).withColumn(args.key, F.col(args.key).cast(dict(table.dtypes)[args.key]))
+    survivors = delete_where(table, victims, args.key)
+    survivors.write.mode("overwrite").parquet(args.out)
+    print(f"kept {survivors.count()} of {table.count()} rows -> {args.out}")
+    return 0
+
+
+def cmd_reprocess(args) -> int:
+    """M3: re-chunk + re-embed from a markdown checkpoint table (parquet
+    with id/text columns), writing fresh chunks to --out."""
+    from .operators.chunker import chunk_documents
+    from .retrieval.embedder import embed_dataframe
+
+    spark = get_spark("cli-reprocess")
+    docs = spark.read.parquet(args.checkpoint)
+    chunks = chunk_documents(docs, args.id_col, args.text_col)
+    embedded = embed_dataframe(chunks, "text")
+    embedded.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {embedded.count()} chunks -> {args.out}")
+    return 0
+
+
 def cmd_query(args) -> int:
     spark = get_spark("cli-query")
     qs = all_queries()
@@ -143,6 +175,18 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("name")
     sq.add_argument("--limit", type=int, default=50)
 
+    sd = sub.add_parser("delete", help="anti-join delete by key into --out")
+    sd.add_argument("--table", required=True)
+    sd.add_argument("--key", required=True)
+    sd.add_argument("--ids", required=True, help="comma-separated victim keys")
+    sd.add_argument("--out", required=True)
+
+    sr = sub.add_parser("reprocess", help="re-chunk/re-embed a checkpoint table")
+    sr.add_argument("--checkpoint", required=True)
+    sr.add_argument("--id-col", default="doc_id")
+    sr.add_argument("--text-col", default="text")
+    sr.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     return {
         "process": cmd_process,
@@ -150,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
         "stats": cmd_stats,
         "list": cmd_list,
         "query": cmd_query,
+        "delete": cmd_delete,
+        "reprocess": cmd_reprocess,
     }[args.cmd](args)
 
 

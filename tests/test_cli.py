@@ -50,3 +50,24 @@ def test_query_verb_unknown(spark, capsys):
 def test_query_verb_runs_registered(spark, capsys):
     rc, rows = run(capsys, "query", "orders_status_counts")
     assert rc == 0 and len(rows) >= 1
+
+
+def test_delete_and_reprocess_verbs(spark, capsys, tmp_path):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+
+    out1 = str(tmp_path / "after_delete")
+    rc = main(["delete", "--table", src, "--key", "doc_id", "--ids", "2", "--out", out1])
+    assert rc == 0
+    kept = spark.read.parquet(out1)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+    out2 = str(tmp_path / "rechunked")
+    rc = main(["reprocess", "--checkpoint", out1, "--out", out2])
+    assert rc == 0
+    chunks = spark.read.parquet(out2)
+    assert chunks.count() == 2  # one chunk per small doc
+    assert "embedding" in chunks.columns
