@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         return
     # Imports are for the side effect of @query registration.
     from .plans import relational  # noqa: F401
+    from .plans import relational_tpch_ext  # noqa: F401
     from .plans import lifecycle  # noqa: F401
     from .operators import chunker_queries  # noqa: F401
     from .operators import dedup  # noqa: F401
