@@ -48,7 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # SparkSession (the driver's correctness gate does): the test tables
     # hold naive timestamps, and every date_format/date_trunc rendering
     # must agree with the (timezone-naive) DuckDB oracle.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NB: no default arg to conf.get — an unset conf makes Spark 4 parse
+    # and VALIDATE the supplied default ("" -> INVALID_CONF_VALUE).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)

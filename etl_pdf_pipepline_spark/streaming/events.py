@@ -48,7 +48,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same session hardening as sources/catalog.load_table: the driver may
     # hand us a non-UTC session, and window renderings must match the
     # timezone-naive oracle.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NB: no default arg to conf.get — an unset conf makes Spark 4 parse
+    # and VALIDATE the supplied default ("" -> INVALID_CONF_VALUE).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir)
     raw_schema = _SCHEMA_CACHE.get(key)
