@@ -346,3 +346,45 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     ).orderBy("day")
+
+
+@query(
+    "events_cube_day_type",
+    oracle="""
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
+    FROM events
+    GROUP BY CUBE (date_trunc('day', ts), event_type)
+    ORDER BY day, event_type
+    """,
+)
+def events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (day, event_type): all four grouping sets — per-cell,
+    per-day, per-type, and grand total — in ONE partial+final hash
+    aggregate (completes the grouping-sets family next to ROLLUP and
+    pivot). Spark tags each input row with its grouping-set expansions
+    map-side, so the shuffle carries one row per (set, key) per partition
+    — not four scans of the fact table. Per-type subtotals (the set
+    ROLLUP omits) come out of the same pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("double") / 100, 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.coalesce("d", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("day", "event_type")
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, query_vector_lit
 from ..registry import query
 from ..sources.catalog import load_table
 
@@ -243,4 +243,95 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH (random hyperplane) bucketing — the embedding analogue of
+# MinHash-LSH: cos-similar vectors agree on hyperplane signs with
+# probability 1 − θ/π per plane, so near-duplicates collide in the same
+# bucket and the quadratic cosine verification runs per-bucket, not
+# globally. Hyperplanes are ±1 vectors derived deterministically from
+# md5(plane:dim) parity — a pure function of constants, identical in the
+# Spark plan and the DuckDB oracle (both receive them as literals).
+# --------------------------------------------------------------------------
+
+_LSH_PLANES = 4
+_EMB_DIM = 64
+
+
+def _sign_hyperplanes(n_planes: int = _LSH_PLANES, dim: int = _EMB_DIM) -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for h in range(n_planes):
+        row = []
+        for i in range(dim):
+            digest = hashlib.md5(f"{h}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(digest[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _lsh_bucket_sql() -> str:
+    """DuckDB expression for the 4-bit sign bucket of column `v`."""
+    terms = []
+    for h, w in enumerate(_sign_hyperplanes()):
+        arr = "[" + ", ".join(str(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << h} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def lsh_bucket(v) -> F.Column:
+    """4-bit sign bucket of an array<double> column (Spark side)."""
+    acc = F.lit(0)
+    for h, w in enumerate(_sign_hyperplanes()):
+        bit = F.when(dot(v, query_vector_lit(w)) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        acc = acc + bit
+    return acc
+
+
+@query(
+    "embedding_lsh_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sig AS (SELECT vec_id, v, {bucket} AS bucket FROM d)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+           round({cos}, 4) AS score
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({cos}, 4) >= 0.3
+    ORDER BY score DESC, vec_a, vec_b
+    """.format(
+        bucket=_lsh_bucket_sql(), cos=_COS_ORACLE_EXPR.format(a="a.v", b="b.v")
+    ),
+)
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup pairs: bucket every vector by 4 hyperplane signs,
+    then verify cosine only within buckets. The self-join key is the
+    bucket id, so the shuffle co-locates candidates and the quadratic
+    term is per-bucket (the full corpus never cross-joins). This is the
+    whole-corpus scale path that `embedding_near_dup_pairs` (bounded
+    exact variant) defers to; recall is tunable by plane count and by
+    OR-ing multiple bucket tables, exactly as in MinHash-LSH banding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b")
+    )
+    score = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "bucket", score.alias("score"))
+        .filter(F.col("score") >= 0.3)
+        .orderBy(F.desc("score"), "vec_a", "vec_b")
     )
