@@ -388,3 +388,101 @@ def events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_range_join_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           count(c.ts) AS n_clicks_1h,
+           coalesce(min(epoch_us(p.ts) - epoch_us(c.ts)), -1) AS min_gap_us
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+)
+def events_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time range join (attribution window): every click of the same
+    user in the hour before a purchase — the interval-join operator the
+    reference lacks, complementing the as-of join (which keeps only the
+    latest match). Implemented as the BUCKETED range join: both sides get
+    an hour-bucket key, purchases probe their own and the previous bucket
+    (explode ×2), and the range predicate evaluates only within
+    (user, bucket) groups. A naive user-only equi-join leaves the range
+    filter to a per-user cross product — fatal for a power user with 10^6
+    events; bucketing bounds every join group to two hours of one user's
+    history, so skew is bounded by per-hour activity, not lifetime."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_seconds("ts") / 3600).alias("c_bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.floor(F.unix_seconds("ts") / 3600).alias("p_bucket"),
+        )
+        .withColumn("probe_bucket", F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1)))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("probe_bucket") == F.col("c_bucket"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(
+            F.count("c_ts").alias("n_clicks_1h"),
+            F.coalesce(
+                F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")), F.lit(-1)
+            ).alias("min_gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_user_rank_dist",
+    oracle="""
+    WITH ua AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM ua
+    WINDOW w AS (PARTITION BY event_type ORDER BY n, user_id)
+    ORDER BY event_type, n, user_id
+    """,
+)
+def events_user_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per event type (the distribution-rank
+    window family, completing row_number/ntile/lag coverage). The window
+    partitions by event_type, so each type's ordering sorts only its own
+    partition; the total order (n, user_id) pins tie behavior so both
+    engines emit identical ranks."""
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("n", "user_id")
+    return (
+        ua.select(
+            "event_type",
+            "user_id",
+            "n",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("event_type", "n", "user_id")
+    )
