@@ -64,3 +64,17 @@ def cosine_topk_pandas(df, vec_col: str, query_vec: list[float], k: int, id_col:
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+@pandas_udf(DoubleType())
+def pair_cosine_pandas(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized cosine over row-aligned vector PAIRS (similarity
+    self-joins). One Arrow batch → two stacked float64 matrices → a
+    single fused numpy pass per partition; the interpreted
+    zip_with/aggregate fold costs ~64 expression evaluations per pair,
+    which is the bottleneck when the pair count is quadratic in LSH
+    bucket occupancy."""
+    a = np.vstack([np.asarray(v, dtype=np.float64) for v in va])
+    b = np.vstack([np.asarray(v, dtype=np.float64) for v in vb])
+    sims = (a * b).sum(axis=1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    return pd.Series(sims)

