@@ -64,3 +64,22 @@ def test_pandas_cosine_matches_hof(spark):
     )
     pud = cosine_topk_pandas(emb, "embedding", q, 15).collect()
     assert [(r.vec_id, r.score) for r in hof] == [(r.vec_id, r.score) for r in pud]
+
+
+def test_pair_cosine_pandas_matches_hof(spark):
+    from etl_pdf_pipepline_spark.functions.vectors import pair_cosine_pandas
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    d = emb.filter(F.col("vec_id") < 20).select("vec_id", as_double("embedding").alias("v"))
+    a = d.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = d.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    out = pairs.select(
+        "ia", "ib",
+        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("hof"),
+        F.round(pair_cosine_pandas(F.col("va"), F.col("vb")), 4).alias("vec"),
+    ).collect()
+    assert len(out) == 190  # C(20, 2)
+    for r in out:
+        assert r.hof == pytest.approx(r.vec, abs=1e-4), (r.ia, r.ib)
