@@ -35,7 +35,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Null on zero-norm inputs instead of 0/0 = NaN: Spark sorts NaN above
+    every double and treats `NaN >= t` as true, while the DuckDB oracle's
+    IEEE comparison is false — NULL compares the same (false) in both."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def query_vector_lit(vec: list[float]) -> Column:
@@ -76,5 +80,9 @@ def pair_cosine_pandas(va: pd.Series, vb: pd.Series) -> pd.Series:
     bucket occupancy."""
     a = np.vstack([np.asarray(v, dtype=np.float64) for v in va])
     b = np.vstack([np.asarray(v, dtype=np.float64) for v in vb])
-    sims = (a * b).sum(axis=1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom != 0.0, (a * b).sum(axis=1) / denom, np.nan)
+    # Arrow ships NaN as NaN (not null) — callers filtering on a threshold
+    # must drop NaN explicitly (Spark's NaN >= t is true; see cosine()).
     return pd.Series(sims)

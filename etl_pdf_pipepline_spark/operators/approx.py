@@ -111,7 +111,8 @@ def salted_join(skewed: DataFrame, dim: DataFrame, key: str, buckets: int = SALT
         SELECT user_id, count(*) AS lifetime_events
         FROM events GROUP BY user_id
     )
-    SELECT e.event_type, count(*) AS n, sum(d.lifetime_events) AS total_weight
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(d.lifetime_events) AS BIGINT) AS total_weight
     FROM events e JOIN dim d ON e.user_id = d.user_id
     GROUP BY e.event_type ORDER BY e.event_type
     """,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.catalog import load_table
-from .chunker import CHUNK_OVERLAP, CHUNK_SIZE, chunk_documents
+from .chunker import CHUNK_OVERLAP, CHUNK_SIZE, SPLIT_THRESHOLD, chunk_documents
 
 _STRIDE = CHUNK_SIZE - CHUNK_OVERLAP  # 462
 
@@ -72,11 +72,58 @@ def chunk_fixed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("chunk_markdown_hybrid", oracle=None)
+@query(
+    "chunk_markdown_hybrid",
+    oracle=f"""
+    SELECT doc_id AS document_id,
+           true AS dense_index, true AS totals_consistent,
+           true AS nonempty_chunks, true AS bounded_len,
+           true AS positive_tokens, true AS chunks_are_substrings
+    FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
+    """,
+)
 def chunk_markdown_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full hybrid chunker (header split + recursive split,
     /root/reference/src/transform/chunker.py:50-122) over the documents
-    table. Non-SQL-expressible → rows-only driver check; exact semantics
-    are pinned by golden tests (tests/test_chunker.py)."""
+    table, surfaced as its per-document invariant gate — a recursive
+    splitter is not ANSI-SQL-expressible, but its contract is: the oracle
+    independently derives WHICH documents must chunk (every doc with
+    non-blank text, nothing else) and asserts each invariant the chunker
+    guarantees by construction:
+
+    - dense_index: chunk_index is exactly 0..n−1 per document
+    - totals_consistent: total_chunks == per-doc count on every row
+    - nonempty_chunks: every chunk text is non-blank after strip
+    - bounded_len: every chunk ≤ SPLIT_THRESHOLD × CHUNK_SIZE chars
+      (whole sections below the split threshold are the widest output)
+    - positive_tokens: token_count ≥ 1
+    - chunks_are_substrings: every chunk text appears verbatim in its
+      source document (headers stay in content; splits are contiguous)
+
+    A violated invariant or a missing/extra document breaks the value hash
+    or row count. Exact chunk semantics stay pinned by the golden tests
+    (tests/test_chunker.py); `chunk_documents` is the production API."""
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs, "doc_id", "text").orderBy("document_id", "chunk_index")
+    chunks = chunk_documents(docs, "doc_id", "text")
+    joined = chunks.join(
+        docs.select(F.col("doc_id").alias("document_id"), F.col("text").alias("doc_text")),
+        "document_id",
+    )
+    n = F.count("*")
+    per_doc = joined.groupBy("document_id").agg(
+        (
+            (F.min("chunk_index") == 0)
+            & (F.max("chunk_index") == n - 1)
+            & (F.countDistinct("chunk_index") == n)
+        ).alias("dense_index"),
+        ((F.min("total_chunks") == n) & (F.max("total_chunks") == n)).alias(
+            "totals_consistent"
+        ),
+        (F.min(F.length(F.trim("text"))) > 0).alias("nonempty_chunks"),
+        (F.max(F.length("text")) <= int(SPLIT_THRESHOLD * CHUNK_SIZE)).alias("bounded_len"),
+        (F.min("token_count") >= 1).alias("positive_tokens"),
+        (F.min(F.col("doc_text").contains(F.col("text")).cast("int")) == 1).alias(
+            "chunks_are_substrings"
+        ),
+    )
+    return per_doc.orderBy("document_id")

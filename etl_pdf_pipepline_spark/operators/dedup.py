@@ -243,18 +243,36 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Terms present in more than this fraction of documents are dropped before
+# the term self-join: a term with DF d contributes d·(d−1)/2 pairs, so one
+# stopword in every doc makes the join quadratic in the corpus. The cap
+# bounds per-term fan-out at (MAX_DF_FRAC·n)², and near-duplicates still
+# share plenty of sub-cap vocabulary — the Jaccard is over the capped
+# vocabulary on BOTH engines, so the oracle semantics match exactly.
+MAX_DF_FRAC = 0.10
+
+
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(list_distinct(
             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS term
         FROM documents WHERE doc_id < 80
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    cap AS (
+        SELECT greatest(1, CAST(floor({MAX_DF_FRAC} * count(*)) AS BIGINT)) AS max_df
+        FROM documents WHERE doc_id < 80
+    ),
+    kept AS (
+        SELECT t.doc_id, t.term FROM toks t
+        JOIN (SELECT term, count(*) AS df FROM toks GROUP BY term) d ON t.term = d.term
+        CROSS JOIN cap WHERE d.df <= cap.max_df
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.doc_a, i.doc_b,
@@ -269,13 +287,46 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard via a term-level equi-join (the verification
     step behind LSH candidates). The join is on term — sparse inverted-
-    index shape — so only docs sharing vocabulary ever pair up; common-term
-    skew is the known hazard (drop ultra-high-DF terms at scale)."""
+    index shape — so only docs sharing vocabulary ever pair up. Ultra-
+    high-DF terms (stopwords) are dropped first via a corpus-derived DF
+    cap (MAX_DF_FRAC of documents): without it one universal term makes
+    the self-join quadratic in the corpus; with it per-term fan-out is
+    bounded. The DF pass groups on the same `term` key the self-join
+    shuffles on, so the cap adds one aggregate, not a new exchange
+    pattern. Jaccard is computed over the capped vocabulary on both
+    engines (tests/test_dedup.py pins the stopword-dense case)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    terms = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("term"))
-    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = terms.alias("a")
-    b = terms.alias("b")
+    return (
+        token_jaccard_pairs(docs, "doc_id", "text")
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_frac: float = MAX_DF_FRAC,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over the DF-capped token vocabulary."""
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(distinct_tokens(text_col)).alias("term")
+    )
+    max_df = docs.agg(
+        F.greatest(F.lit(1), F.floor(F.lit(max_df_frac) * F.count("*"))).alias("max_df")
+    )
+    kept_terms = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(max_df))
+        .filter(F.col("df") <= F.col("max_df"))
+        .select("term")
+    )
+    kept = terms.join(kept_terms, "term", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -295,8 +346,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(20)
     )
 
 

@@ -169,7 +169,7 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM marked
     )
-    SELECT user_id, session_id, count(*) AS n_events
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,

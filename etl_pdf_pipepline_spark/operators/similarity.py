@@ -25,8 +25,11 @@ from ..functions.vectors import as_double, cosine, dot, pair_cosine_pandas, quer
 from ..registry import query
 from ..sources.catalog import load_table
 
+# NULL (not NaN) on zero-norm inputs, mirroring functions/vectors.py::cosine —
+# both engines then agree that a zero vector never passes a `score >= t` filter.
 _COS_ORACLE_EXPR = (
-    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    "CASE WHEN list_dot_product({a}, {a}) * list_dot_product({b}, {b}) = 0 THEN NULL "
+    "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END"
 )
 
 
@@ -337,6 +340,6 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "bucket", score.alias("score"))
-        .filter(F.col("score") >= 0.3)
+        .filter(~F.isnan("score") & (F.col("score") >= 0.3))
         .orderBy(F.desc("score"), "vec_a", "vec_b")
     )

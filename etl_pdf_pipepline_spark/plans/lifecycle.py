@@ -23,20 +23,27 @@ from ..sources.catalog import load_table
 @query(
     "docs_stats_by_source",
     oracle="""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST((sum(n_chars) * 10000) // count(*) AS BIGINT) AS avg_chars_x10000
     FROM documents GROUP BY source ORDER BY source
     """,
 )
 def docs_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference A1–A3 stats surface (/root/reference/src/pipeline.py:297-311)."""
+    """Reference A1–A3 stats surface (/root/reference/src/pipeline.py:297-311).
+
+    Integer-exact on purpose (the money.py convention): DuckDB's sum() over
+    INT is HUGEINT (INT128) and its double rounding ties differ from Spark's
+    HALF_UP, so both the total and the scaled average are kept in BIGINT on
+    both sides — no floating representation can diverge between engines."""
     return (
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("avg_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("CAST((sum(n_chars) * 10000) DIV count(*) AS BIGINT)").alias(
+                "avg_chars_x10000"
+            ),
         )
         .orderBy("source")
     )

@@ -60,3 +60,41 @@ def test_minhash_similar_texts_share_components(spark):
     agree = sum(1 for x, y in zip(sig["a"], sig["b"]) if x == y)
     # Jaccard ≈ 27/31 ⇒ expect most components to agree
     assert agree >= N_MINHASH // 2
+
+
+def test_jaccard_df_cap_drops_universal_stopword(spark):
+    # Every doc contains "the"; only (d1, d2) share real vocabulary.
+    # With max_df_frac=0.5 over 4 docs, "the" (DF=4 > 2) is dropped, so
+    # docs that share ONLY the stopword must not pair at all.
+    from etl_pdf_pipepline_spark.operators.dedup import token_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the apple banana cherry"),
+            (2, "the apple banana damson"),
+            (3, "the xylophone quartz"),
+            (4, "the zephyr marble"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in token_jaccard_pairs(df, "doc_id", "text", max_df_frac=0.5).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    # capped vocab: {apple, banana, cherry} vs {apple, banana, damson}
+    assert pairs[(1, 2)] == 0.5
+
+
+def test_jaccard_without_cap_pairs_everything(spark):
+    # Control: with the cap disabled (frac=1.0) the universal stopword
+    # makes every doc pair — the quadratic blow-up the cap exists to stop.
+    from etl_pdf_pipepline_spark.operators.dedup import token_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"the unique{i}") for i in range(1, 5)], ["doc_id", "text"]
+    )
+    n = token_jaccard_pairs(df, "doc_id", "text", max_df_frac=1.0).count()
+    assert n == 6  # all C(4,2) pairs
+    n_capped = token_jaccard_pairs(df, "doc_id", "text", max_df_frac=0.5).count()
+    assert n_capped == 0
