@@ -250,20 +250,24 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Sign-LSH (random hyperplane) bucketing — the embedding analogue of
-# MinHash-LSH: cos-similar vectors agree on hyperplane signs with
-# probability 1 − θ/π per plane, so near-duplicates collide in the same
-# bucket and the quadratic cosine verification runs per-bucket, not
-# globally. Hyperplanes are ±1 vectors derived deterministically from
-# md5(plane:dim) parity — a pure function of constants, identical in the
-# Spark plan and the DuckDB oracle (both receive them as literals).
+# Banded sign-LSH (random hyperplane) bucketing — the embedding analogue of
+# MinHash-LSH banding: cos-similar vectors agree on hyperplane signs with
+# probability 1 − θ/π per plane. Each band ANDs PLANES_PER_BAND sign bits
+# into one bucket key; bands are OR-combined (a pair is a candidate if it
+# collides in ANY band). AND-width bounds bucket occupancy (expected
+# n / 2^planes per band instead of n / 2^4 globally — the single-band
+# 4-plane form went quadratic in corpus size, SCALING.md r1); OR-width
+# buys recall back. Hyperplanes are ±1 vectors derived deterministically
+# from md5(plane:dim) parity — a pure function of constants, identical in
+# the Spark plan and the DuckDB oracle (both receive them as literals).
 # --------------------------------------------------------------------------
 
-_LSH_PLANES = 4
+_LSH_BANDS = 2
+_LSH_PLANES_PER_BAND = 8
 _EMB_DIM = 64
 
 
-def _sign_hyperplanes(n_planes: int = _LSH_PLANES, dim: int = _EMB_DIM) -> list[list[float]]:
+def _sign_hyperplanes(n_planes: int, dim: int = _EMB_DIM) -> list[list[float]]:
     import hashlib
 
     planes = []
@@ -276,10 +280,15 @@ def _sign_hyperplanes(n_planes: int = _LSH_PLANES, dim: int = _EMB_DIM) -> list[
     return planes
 
 
-def _lsh_bucket_sql() -> str:
-    """DuckDB expression for the 4-bit sign bucket of column `v`."""
+def _band_planes(band: int) -> list[list[float]]:
+    all_planes = _sign_hyperplanes(_LSH_BANDS * _LSH_PLANES_PER_BAND)
+    return all_planes[band * _LSH_PLANES_PER_BAND : (band + 1) * _LSH_PLANES_PER_BAND]
+
+
+def _lsh_band_sql(band: int) -> str:
+    """DuckDB expression for band `band`'s sign-bucket key of column `v`."""
     terms = []
-    for h, w in enumerate(_sign_hyperplanes()):
+    for h, w in enumerate(_band_planes(band)):
         arr = "[" + ", ".join(str(x) for x in w) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << h} ELSE 0 END)"
@@ -287,10 +296,10 @@ def _lsh_bucket_sql() -> str:
     return " + ".join(terms)
 
 
-def lsh_bucket(v) -> F.Column:
-    """4-bit sign bucket of an array<double> column (Spark side)."""
+def lsh_band_bucket(v, band: int) -> F.Column:
+    """Band `band`'s sign-bucket key of an array<double> column (Spark)."""
     acc = F.lit(0)
-    for h, w in enumerate(_sign_hyperplanes()):
+    for h, w in enumerate(_band_planes(band)):
         bit = F.when(dot(v, query_vector_lit(w)) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
         acc = acc + bit
     return acc
@@ -303,43 +312,60 @@ def lsh_bucket(v) -> F.Column:
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
-    sig AS (SELECT vec_id, v, {bucket} AS bucket FROM d)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-           round({cos}, 4) AS score
-    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    sig AS (SELECT vec_id, v, {b0} AS b0, {b1} AS b1 FROM d),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+        FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round({cos}, 4) AS score
+    FROM cand
     WHERE round({cos}, 4) >= 0.3
     ORDER BY score DESC, vec_a, vec_b
     """.format(
-        bucket=_lsh_bucket_sql(), cos=_COS_ORACLE_EXPR.format(a="a.v", b="b.v")
+        b0=_lsh_band_sql(0),
+        b1=_lsh_band_sql(1),
+        cos=_COS_ORACLE_EXPR.format(a="va", b="vb"),
     ),
 )
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH near-dup pairs: bucket every vector by 4 hyperplane signs,
-    then verify cosine only within buckets. The self-join key is the
-    bucket id, so the shuffle co-locates candidates and the quadratic
-    term is per-bucket (the full corpus never cross-joins). This is the
-    whole-corpus scale path that `embedding_near_dup_pairs` (bounded
-    exact variant) defers to; recall is tunable by plane count and by
-    OR-ing multiple bucket tables, exactly as in MinHash-LSH banding.
+    """Banded sign-LSH near-dup pairs: each vector gets one bucket key per
+    band (8 AND-ed hyperplane signs); the self-join runs per band on the
+    band key and bands are OR-combined with a pair-level distinct. The
+    shuffle co-locates candidates by band key, so the quadratic term is
+    per-bucket — expected occupancy n/256 per band vs n/16 for the r1
+    single-band 4-plane form, whose candidate count grew quadratically
+    with corpus size (SCALING.md). Band count trades recall, plane count
+    trades occupancy — identical to MinHash-LSH banding (dedup.py).
 
     Pair scoring is the Arrow-vectorized pandas UDF
-    (functions/vectors.py::pair_cosine_pandas): the pair count is
-    quadratic in bucket occupancy, and the interpreted zip_with/aggregate
-    fold evaluates ~64 expressions per pair — one numpy pass per
-    partition scores the whole batch (measured 2.3× end-to-end at
-    sf0.1's ~780k candidate pairs, 7.9 s → 3.4 s)."""
+    (functions/vectors.py::pair_cosine_pandas): one numpy pass per
+    partition scores the whole batch, vs ~64 interpreted expression
+    evaluations per pair for the zip_with/aggregate fold (measured 2.3×
+    end-to-end on the r1 candidate volume)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"))
-    )
-    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    b = sig.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b")
-    )
+    sig = emb.select("vec_id", as_double("embedding").alias("v"))
+    for band in range(_LSH_BANDS):
+        sig = sig.withColumn(f"b{band}", lsh_band_bucket(F.col("v"), band))
+
+    cand = None
+    for band in range(_LSH_BANDS):
+        key = f"b{band}"
+        a = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col(key))
+        b = sig.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col(key).alias(f"{key}_r")
+        )
+        pairs = a.join(
+            b, (F.col(key) == F.col(f"{key}_r")) & (F.col("vec_a") < F.col("vec_b"))
+        ).select("vec_a", "vec_b", "va", "vb")
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    cand = cand.dropDuplicates(["vec_a", "vec_b"])
+
     score = F.round(pair_cosine_pandas(F.col("va"), F.col("vb")), 4)
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "bucket", score.alias("score"))
+        cand.select("vec_a", "vec_b", score.alias("score"))
         .filter(~F.isnan("score") & (F.col("score") >= 0.3))
         .orderBy(F.desc("score"), "vec_a", "vec_b")
     )

@@ -87,16 +87,22 @@ def rrf_fuse(
     k: int = 10,
     rrf_k: int = RRF_K,
 ) -> DataFrame:
-    """Full-outer join of two rankings; missing side contributes 0."""
-    a = rank_a.withColumnRenamed("rank", "rank_a")
-    b = rank_b.withColumnRenamed("rank", "rank_b")
-    fused = a.join(b, id_col, "full_outer").select(
-        F.col(id_col),
-        F.round(
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0)),
-            6,
-        ).alias("score"),
+    """RRF = Σ sides 1/(rrf_k + rank), missing side contributes 0 — which
+    is exactly a union + sum-by-id, so no join at all. The r1 full-outer
+    join form compiled to a SortMergeJoin (Spark has no broadcast
+    full-outer for equi-keys); this HashAggregate over ≤2k rows
+    partial-aggregates map-side and also generalizes to N-way fusion for
+    free. Arithmetic is bit-identical (two-double add is commutative;
+    single-side rows sum to themselves vs the old value + 0.0)."""
+    contribs = [
+        df.select(F.col(id_col), (1.0 / (F.lit(rrf_k) + F.col("rank"))).alias("contrib"))
+        for df in (rank_a, rank_b)
+    ]
+    fused = (
+        contribs[0]
+        .unionAll(contribs[1])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
     return fused.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
