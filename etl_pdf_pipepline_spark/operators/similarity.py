@@ -32,6 +32,8 @@ _COS_ORACLE_EXPR = (
     "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END"
 )
 
+_EMB_DIM = 64
+
 
 @query(
     "ann_cosine_topk",
@@ -68,45 +70,129 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Trained IVF: deterministic seeded k-means (Lloyd), DataFrame-native ---
+#
+# Seed = first K vectors (deterministic); each iteration assigns every
+# vector to its argmax-cosine centroid and recomputes centroids as per-dim
+# means. Everything round-trips through fixed rounding (cos at 4dp,
+# centroid components at 6dp) so Spark's partition-order double sums and
+# DuckDB's sequential sums land on the same value — the same convention
+# label_centroids uses. MLlib's KMeans collects centroids to the driver
+# between iterations; K×dim scalars are broadcast state either way, and
+# the pure-DataFrame form keeps the whole lineage declarative + oracle-
+# mirrorable. Reference ANN trains IVF centroids in LanceDB
+# (/root/reference/plans/etl-pipeline-plan.md:630-646).
+
+IVF_K = 4
+IVF_ITERS = 2
+
+
+def kmeans_centroids(d: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS) -> DataFrame:
+    """(centroid_id, cv) after `iters` Lloyd iterations over d(vec_id, v).
+
+    Per iteration: one broadcast crossJoin (n×k rows, combines map-side via
+    max_by partial aggregation — no per-vector window shuffle) and one
+    posexplode mean (n×dim rows into k×dim groups). Centroids stay a
+    k-row DataFrame and are re-broadcast each round."""
+    c = d.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        s = F.round(cosine(F.col("v"), F.col("cv")), 4)
+        assigned = (
+            d.crossJoin(F.broadcast(c))
+            .select("vec_id", "v", "centroid_id", s.alias("s"))
+            .groupBy("vec_id")
+            .agg(
+                F.expr("max_by(centroid_id, struct(s, -centroid_id))").alias("centroid_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        per_dim = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos0", "val"))
+            .groupBy("centroid_id", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.round(F.sum("val") / F.count("*"), 6).alias("cval"))
+        )
+        c = (
+            per_dim.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+            .select(
+                "centroid_id", F.transform("pairs", lambda p: p.getField("cval")).alias("cv")
+            )
+        )
+    return c
+
+
+def _kmeans_oracle_ctes(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
+    """DuckDB CTE chain computing the SAME Lloyd iterations; the trained
+    centroids end up in CTE `ctrained(centroid_id, cv)`."""
+    parts = [
+        "d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        cos = _COS_ORACLE_EXPR.format(a="d.v", b="c.cv")
+        parts.append(
+            f"""a{i} AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT d.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY round({cos}, 4) DESC, c.centroid_id) AS rn
+            FROM d CROSS JOIN c{i - 1} c
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{i} AS (
+        SELECT centroid_id, list(cval ORDER BY pos) AS cv FROM (
+            SELECT a.centroid_id, p.pos,
+                   round(sum(d.v[p.pos]) / count(*), 6) AS cval
+            FROM a{i} a JOIN d ON d.vec_id = a.vec_id
+            CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM + 1})) AS pos) p
+            GROUP BY a.centroid_id, p.pos
+        ) GROUP BY centroid_id
+    )"""
+        )
+    parts.append(f"ctrained AS (SELECT centroid_id, cv FROM c{iters})")
+    return ",\n    ".join(parts)
+
+
 @query(
     "ivf_assignment",
     oracle="""
-    WITH d AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    ),
-    c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id < 4),
+    WITH {ctes},
     scored AS (
         SELECT d.vec_id, c.centroid_id,
                round({cos}, 4) AS score,
                row_number() OVER (PARTITION BY d.vec_id
                                   ORDER BY round({cos}, 4) DESC, c.centroid_id) AS rn
-        FROM d CROSS JOIN c
-        WHERE d.vec_id >= 4
+        FROM d CROSS JOIN ctrained c
     )
     SELECT vec_id, centroid_id, score FROM scored WHERE rn = 1 ORDER BY vec_id
-    """.format(cos=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv")),
+    """.format(ctes=_kmeans_oracle_ctes(), cos=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv")),
 )
 def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization: nearest-centroid assignment (centroids =
-    first 4 vectors, deterministic stand-in for trained centroids). The
-    centroid table broadcasts; argmax is a per-vector window over
-    |centroids| rows. Downstream, repartitionByRange(centroid_id) makes
-    every ANN probe a partition-pruned scan."""
+    """IVF coarse quantization with TRAINED centroids: 2 seeded Lloyd
+    iterations (kmeans_centroids), then nearest-centroid assignment for
+    every vector. The centroid table broadcasts; argmax is a map-side
+    max_by partial aggregate, not a window shuffle. Downstream,
+    repartitionByRange(centroid_id) makes every ANN probe a
+    partition-pruned scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.select("vec_id", as_double("embedding").alias("v"))
-    c = d.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    score = F.round(cosine(F.col("v"), F.col("cv")), 4)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("centroid_id"))
+    c = kmeans_centroids(d)
+    s = F.round(cosine(F.col("v"), F.col("cv")), 4)
     return (
-        d.filter(F.col("vec_id") >= 4)
-        .crossJoin(F.broadcast(c))
-        .select("vec_id", "centroid_id", score.alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "score")
+        d.crossJoin(F.broadcast(c))
+        .select("vec_id", "centroid_id", s.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("centroid_id")).alias("negcid"))).alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.negcid")).alias("centroid_id"),
+            F.col("m.s").alias("score"),
+        )
         .orderBy("vec_id")
     )
 
@@ -170,18 +256,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ivf_probe_topk",
     oracle="""
-    WITH d AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    ),
-    c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id < 4),
+    WITH {ctes},
     q AS (SELECT v AS qv FROM d WHERE vec_id = 4),
     qprobe AS (
         SELECT centroid_id FROM (
             SELECT c.centroid_id,
                    round({cosqc}, 4) AS s,
                    row_number() OVER (ORDER BY round({cosqc}, 4) DESC, c.centroid_id) AS rn
-            FROM c CROSS JOIN q
+            FROM ctrained c CROSS JOIN q
         ) WHERE rn <= 2
     ),
     assign AS (
@@ -189,7 +271,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT d.vec_id, c.centroid_id,
                    row_number() OVER (PARTITION BY d.vec_id
                                       ORDER BY round({cosdc}, 4) DESC, c.centroid_id) AS rn
-            FROM d CROSS JOIN c WHERE d.vec_id > 4
+            FROM d CROSS JOIN ctrained c WHERE d.vec_id <> 4
         ) WHERE rn = 1
     )
     SELECT d.vec_id, round({cosdq}, 4) AS score
@@ -200,23 +282,24 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY score DESC, d.vec_id
     LIMIT 10
     """.format(
+        ctes=_kmeans_oracle_ctes(),
         cosqc=_COS_ORACLE_EXPR.format(a="c.cv", b="q.qv"),
         cosdc=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv"),
         cosdq=_COS_ORACLE_EXPR.format(a="d.v", b="q.qv"),
     ),
 )
 def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete IVF-ANN search path: rank centroids against the query,
-    probe only the nprobe=2 nearest cells, exact-score just those
-    candidates. With the table partitioned by centroid_id the probe is
-    partition pruning — the scan touches nprobe/nlist of the data instead
-    of all of it, which is the entire point of IVF at 100 TB. (Recall is
-    approximate by design: candidates outside probed cells are unseen.)"""
+    """The complete IVF-ANN search path over TRAINED centroids
+    (kmeans_centroids): rank centroids against the query, probe only the
+    nprobe=2 nearest cells, exact-score just those candidates. With the
+    table partitioned by centroid_id the probe is partition pruning — the
+    scan touches nprobe/nlist of the data instead of all of it, which is
+    the entire point of IVF at 100 TB. (Recall is approximate by design:
+    candidates outside probed cells are unseen — pinned by the recall@10
+    test vs brute force in tests/test_similarity.py.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.select("vec_id", as_double("embedding").alias("v"))
-    c = d.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
+    c = kmeans_centroids(d)
     q = d.filter(F.col("vec_id") == 4).select(F.col("v").alias("qv"))
 
     # nprobe=2 nearest centroids to the query (|centroids| rows — driver-ok)
@@ -229,14 +312,12 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("centroid_id")
     )
 
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("centroid_id"))
     assign = (
-        d.filter(F.col("vec_id") > 4)
+        d.filter(F.col("vec_id") != 4)
         .crossJoin(F.broadcast(c))
         .select("vec_id", "centroid_id", F.round(cosine(F.col("v"), F.col("cv")), 4).alias("s"))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(centroid_id, struct(s, -centroid_id))").alias("centroid_id"))
     )
 
     candidates = assign.join(F.broadcast(qprobe), "centroid_id", "left_semi")
@@ -264,7 +345,6 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_BANDS = 2
 _LSH_PLANES_PER_BAND = 8
-_EMB_DIM = 64
 
 
 def _sign_hyperplanes(n_planes: int, dim: int = _EMB_DIM) -> list[list[float]]:

@@ -1,0 +1,59 @@
+"""Trained-IVF invariants: k-means determinism and probe recall vs brute
+force (the approximation contract of ivf_probe_topk)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pdf_pipepline_spark.functions.vectors import as_double, cosine
+from etl_pdf_pipepline_spark.operators.similarity import (
+    IVF_K,
+    ivf_probe_topk,
+    kmeans_centroids,
+)
+from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_d(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    return emb.select("vec_id", as_double("embedding").alias("v"))
+
+
+def test_kmeans_deterministic_and_complete(spark, emb_d):
+    a = {r.centroid_id: r.cv for r in kmeans_centroids(emb_d).collect()}
+    b = {r.centroid_id: r.cv for r in kmeans_centroids(emb_d).collect()}
+    assert a == b  # fixed seed + fixed rounding => bit-identical reruns
+    assert set(a) <= set(range(IVF_K))
+    dims = {len(v) for v in a.values()}
+    assert dims == {64}
+
+
+def test_kmeans_centroids_move_from_seed(spark, emb_d):
+    seeds = {
+        r.vec_id: [float(x) for x in r.v]
+        for r in emb_d.filter(F.col("vec_id") < IVF_K).collect()
+    }
+    trained = {r.centroid_id: [float(x) for x in r.cv] for r in kmeans_centroids(emb_d).collect()}
+    # Lloyd means over many assigned vectors differ from any single seed
+    assert any(trained[c] != seeds[c] for c in trained)
+
+
+def test_ivf_probe_recall_at_10_vs_brute_force(spark, emb_d):
+    q = emb_d.filter(F.col("vec_id") == 4).select(F.col("v").alias("qv"))
+    brute = (
+        emb_d.filter(F.col("vec_id") != 4)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+    exact = {r.vec_id for r in brute.collect()}
+    probed = {r.vec_id for r in ivf_probe_topk(spark, SF_SMALL).collect()}
+    recall = len(exact & probed) / 10
+    # nprobe=2 of 4 trained cells: the near-neighbors of q overwhelmingly
+    # live in q's own (probed) cell; require a solid majority recovered.
+    assert recall >= 0.6, f"recall@10 = {recall} ({sorted(exact & probed)})"
