@@ -23,6 +23,7 @@ Re-expresses the reference's extract stage Spark-first:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -72,7 +73,7 @@ EXTRACTED_FIELDS = [
 ]
 
 
-def _parse_pymupdf(content: bytes) -> tuple[str, int]:  # pragma: no cover
+def _parse_pymupdf(content: bytes) -> tuple[str, int]:
     import fitz
 
     doc = fitz.open(stream=content, filetype="pdf")
@@ -93,10 +94,77 @@ def _parse_passthrough(content: bytes) -> tuple[str, int]:
     return text, max(1, text.count("\x0c") + 1)
 
 
-def extract_markdown(df: DataFrame, carry: list[str] | None = None) -> DataFrame:
+_PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
+
+
+def _parse_minipdf(content: bytes) -> tuple[str, int]:
+    """S4 alternate extractor: a minimal pure-Python PDF text parser —
+    the second implementation behind the extractor seam (the reference's
+    alternate is Google Vision OCR, google_vision_extractor.py:51-177;
+    this container ships no OCR/PDF libs, so the alternate is a real
+    parser for the uncompressed subset of PDF).
+
+    Scope (documented, tested): classic-PDF layout, uncompressed content
+    streams, text via Tj/TJ show operators with \\-escape handling. The
+    same parse-side guards as _parse_pymupdf: /Encrypt -> password
+    protected, page-object count cap. Raises on non-PDF or compressed-
+    only documents — callers fall back per extract_markdown's error
+    capture (M4)."""
+    if not content.startswith(b"%PDF-"):
+        raise ValueError("not_a_pdf")
+    if b"/Encrypt" in content:
+        raise ValueError("password_protected")
+    pages = len(_PAGE_OBJ_RE.findall(content))
+    if pages == 0:
+        raise ValueError("no_pages")
+    if pages > MAX_PAGE_COUNT:
+        raise ValueError("too_many_pages")
+
+    def _unescape(raw: bytes) -> str:
+        out = []
+        i = 0
+        while i < len(raw):
+            c = raw[i : i + 1]
+            if c == b"\\" and i + 1 < len(raw):
+                nxt = raw[i + 1 : i + 2]
+                out.append({b"n": b"\n", b"r": b"\r", b"t": b"\t"}.get(nxt, nxt))
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        return b"".join(out).decode("latin-1")
+
+    texts = []
+    for dict_part, stream in _STREAM_RE.findall(content):
+        if b"/Filter" in dict_part:  # compressed stream — out of scope
+            continue
+        for m in _TJ_RE.findall(stream):
+            texts.append(_unescape(m[1:-1]))
+    return " ".join(t for t in texts if t), pages
+
+
+PARSERS = {
+    "pymupdf": _parse_pymupdf,
+    "minipdf": _parse_minipdf,
+    "passthrough": _parse_passthrough,
+}
+
+
+def extract_markdown(
+    df: DataFrame, carry: list[str] | None = None, parser: str | None = None
+) -> DataFrame:
     """S3/S4 slot: binary → (markdown, page_count) via mapInPandas. Errors
     are captured per-row (error column), not raised — the reference's
     stop-on-failure (M4) is a driver policy applied on top.
+
+    `parser` selects the extractor implementation behind the seam
+    (reference S3 primary / S4 alternate): "pymupdf" (real codec when
+    installed), "minipdf" (pure-Python uncompressed-PDF parser),
+    "passthrough" (utf-8 text). None = best available (pymupdf else
+    passthrough — passthrough, not minipdf, because the test corpus is
+    text bytes with a %PDF- magic, not classic-layout PDFs).
 
     `carry` columns (e.g. scan-side file_hash/title) pass straight through
     the UDF, so downstream metadata needs NO self-join back onto the scan
@@ -104,10 +172,12 @@ def extract_markdown(df: DataFrame, carry: list[str] | None = None) -> DataFrame
     once per join branch (the parse being the dominant cost with a real
     PDF codec)."""
     carry = carry or []
+    if parser is not None and parser not in PARSERS:
+        raise ValueError(f"unknown parser {parser!r}; known: {sorted(PARSERS)}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parse = _parse_pymupdf if HAVE_PYMUPDF else _parse_passthrough
-        method = "pymupdf" if HAVE_PYMUPDF else "passthrough"
+        method = parser or ("pymupdf" if HAVE_PYMUPDF else "passthrough")
+        parse = PARSERS[method]
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in ("path", "markdown", "page_count", "method", "error")}
             for path, content in zip(pdf["path"], pdf["content"]):

@@ -1,0 +1,164 @@
+"""Both real-parser branches of the extract seam (S3/S4):
+- _parse_minipdf on hand-built classic-layout PDF bytes (no external lib
+  needed to construct or parse), including the password / page-cap guards
+- _parse_pymupdf's guard logic via an injected fake `fitz` module
+- extract_markdown(parser="minipdf") end-to-end through Spark binaryFile
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from etl_pdf_pipepline_spark.sources import extract as ex
+
+
+def build_pdf(page_texts: list[str], encrypt: bool = False, n_extra_pages: int = 0) -> bytes:
+    """Minimal classic-layout PDF: catalog -> pages -> page+stream objects,
+    uncompressed streams, one `(text) Tj` per page."""
+    objs: list[bytes] = []
+    n_pages = len(page_texts) + n_extra_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    objs.append(
+        f"2 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> endobj\n".encode()
+    )
+    for i in range(n_pages):
+        page_no, stream_no = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"{page_no} 0 obj << /Type /Page /Parent 2 0 R /Contents {stream_no} 0 R >>"
+            " endobj\n".encode()
+        )
+        text = page_texts[i] if i < len(page_texts) else ""
+        payload = f"BT /F1 12 Tf ({text}) Tj ET".encode("latin-1")
+        objs.append(
+            f"{stream_no} 0 obj << /Length {len(payload)} >> stream\n".encode()
+            + payload
+            + b"\nendstream endobj\n"
+        )
+    trailer = b"trailer << /Root 1 0 R"
+    if encrypt:
+        trailer += b" /Encrypt 9 0 R"
+    trailer += b" >>\n%%EOF"
+    return b"%PDF-1.4\n" + b"".join(objs) + trailer
+
+
+def test_minipdf_extracts_text_and_pages():
+    pdf = build_pdf(["Hello Spark", "Second page body"])
+    text, pages = ex._parse_minipdf(pdf)
+    assert pages == 2
+    assert "Hello Spark" in text and "Second page body" in text
+
+
+def test_minipdf_escape_handling():
+    pdf = build_pdf([r"paren \( inside \) and backslash \\ done"])
+    text, _ = ex._parse_minipdf(pdf)
+    assert "paren ( inside ) and backslash \\ done" in text
+
+
+def test_minipdf_password_guard():
+    with pytest.raises(ValueError, match="password_protected"):
+        ex._parse_minipdf(build_pdf(["secret"], encrypt=True))
+
+
+def test_minipdf_page_cap_guard():
+    pdf = build_pdf(["p"], n_extra_pages=ex.MAX_PAGE_COUNT)
+    with pytest.raises(ValueError, match="too_many_pages"):
+        ex._parse_minipdf(pdf)
+
+
+def test_minipdf_rejects_non_pdf_and_empty():
+    with pytest.raises(ValueError, match="not_a_pdf"):
+        ex._parse_minipdf(b"plain text")
+    with pytest.raises(ValueError, match="no_pages"):
+        ex._parse_minipdf(b"%PDF-1.4\nnothing else")
+
+
+def test_minipdf_skips_compressed_streams():
+    pdf = build_pdf(["visible"])
+    pdf = pdf.replace(
+        b"endobj\ntrailer",
+        b"endobj\n9 0 obj << /Length 4 /Filter /FlateDecode >> stream\n\x78\x9c\x03\x00"
+        b"\nendstream endobj\ntrailer",
+    )
+    text, pages = ex._parse_minipdf(pdf)
+    assert "visible" in text and pages == 1
+
+
+class _FakePage:
+    def __init__(self, text: str) -> None:
+        self._t = text
+
+    def get_text(self) -> str:
+        return self._t
+
+
+class _FakeDoc:
+    def __init__(self, texts, needs_pass=False):
+        self._pages = [_FakePage(t) for t in texts]
+        self.needs_pass = needs_pass
+        self.page_count = len(texts)
+        self.closed = False
+
+    def __iter__(self):
+        return iter(self._pages)
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture()
+def fake_fitz(monkeypatch):
+    made: dict[str, _FakeDoc] = {}
+    mod = types.ModuleType("fitz")
+
+    def open(stream: bytes, filetype: str):  # noqa: A001 - fitz API name
+        made["doc"] = _FakeDoc(*made.pop("next_args"))
+        return made["doc"]
+
+    mod.open = open
+    monkeypatch.setitem(sys.modules, "fitz", mod)
+    return made
+
+
+def test_pymupdf_branch_joins_pages(fake_fitz):
+    fake_fitz["next_args"] = (["page one", "page two"], False)
+    text, pages = ex._parse_pymupdf(b"%PDF-fake")
+    assert text == "page one\n\npage two" and pages == 2
+    assert fake_fitz["doc"].closed  # finally-close even on success
+
+
+def test_pymupdf_branch_password_guard(fake_fitz):
+    fake_fitz["next_args"] = (["x"], True)
+    with pytest.raises(ValueError, match="password_protected"):
+        ex._parse_pymupdf(b"%PDF-fake")
+    assert fake_fitz["doc"].closed
+
+
+def test_pymupdf_branch_page_cap(fake_fitz):
+    fake_fitz["next_args"] = ([""] * (ex.MAX_PAGE_COUNT + 1), False)
+    with pytest.raises(ValueError, match="too_many_pages"):
+        ex._parse_pymupdf(b"%PDF-fake")
+
+
+def test_extract_markdown_minipdf_end_to_end(spark, tmp_path):
+    (tmp_path / "good.pdf").write_bytes(build_pdf(["Distributed joins"]))
+    (tmp_path / "locked.pdf").write_bytes(build_pdf(["secret"], encrypt=True))
+    files = ex.with_validation(ex.scan_pdf_dir(spark, str(tmp_path)))
+    assert {r.validation_result for r in files.collect()} == {"valid"}
+    out = {
+        r.path.split("/")[-1]: r
+        for r in ex.extract_markdown(files, parser="minipdf").collect()
+    }
+    good, locked = out["good.pdf"], out["locked.pdf"]
+    assert good.error is None and "Distributed joins" in good.markdown
+    assert good.method == "minipdf" and good.page_count == 1
+    assert locked.markdown is None and "password_protected" in locked.error
+
+
+def test_extract_markdown_unknown_parser_rejected(spark):
+    df = spark.createDataFrame([("p", b"x")], ["path", "content"])
+    with pytest.raises(ValueError, match="unknown parser"):
+        ex.extract_markdown(df, parser="ocrish")
