@@ -60,6 +60,18 @@ class SparkEngine:
         self._tombstones: set[str] = set()
         self._next_upload_ord = 1
 
+    def close(self) -> dict[str, int]:
+        """Release session-pinned caches (bm25 live indexes, streaming
+        memory-sink tables) — the analogue of the reference's lifespan
+        shutdown hook (src/api/main.py:38-41)."""
+        from ..retrieval.bm25 import release_indexes
+        from ..streaming.events import release_stream_tables
+
+        return {
+            "indexes": release_indexes(),
+            "stream_tables": release_stream_tables(self.spark),
+        }
+
     # ------------------------------------------------------------------ docs
 
     def _base_docs(self) -> DataFrame:

@@ -66,7 +66,26 @@ def bm25_scores(
     # parquet/Delta table instead of executor memory (persist_index below).
     postings = build_postings(docs, id_col, text_col).cache()
     doc_stats = build_doc_stats(postings).cache()
+    _CACHED_INDEXES.append((postings, doc_stats))
     return _score_postings(postings, doc_stats, query_terms, k1, b)
+
+
+# Every live (cached) index registered here so long-lived sessions (the
+# REST API, notebook sessions) can drop them: each DISTINCT corpus lineage
+# pins one materialization in executor memory until released (re-caching
+# an identical canonical plan is a no-op, so per-query calls don't stack).
+_CACHED_INDEXES: list[tuple[DataFrame, DataFrame]] = []
+
+
+def release_indexes() -> int:
+    """Unpersist all cached live indexes; returns how many registrations
+    were dropped. Idempotent — double-unpersist is a Spark no-op."""
+    n = len(_CACHED_INDEXES)
+    for postings, doc_stats in _CACHED_INDEXES:
+        doc_stats.unpersist()
+        postings.unpersist()
+    _CACHED_INDEXES.clear()
+    return n
 
 
 def _score_postings(

@@ -61,21 +61,26 @@ def compact(spark, path: str, target_partitions: int) -> None:
     lake-maintenance pass. Uses repartition (full shuffle) rather than
     coalesce so output files are size-balanced, not input-lineage-skewed.
 
-    Swap order is crash-safe: the old directory is renamed ASIDE before
-    the rewrite moves into place, and deleted only once the new data is
-    live — at no point is the table path missing without a recoverable
-    copy. (Local-filesystem paths only: on an object store/HDFS this is a
-    table-format job — Delta OPTIMIZE — not directory renames.)"""
+    Swap: the rewrite lands in a sibling temp dir, then two atomic
+    renames put it live (old -> __old, tmp -> path). Data is never lost —
+    a complete copy exists on disk at every instant — but POSIX has no
+    atomic directory exchange, so there IS a sub-millisecond window
+    between the renames where the live path is absent; a concurrent
+    reader can hit it and a crash inside it needs the documented manual
+    step (rename the __old dir back). Serialize compaction with readers,
+    or use a table format whose manifest swap is atomic (Delta OPTIMIZE)
+    — which is also the right tool beyond local filesystems."""
+    import os
     import shutil
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__old"
     df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-    shutil.move(path, old)
+    os.rename(path, old)
     try:
-        shutil.move(tmp, path)
+        os.rename(tmp, path)
     except Exception:
-        shutil.move(old, path)  # roll back: restore the original directory
+        os.rename(old, path)  # roll back: restore the original directory
         raise
     shutil.rmtree(old)

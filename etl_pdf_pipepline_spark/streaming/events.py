@@ -66,7 +66,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(stage: DataFrame, output_mode: str) -> DataFrame:
-    """Drain the stream into a memory sink and return the result table."""
+    """Drain the stream into a memory sink and return the result table.
+
+    Each drain registers one in-memory temp view; long-lived sessions
+    should call release_stream_tables(spark) after consuming results —
+    the views otherwise pin their rows for the session's lifetime."""
     name = f"stream_result_{next(_SINK_COUNTER)}"
     q = (
         stage.writeStream.format("memory")
@@ -76,7 +80,21 @@ def run_available_now(stage: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _SINK_TABLES.append(name)
     return stage.sparkSession.table(name)
+
+
+_SINK_TABLES: list[str] = []
+
+
+def release_stream_tables(spark: SparkSession) -> int:
+    """Drop every memory-sink temp view created by run_available_now;
+    returns how many were dropped. Safe to call repeatedly."""
+    n = 0
+    for name in _SINK_TABLES:
+        n += bool(spark.catalog.dropTempView(name))
+    _SINK_TABLES.clear()
+    return n
 
 
 @query(

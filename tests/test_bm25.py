@@ -91,3 +91,19 @@ def test_property_bm25_invariants(texts, k):
     for r in out:
         assert r.score > 0
         assert r.doc_key in matching
+
+
+def test_release_indexes_unpersists_cached_postings(spark):
+    from etl_pdf_pipepline_spark.retrieval import bm25
+
+    df = spark.createDataFrame(
+        [(1, "spark joins shuffle"), (2, "window functions rank")], ["doc_id", "text"]
+    )
+    bm25.bm25_scores(df, "doc_id", "text", ["spark"]).collect()
+    assert len(bm25._CACHED_INDEXES) >= 1
+    cached = [p for p, _ in bm25._CACHED_INDEXES]
+    n = bm25.release_indexes()
+    assert n >= 1 and not bm25._CACHED_INDEXES
+    for p in cached:
+        assert not p.is_cached
+    assert bm25.release_indexes() == 0  # idempotent

@@ -74,3 +74,20 @@ def test_foreachbatch_ingest_exactly_once(spark, tmp_path):
     run_once()
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == 1000  # sf0.001 events rows; second run is a no-op
+
+
+def test_release_stream_tables_drops_memory_sinks(spark):
+    from etl_pdf_pipepline_spark.streaming import events as se
+
+    before = set(t.name for t in spark.catalog.listTables())
+    df = se.run_available_now(
+        se.stream_events(spark, "/root/testdata/sf0.001").groupBy("event_type").count(),
+        "complete",
+    )
+    assert df.count() > 0
+    created = set(t.name for t in spark.catalog.listTables()) - before
+    assert created
+    assert se.release_stream_tables(spark) >= 1
+    after = set(t.name for t in spark.catalog.listTables())
+    assert not (created & after)
+    assert se.release_stream_tables(spark) == 0
