@@ -249,7 +249,9 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounds per-term fan-out at (MAX_DF_FRAC·n)², and near-duplicates still
 # share plenty of sub-cap vocabulary — the Jaccard is over the capped
 # vocabulary on BOTH engines, so the oracle semantics match exactly.
-MAX_DF_FRAC = 0.10
+# 0.15 keeps genuine shared vocabulary alive on small corpora (0.10
+# emptied the 80-doc fixture) while still capping per-term fan-out.
+MAX_DF_FRAC = 0.15
 
 
 @query(

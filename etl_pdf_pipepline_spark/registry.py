@@ -49,14 +49,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The r1 driver gate stopped after the first 50 dict entries, leaving 28
+# operators locally-verified but driver-unproven (VERDICT.md "What's
+# wrong" #2). Iteration order is part of the driver contract, so it is
+# explicit: first everything the r1 gate never reached, then every query
+# whose plan or oracle changed this round, then the rest in registration
+# order — a budget-capped gate proves the unproven before re-proving the
+# proven, and successive rounds cover the union.
+_GATE_PRIORITY = [
+    # r1-unchecked (CORRECTNESS_r01.json complement)
+    "bm25_search",
+    "bm25_search_title_filtered",
+    "hybrid_rrf_search",
+    "routed_search",
+    "context_assembly",
+    "context_distinct_sources",
+    "embedding_lsh_pairs",
+    "events_hourly_rollup",
+    "events_json_props",
+    "events_top_users",
+    "events_user_gaps",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_daily_rollup_totals",
+    "events_asof_purchase_click",
+    "events_type_pivot",
+    "events_cube_day_type",
+    "events_range_join_attribution",
+    "events_user_rank_dist",
+    "approx_distinct_users",
+    "approx_value_quantiles",
+    "salted_skew_join",
+    "media_metadata",
+    "media_decode_filter",
+    "media_frame_sample",
+    "streaming_hourly_rollup",
+    "streaming_session_counts",
+    "streaming_dedup_counts",
+    # changed in r2 (new/edited plan or oracle)
+    "docs_stats_by_source",
+    "chunk_markdown_hybrid",
+    "dedup_ngram_jaccard",
+    "ivf_assignment",
+    "ivf_probe_topk",
+    "ann_cosine_topk",
+    "embedding_near_dup_pairs",
+    "label_centroids",
+]
+
+
+def _gate_order(names: list[str]) -> list[str]:
+    rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
+    return sorted(names, key=lambda n: (rank.get(n, len(rank)), names.index(n)))
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: rq.fn for name, rq in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _gate_order(list(_REGISTRY))}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {name: rq.oracle for name, rq in _REGISTRY.items() if rq.oracle is not None}
+    names = [n for n in _REGISTRY if _REGISTRY[n].oracle is not None]
+    return {name: _REGISTRY[name].oracle for name in _gate_order(names)}
 
 
 _LOADED = False
