@@ -69,10 +69,14 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The events clock is parquet TIMESTAMP(NANOS), which Spark's
         # vectorized reader rejects. Read nanos as raw int64 and rebuild a
         # microsecond timestamp (floor), matching how DuckDB/Arrow truncate
-        # nanos — keeps both engines on the identical clock.
+        # nanos — keeps both engines on the identical clock. Scaled copies
+        # (tools/gen_scale.py) store ts as plain int64 nanos; an already-
+        # timestamp ts (µs) passes through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,72 @@
+"""DuckDB baseline for the bench headline set: run each headline query's
+oracle SQL against the same parquet dir bench.py uses, min-of-2 timing,
+one JSON line — the apples-to-apples denominator for BENCH ratios.
+
+    python tools/bench_baseline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bench import HEADLINE
+from etl_pdf_pipepline_spark.registry import _REGISTRY, _ensure_loaded
+from etl_pdf_pipepline_spark.sources.catalog import TABLES
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    _ensure_loaded()
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table dir vs single file
+            path = f"{path}/*.parquet"
+        sel = f"SELECT * FROM read_parquet('{path}')"
+        if t == "events":
+            (ts_type,) = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{path}') LIMIT 1"
+            ).fetchone()
+            if ts_type == "BIGINT":  # scaled copies store int64 nanos
+                sel = (
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{path}')"
+                )
+        con.execute(f"CREATE VIEW {t} AS {sel}")
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = _REGISTRY[name].oracle
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warm (page cache, catalog)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_headline_total",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(m.group(1)) if m else -1.0,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
