@@ -23,7 +23,7 @@ training-data pipeline. Design notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, tokens
@@ -38,9 +38,11 @@ def word_shingles(text_col: Column | str, width: int = SHINGLE) -> Column:
     """Word w-shingles as an array; whole token string when < w tokens.
 
     Array-valued form for composition/tests. The hot path
-    (`shingle_rows`) avoids this expression: higher-order functions
-    (transform/slice) are interpreted, not codegen'd, and measured ~5×
-    slower than the posexplode+lead plan at sf0.1."""
+    (`shingle_rows`) avoids this expression: a per-shingle interpreted
+    lambda (transform's slice+concat per element) measured ~5× slower
+    than exploding the arrays_zip of w shifted slices, which does w
+    native slices per DOCUMENT and leaves concat_ws on the codegen
+    path per row."""
     toks = tokens(text_col)
     n = F.size(toks)
     shingled = F.transform(
@@ -51,26 +53,36 @@ def word_shingles(text_col: Column | str, width: int = SHINGLE) -> Column:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, width: int = SHINGLE) -> DataFrame:
-    """(__id, sh) — one row per word shingle, built on the codegen path:
-    posexplode tokens, window lead(1..w−1) partitioned by document. The
-    only shuffle is by document id, which downstream per-doc aggregations
-    (minhash) need anyway."""
+    """(__id, sh) — one row per word shingle, built NARROWLY (no exchange):
+    arrays_zip the w shifted slices of the token array, so element i of the
+    zipped array is struct(toks[i..i+w−1]); explode that and concat_ws the
+    struct fields. Only the zipped array feeds the generator — the token
+    array itself is not a downstream column, so each exploded row carries
+    one w-token struct, not a copy of the whole document's tokens.
+
+    The r1 form (posexplode + window lead(1..w−1) by document) shuffled
+    AND sorted every token row just to adjacency-join neighbors — at sf1
+    (~25M token rows) that window exchange dominated the minhash runtime.
+    This form keeps shingling inside the scan stage; the first exchange in
+    the whole minhash plan is then the groupBy(__id) aggregate, which
+    partial-aggregates map-side to k longs per document before shuffling
+    (measured 5.0 s → 2.2 s for dedup_minhash_signatures at sf1)."""
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-    big = base.filter(F.size("__toks") >= width)
-    t = big.select("__id", F.posexplode("__toks").alias("pos", "tok"))
-    w = Window.partitionBy("__id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, width)]
-    sh = (
-        t.select(
-            "__id",
-            F.concat_ws(" ", *parts).alias("sh"),
-            F.lead("tok", width - 1).over(w).alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .select("__id", "sh")
+    n = F.size("__toks")
+    m = n - (width - 1)  # number of shingles
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", F.lit(j + 1), m).alias(f"t{j}") for j in range(width)]
     )
-    small = base.filter(F.size("__toks") < width).select(
+    sh = (
+        base.filter(n >= width)
+        .select("__id", F.explode(zipped).alias("__z"))
+        .select(
+            "__id",
+            F.concat_ws(" ", *[F.col(f"__z.t{j}") for j in range(width)]).alias("sh"),
+        )
+    )
+    small = base.filter(n < width).select(
         "__id", F.concat_ws(" ", "__toks").alias("sh")
     )
     return sh.unionAll(small)
