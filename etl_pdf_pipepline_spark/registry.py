@@ -49,52 +49,55 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The r1 driver gate stopped after the first 50 dict entries, leaving 28
-# operators locally-verified but driver-unproven (VERDICT.md "What's
-# wrong" #2). Iteration order is part of the driver contract, so it is
-# explicit: first everything the r1 gate never reached, then every query
-# whose plan or oracle changed this round, then the rest in registration
-# order — a budget-capped gate proves the unproven before re-proving the
-# proven, and successive rounds cover the union.
+# The driver gate budget-caps at ~50 entries and iteration order is part
+# of the contract, so it is explicit. r3 ordering (VERDICT r2 ask #6):
+# broken-first — the 8 queries red in CORRECTNESS_r02 (7 NTZ crashes + 1
+# hash mismatch, both root causes fixed this round), then plans/oracles
+# changed since their last green driver row (the narrow-shingle minhash
+# rewrite landed AFTER the r2 gate ran, so its r1 row proves a deleted
+# plan), then the 28 queries only ever proven in r1 (code unchanged but
+# stale — rotation keeps union coverage converging), then the rest in
+# registration order.
 _GATE_PRIORITY = [
-    # r1-unchecked (CORRECTNESS_r01.json complement)
-    "bm25_search",
-    "bm25_search_title_filtered",
-    "hybrid_rrf_search",
-    "routed_search",
-    "context_assembly",
-    "context_distinct_sources",
-    "embedding_lsh_pairs",
-    "events_hourly_rollup",
-    "events_json_props",
-    "events_top_users",
+    # red in CORRECTNESS_r02 — fixed this round, must re-prove
     "events_user_gaps",
     "events_sessionization",
-    "events_sliding_window",
-    "events_daily_rollup_totals",
     "events_asof_purchase_click",
-    "events_type_pivot",
-    "events_cube_day_type",
     "events_range_join_attribution",
-    "events_user_rank_dist",
-    "approx_distinct_users",
-    "approx_value_quantiles",
-    "salted_skew_join",
-    "media_metadata",
-    "media_decode_filter",
-    "media_frame_sample",
     "streaming_hourly_rollup",
     "streaming_session_counts",
     "streaming_dedup_counts",
-    # changed in r2 (new/edited plan or oracle)
-    "docs_stats_by_source",
-    "chunk_markdown_hybrid",
-    "dedup_ngram_jaccard",
-    "ivf_assignment",
-    "ivf_probe_topk",
-    "ann_cosine_topk",
-    "embedding_near_dup_pairs",
-    "label_centroids",
+    "context_assembly",
+    # plan rewritten after the r2 gate ran (green row is for the old plan)
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    # r1-only green rows (never re-checked since)
+    "chunk_fixed_window",
+    "customer_balance_quartiles",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_hashes",
+    "doc_language_id",
+    "doc_lookup_filters",
+    "doc_quality_scores",
+    "doc_titles_from_filenames",
+    "doc_token_estimates",
+    "doc_token_stats",
+    "docs_after_source_purge",
+    "incremental_new_docs",
+    "priority_set_ops",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
 ]
 
 

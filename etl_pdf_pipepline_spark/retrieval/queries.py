@@ -186,8 +186,11 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM topk t JOIN documents d ON t.doc_id = d.doc_id
     ),
     cum AS (
-        SELECT rank, doc_id, source, tokens,
-               sum(tokens) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        -- widths pinned to the Spark result: row_number is INT there,
+        -- sum(INT) over a window is BIGINT (DuckDB would give BIGINT/
+        -- HUGEINT and the driver's value-hash is width-sensitive)
+        SELECT CAST(rank AS INT) AS rank, doc_id, source, tokens,
+               CAST(sum(tokens) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM budget
     )
     SELECT rank, doc_id, source, tokens, cum_tokens

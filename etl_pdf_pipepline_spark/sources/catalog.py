@@ -74,10 +74,27 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp ts (µs) passes through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_events_ts(df)
     return spark.read.parquet(path)
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events clock to a session-TZ TIMESTAMP once, at the
+    load boundary, so every downstream unix_millis/date_trunc works on one
+    type. Three shapes occur in the wild:
+      - bigint: raw int64 nanos (legacy nanosAsLong reads, scaled copies) —
+        rebuild a microsecond timestamp (floor), matching DuckDB/Arrow
+        nano truncation;
+      - timestamp_ntz: parquet timestamp[us] isAdjustedToUTC=false (the
+        driver's generator) — cast to TIMESTAMP under the pinned UTC
+        session zone, which is bit-for-bit the same instant;
+      - timestamp: already normalized, pass through."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

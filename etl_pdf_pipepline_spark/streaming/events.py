@@ -57,12 +57,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if raw_schema is None:
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         _SCHEMA_CACHE[key] = raw_schema
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    # Same ts normalization as the batch catalog (sources/catalog.py:
+    # _normalize_events_ts) — dispatch on the SOURCE dtype, never assume
+    # int64 nanos: the driver's parquet reads back TIMESTAMP_NTZ.
+    from ..sources.catalog import _normalize_events_ts
+
+    return _normalize_events_ts(stream)
 
 
 def run_available_now(stage: DataFrame, output_mode: str) -> DataFrame:
