@@ -71,6 +71,8 @@ _GATE_PRIORITY = [
     # plan rewritten after the r2 gate ran (green row is for the old plan)
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
+    # new in r3
+    "ocr_document_text",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
@@ -136,6 +138,7 @@ def _ensure_loaded() -> None:
     from .operators import events_queries  # noqa: F401
     from .operators import approx  # noqa: F401
     from .operators import multimodal  # noqa: F401
+    from .sources import ocr  # noqa: F401
     from .streaming import events as streaming_events  # noqa: F401
     from .retrieval import queries as retrieval_queries  # noqa: F401
 
