@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 
 
 def cents(c: Column | str, scale: int = 100) -> Column:
-    """Exact integer representation of a fixed-point double column."""
+    """Exact integer representation of a fixed-point double column.
+
+    floor(x*scale + 0.5), not round(): Spark's `round` on DoubleType drops
+    out of codegen into per-row BigDecimal (measured 3.2s vs 0.9s for one
+    sum over 6M rows at sf1 — it dominated TPC-H Q1). The money columns
+    are fixed-point with ≤2 decimals, so x*scale is mathematically
+    integral and only carries float noise (±1e-9): adding 0.5 and
+    flooring rounds to that nearest integer for either sign, and the
+    exact-.5 tie that would distinguish floor(+0.5) from HALF_UP cannot
+    occur. Matches DuckDB's round() on the same doubles bit-for-bit."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(col * scale, 0).cast("bigint")
+    return F.floor(col * scale + F.lit(0.5)).cast("bigint")
