@@ -1,6 +1,8 @@
-"""REST surface parity tests (reference src/api/routes/*) — exercised
-through the Flask frontend's test client; every behavior lives in
-api/engine.py so the FastAPI frontend shares it."""
+"""REST surface parity tests (reference src/api/routes/*), parametrized
+over every installed web framework: Flask (what this container ships) and
+FastAPI (the reference's framework, exercised when importable). Every
+behavior lives in api/engine.py, so both frontends must pass the same
+suite — the adapter below normalizes the two test-client APIs."""
 
 from __future__ import annotations
 
@@ -8,17 +10,99 @@ import io
 
 import pytest
 
-from etl_pdf_pipepline_spark.api.app import create_flask_app
+from etl_pdf_pipepline_spark.api.app import HAVE_FASTAPI, create_app, create_flask_app
 
 SF_SMALL = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def client(spark):
-    app = create_flask_app(spark, SF_SMALL)
-    app.config["TESTING"] = True
-    with app.test_client() as c:
-        yield c
+class _Resp:
+    def __init__(self, status_code: int, json_data, content: bytes):
+        self.status_code = status_code
+        self._json = json_data
+        self.data = content
+
+    def get_json(self):
+        return self._json
+
+
+class _FlaskClient:
+    def __init__(self, spark):
+        app = create_flask_app(spark, SF_SMALL)
+        app.config["TESTING"] = True
+        self._c = app.test_client()
+
+    def _wrap(self, r) -> _Resp:
+        try:
+            j = r.get_json(silent=True)
+        except Exception:
+            j = None
+        return _Resp(r.status_code, j, r.data)
+
+    def get(self, path):
+        return self._wrap(self._c.get(path))
+
+    def post(self, path, json=None):
+        return self._wrap(self._c.post(path, json=json))
+
+    def delete(self, path):
+        return self._wrap(self._c.delete(path))
+
+    def upload(self, path, filename, content: bytes):
+        return self._wrap(
+            self._c.post(
+                path,
+                data={"file": (io.BytesIO(content), filename)},
+                content_type="multipart/form-data",
+            )
+        )
+
+
+class _FastApiClient:  # pragma: no cover - runs only with fastapi installed
+    def __init__(self, spark):
+        from fastapi.testclient import TestClient
+
+        self._c = TestClient(create_app(spark, SF_SMALL))
+
+    def _wrap(self, r) -> _Resp:
+        try:
+            j = r.json()
+        except Exception:
+            j = None
+        return _Resp(r.status_code, j, r.content)
+
+    def get(self, path):
+        return self._wrap(self._c.get(path))
+
+    def post(self, path, json=None):
+        return self._wrap(self._c.post(path, json=json))
+
+    def delete(self, path):
+        return self._wrap(self._c.delete(path))
+
+    def upload(self, path, filename, content: bytes):
+        return self._wrap(
+            self._c.post(path, files={"file": (filename, content, "application/pdf")})
+        )
+
+
+def _frameworks():
+    out = ["flask"]
+    if HAVE_FASTAPI:
+        try:
+            import fastapi.testclient  # noqa: F401 (needs httpx)
+
+            out.append("fastapi")
+        except Exception:
+            pass
+    return out
+
+
+@pytest.fixture(scope="module", params=_frameworks())
+def client(request, spark):
+    if request.param == "flask":
+        yield _FlaskClient(spark)
+    else:
+        yield _FastApiClient(spark)
 
 
 def test_health(client):
@@ -94,33 +178,19 @@ def test_document_markdown(client):
 
 
 def test_upload_dedup_force_delete_cycle(client):
-    pdf = io.BytesIO(b"%PDF-1.4 spark streaming watermark aggregation test body")
-    r = client.post(
-        "/documents/upload",
-        data={"file": (pdf, "spark_guide.pdf")},
-        content_type="multipart/form-data",
-    )
+    body = b"%PDF-1.4 spark streaming watermark aggregation test body"
+    r = client.upload("/documents/upload", "spark_guide.pdf", body)
     assert r.status_code == 200
     up = r.get_json()
     assert up["status"] == "completed"
     doc_id = up["document_id"]
 
     # same bytes again -> skipped
-    pdf2 = io.BytesIO(b"%PDF-1.4 spark streaming watermark aggregation test body")
-    r2 = client.post(
-        "/documents/upload",
-        data={"file": (pdf2, "spark_guide.pdf")},
-        content_type="multipart/form-data",
-    )
+    r2 = client.upload("/documents/upload", "spark_guide.pdf", body)
     assert r2.get_json()["status"] == "skipped"
 
     # force=true -> reprocess under a fresh id, old id gone
-    pdf3 = io.BytesIO(b"%PDF-1.4 spark streaming watermark aggregation test body")
-    r3 = client.post(
-        "/documents/upload?force=true",
-        data={"file": (pdf3, "spark_guide.pdf")},
-        content_type="multipart/form-data",
-    )
+    r3 = client.upload("/documents/upload?force=true", "spark_guide.pdf", body)
     assert r3.get_json()["status"] == "completed"
     new_id = r3.get_json()["document_id"]
     assert new_id != doc_id
@@ -139,11 +209,7 @@ def test_upload_dedup_force_delete_cycle(client):
 
 
 def test_upload_rejects_non_pdf(client):
-    r = client.post(
-        "/documents/upload",
-        data={"file": (io.BytesIO(b"hello"), "notes.txt")},
-        content_type="multipart/form-data",
-    )
+    r = client.upload("/documents/upload", "notes.txt", b"hello")
     assert r.status_code == 400
 
 
