@@ -61,10 +61,16 @@ def main() -> None:
     # untimed pass per query builds both. Timed runs below are therefore
     # steady-state query latency, the same thing the DuckDB baseline
     # (compile-free, OS page cache warm) reports.
+    # Materialization is part of the measurement, via each engine's native
+    # bulk path: Arrow toPandas() here, fetch_df() in tools/bench_baseline.py.
+    # Row-at-a-time collect() through py4j was costing 3x on wide results
+    # (customer_order_profile at sf10: 7.9s collect vs 2.6s toPandas for
+    # the same plan) — that's serialization overhead, not query execution,
+    # and no consumer of a 1.5M-row result would choose Row objects.
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, sf_dir).collect()
+        qs[name](spark, sf_dir).toPandas()
         cold[name] = round(time.time() - t0, 3)
 
     # Timed phase: min of 2 repetitions per query (timeit convention) —
@@ -77,7 +83,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).collect()
+            qs[name](spark, sf_dir).toPandas()
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
 

@@ -309,11 +309,19 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.c_nationkey == n.n_nationkey,
     ).select("c_custkey", "n_name")
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    # Join order matters: applying the (broadcast) region-filtered dims to
+    # orders FIRST shrinks the orders side of the only real shuffle to the
+    # matching region (~1/5 of rows) and attaches n_name before lineitem
+    # ever joins — measured 7.5s -> ~2s at sf10. Catalyst won't reorder
+    # inner joins without CBO stats, so the plan encodes it.
+    o_asia = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        li.select("l_orderkey", rev.alias("rev_c"))
+        .join(o_asia, li.l_orderkey == o_asia.o_orderkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(rev).cast("double") / 10000, 2).alias("revenue"))
+        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 

@@ -47,11 +47,14 @@ def main() -> int:
         sql = _REGISTRY[name].oracle
         if sql is None:
             continue
-        con.execute(sql).fetchall()  # warm (page cache, catalog)
+        # fetch_df (Arrow/pandas) mirrors bench.py's toPandas — both sides
+        # measure execution + native bulk materialization, not row-object
+        # conversion overhead.
+        con.execute(sql).fetch_df()  # warm (page cache, catalog)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            con.execute(sql).fetchall()
+            con.execute(sql).fetch_df()
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
     print(
