@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import distinct_tokens, tokens
 from ..registry import query
@@ -512,4 +513,147 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 1)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the final
+    step of near-dedup at scale: LSH/SimHash emit PAIRS, but a dup GROUP
+    is the transitive closure of pairs (A~B, B~C ⇒ {A,B,C} keep one).
+
+    Each round every node takes min(own label, neighbors' labels); rounds
+    needed = graph diameter, and near-dup components are dense (usually
+    cliques), so 2-4 rounds converge in practice. Per round: one shuffle
+    (groupBy dst) + one broadcast-able join — the same shape GraphX/
+    GraphFrames use. localCheckpoint truncates the per-iteration lineage
+    (plan growth is otherwise exponential); on a cluster with a
+    checkpoint dir, `checkpoint()` gives the durable equivalent. The
+    convergence probe costs one count per round — the orchestration is
+    driver-side CONTROL FLOW, not driver-side data (labels never
+    collect)."""
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    adj = fwd.unionAll(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        adj.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels, adj["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE [array_to_string(toks, ' ')]
+               END AS shingles
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, {sig_cols}
+        FROM sh
+    ),
+    bands AS (
+        {band_union}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    cc(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    final AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id)
+    SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS component_size
+    FROM final ORDER BY doc_id
+""".format(
+    sig_cols=", ".join(
+        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8) AS BIGINT))) AS mh{i}"
+        for i in range(N_MINHASH)
+    ),
+    band_union="\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {bi} AS band_id, md5(CAST(mh{a} AS VARCHAR) || ':' || CAST(mh{b} AS VARCHAR)) AS band_key FROM sig"
+        for bi, (a, b) in enumerate(_LSH_BANDS)
+    ),
+)
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from LSH candidate pairs: transitive closure via
+    label propagation; component id = min doc_id in the group (the keep-
+    canonical-drop-rest policy of dedup pipelines). Only docs appearing
+    in ≥1 candidate pair are emitted — singletons need no dedup decision.
+    The DuckDB oracle mirrors the same pair generation and closes it with
+    a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    bands = None
+    for bi, (a, b) in enumerate(_LSH_BANDS):
+        band = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a_side = bands.alias("a")
+    b_side = bands.alias("b")
+    pairs = (
+        a_side.join(
+            b_side,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+        .withColumn("component_size", F.count("*").over(w))
+        .orderBy("doc_id")
     )

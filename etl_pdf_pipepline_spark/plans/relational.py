@@ -296,9 +296,17 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape. Dimension chain region→nation→customer is broadcast
-    (explicitly hinted); the only real shuffle is orders⋈lineitem on
-    orderkey, and the region filter prunes customers *before* that join."""
+    """TPC-H Q5 shape, canonical scale plan. Join ORDER is encoded (CBO is
+    off, Catalyst won't reorder): the tiny nation⋈region chain broadcasts
+    onto customer, region-filtered customers join orders on custkey, and
+    only then does lineitem join — so the region filter prunes BOTH big
+    joins' payloads. customer⋈orders is deliberately NOT hint-broadcast:
+    the filtered customer side is fact-sized (scales with the corpus), and
+    forcing it measured faster idle (4.1s vs 7.2s at sf10 local) but
+    degraded 3x under bench memory pressure and cannot survive a 100×
+    scale-up; AQE still auto-broadcasts it whenever it is genuinely small.
+    Shuffle payloads stay compact: the int nationkey rides the joins and
+    the 25-row name map attaches after the final 5-group aggregate."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -307,21 +315,18 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = c.join(
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         c.c_nationkey == n.n_nationkey,
-    ).select("c_custkey", "n_name")
+    ).select("c_custkey", "n_nationkey")
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
-    # Join order matters: applying the (broadcast) region-filtered dims to
-    # orders FIRST shrinks the orders side of the only real shuffle to the
-    # matching region (~1/5 of rows) and attaches n_name before lineitem
-    # ever joins — measured 7.5s -> ~2s at sf10. Catalyst won't reorder
-    # inner joins without CBO stats, so the plan encodes it.
-    o_asia = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
-        "o_orderkey", "n_name"
+    o_asia = o.join(dims, o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_nationkey"
     )
     return (
         li.select("l_orderkey", rev.alias("rev_c"))
         .join(o_asia, li.l_orderkey == o_asia.o_orderkey)
-        .groupBy("n_name")
+        .groupBy("n_nationkey")
         .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), "n_nationkey")
+        .select("n_name", "revenue")
         .orderBy(F.desc("revenue"), "n_name")
     )
 

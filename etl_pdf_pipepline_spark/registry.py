@@ -73,6 +73,7 @@ _GATE_PRIORITY = [
     "dedup_lsh_candidates",
     # new in r3
     "ocr_document_text",
+    "dedup_connected_components",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",

@@ -11,6 +11,8 @@ from etl_pdf_pipepline_spark.operators.dedup import (
     word_shingles,
 )
 
+SF_SMALL = "/root/testdata/sf0.001"
+
 
 def test_word_shingles_width3(spark):
     df = spark.createDataFrame([("a b c d",)], ["t"])
@@ -98,3 +100,36 @@ def test_jaccard_without_cap_pairs_everything(spark):
     assert n == 6  # all C(4,2) pairs
     n_capped = token_jaccard_pairs(df, "doc_id", "text", max_df_frac=0.5).count()
     assert n_capped == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_pdf_pipepline_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 → needs >1 round), island pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_connected_components_groups(spark):
+    from etl_pdf_pipepline_spark.operators.dedup import (
+        dedup_connected_components,
+        dedup_lsh_candidates,
+    )
+
+    rows = dedup_connected_components(spark, SF_SMALL).collect()
+    pairs = dedup_lsh_candidates(spark, SF_SMALL).collect()
+    in_pairs = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    # every paired doc gets a group; component id is the group minimum
+    assert {r.doc_id for r in rows} == in_pairs
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.doc_id for m in members)
+        assert all(m.component_size == len(members) for m in members)
+    # closure property: both endpoints of every candidate pair co-group
+    comp_of = {r.doc_id: r.component for r in rows}
+    assert all(comp_of[p.doc_a] == comp_of[p.doc_b] for p in pairs)
