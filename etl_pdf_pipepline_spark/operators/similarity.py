@@ -385,10 +385,7 @@ def lsh_band_bucket(v, band: int) -> F.Column:
     return acc
 
 
-@query(
-    "embedding_lsh_pairs",
-    oracle="""
-    WITH d AS (
+_ELSH_CTES = """d AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
@@ -399,16 +396,25 @@ def lsh_band_bucket(v, band: int) -> F.Column:
         UNION
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
         FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, round({cos}, 4) AS score
-    FROM cand
-    WHERE round({cos}, 4) >= 0.3
-    ORDER BY score DESC, vec_a, vec_b
-    """.format(
-        b0=_lsh_band_sql(0),
-        b1=_lsh_band_sql(1),
-        cos=_COS_ORACLE_EXPR.format(a="va", b="vb"),
     ),
+    lsh_pairs AS (
+        SELECT vec_a, vec_b, round({cos}, 4) AS score
+        FROM cand
+        WHERE round({cos}, 4) >= 0.3
+    )""".format(
+    b0=_lsh_band_sql(0),
+    b1=_lsh_band_sql(1),
+    cos=_COS_ORACLE_EXPR.format(a="va", b="vb"),
+)
+
+
+@query(
+    "embedding_lsh_pairs",
+    oracle=f"""
+    WITH {_ELSH_CTES}
+    SELECT vec_a, vec_b, score FROM lsh_pairs
+    ORDER BY score DESC, vec_a, vec_b
+    """,
 )
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH near-dup pairs: each vector gets one bucket key per
@@ -448,4 +454,43 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("vec_a", "vec_b", score.alias("score"))
         .filter(~F.isnan("score") & (F.col("score") >= 0.3))
         .orderBy(F.desc("score"), "vec_a", "vec_b")
+    )
+
+
+@query(
+    "embedding_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_ELSH_CTES},
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM lsh_pairs
+        UNION ALL SELECT vec_b, vec_a FROM lsh_pairs
+    ),
+    cc(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    final AS (SELECT id AS vec_id, min(label) AS component FROM cc GROUP BY id)
+    SELECT vec_id, component, count(*) OVER (PARTITION BY component) AS component_size
+    FROM final ORDER BY vec_id
+    """,
+)
+def embedding_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup GROUPS: transitive closure over the banded
+    sign-LSH cosine pairs — the embedding-side twin of
+    dedup_connected_components (same label-propagation core,
+    operators/dedup.py::connected_components; same recursive-CTE oracle
+    shape). Cosine chains are exactly why closure matters here: A~B and
+    B~C at 0.3 does NOT imply A~C scores over threshold, yet a semantic
+    dedup policy must treat {{A,B,C}} as one group with one canonical
+    representative (min vec_id)."""
+    from .dedup import connected_components
+
+    pairs = embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, src_col="vec_a", dst_col="vec_b")
+    w = Window.partitionBy("component")
+    return (
+        labels.select(F.col("id").alias("vec_id"), F.col("label").alias("component"))
+        .withColumn("component_size", F.count("*").over(w))
+        .orderBy("vec_id")
     )

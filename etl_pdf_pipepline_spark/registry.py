@@ -74,6 +74,7 @@ _GATE_PRIORITY = [
     # new in r3
     "ocr_document_text",
     "dedup_connected_components",
+    "embedding_cluster_components",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
