@@ -75,6 +75,7 @@ _GATE_PRIORITY = [
     "ocr_document_text",
     "dedup_connected_components",
     "embedding_cluster_components",
+    "streaming_click_purchase_join",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",

@@ -121,7 +121,9 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     final watermark hasn't passed). Matches the batch rollup bit-for-bit:
     1-hour tumbling windows are epoch-aligned, i.e. date_trunc('hour')."""
     ev = stream_events(spark, sf_dir)
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    from ..functions.money import cents as _cents
+
+    cents = _cents("value")
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -242,3 +244,56 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return run_available_now(agg, "complete").orderBy("event_type")
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50) c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 50) p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks on BOTH sides — the
+    fourth Structured Streaming capability class (after windowed agg,
+    arbitrary state, stateful dedup): pair every purchase with the same
+    user's clicks in the preceding day. The time-range predicate plus
+    the two watermarks is what lets Spark BOUND the join state — each
+    side's buffered rows age out as the other side's watermark passes
+    (without the range condition the state store grows forever; Spark
+    rejects append-mode stream-stream joins lacking one). Append output:
+    matches emit exactly once, when both watermarks clear them. The
+    batch oracle is the same interval join run on the static table."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return run_available_now(joined, "append").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
