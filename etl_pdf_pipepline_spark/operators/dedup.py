@@ -186,8 +186,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
 
-_LSH_ORACLE = """
-    WITH toks AS (
+# Shared CTE chain: documents → shingles → minhash signatures → band keys.
+# Every minhash-family oracle (_LSH_ORACLE, _CC_ORACLE, curation) composes
+# on top of this one body so the two engines' pair generation can never
+# drift apart between queries.
+_LSH_CTE_BODY = """toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
         FROM documents
@@ -207,13 +210,7 @@ _LSH_ORACLE = """
     ),
     bands AS (
         {band_union}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band_id) AS n_bands
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    ORDER BY doc_a, doc_b
-""".format(
+    )""".format(
     sig_cols=", ".join(
         f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8) AS BIGINT))) AS mh{i}"
         for i in range(N_MINHASH)
@@ -223,6 +220,15 @@ _LSH_ORACLE = """
         for bi, (a, b) in enumerate(_LSH_BANDS)
     ),
 )
+
+_LSH_ORACLE = f"""
+    WITH {_LSH_CTE_BODY}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band_id) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY doc_a, doc_b
+"""
 
 
 @query("dedup_lsh_candidates", oracle=_LSH_ORACLE)
@@ -569,28 +575,8 @@ def connected_components(
     return labels
 
 
-_CC_ORACLE = """
-    WITH RECURSIVE toks AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) >= 3
-                    THEN list_transform(range(1, len(toks) - 1),
-                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-                    ELSE [array_to_string(toks, ' ')]
-               END AS shingles
-        FROM toks
-    ),
-    sig AS (
-        SELECT doc_id, {sig_cols}
-        FROM sh
-    ),
-    bands AS (
-        {band_union}
-    ),
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_LSH_CTE_BODY},
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -608,16 +594,7 @@ _CC_ORACLE = """
     final AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id)
     SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS component_size
     FROM final ORDER BY doc_id
-""".format(
-    sig_cols=", ".join(
-        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8) AS BIGINT))) AS mh{i}"
-        for i in range(N_MINHASH)
-    ),
-    band_union="\n        UNION ALL\n        ".join(
-        f"SELECT doc_id, {bi} AS band_id, md5(CAST(mh{a} AS VARCHAR) || ':' || CAST(mh{b} AS VARCHAR)) AS band_key FROM sig"
-        for bi, (a, b) in enumerate(_LSH_BANDS)
-    ),
-)
+"""
 
 
 @query("dedup_connected_components", oracle=_CC_ORACLE)
@@ -656,4 +633,100 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
         .withColumn("component_size", F.count("*").over(w))
         .orderBy("doc_id")
+    )
+
+
+# Quality gate thresholds for the curation pipeline — deliberately simple
+# predicates every engine can evaluate identically; the full quality-score
+# family lives in operators/textstats.py.
+CURATION_MIN_TOKENS = 20
+CURATION_MAX_AVG_WORD_LEN = 12.0
+
+
+@query(
+    "corpus_curation_stats",
+    oracle=f"""
+    WITH {_LSH_CTE_BODY},
+    near_rejects AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    quality AS (
+        SELECT d.doc_id, d.lang,
+               len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t <> '')) AS n_tokens,
+               CAST(length(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE)
+                   / greatest(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t <> '')), 1) AS awl
+        FROM documents d
+    ),
+    kept AS (
+        SELECT q.doc_id, q.lang, q.n_tokens
+        FROM quality q
+        JOIN exact_keep e ON q.doc_id = e.doc_id
+        LEFT JOIN near_rejects r ON q.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL
+          AND q.n_tokens >= {CURATION_MIN_TOKENS}
+          AND q.awl <= {CURATION_MAX_AVG_WORD_LEN}
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 2) AS avg_tokens
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training corpus actually runs,
+    as ONE composed plan: quality gate (token count + avg word length) →
+    exact dedup (keep min doc_id per content digest) → near-dup rejection
+    (drop the non-canonical side of every LSH candidate pair) → per-
+    language corpus stats. Composition is the point: each stage is an
+    already-proven operator, and the fused plan shares ONE scan+tokenize
+    of the corpus across the quality metrics and the minhash shingles.
+    Scale shape: exact-keep is a digest groupBy; near-rejects is the
+    banded LSH join (never O(n²)); the joins against documents are
+    key-only semi/anti joins; the final agg is 5 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("awl"),
+    )
+    exact_keep = (
+        docs.select(F.md5("text").alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_rejects = (
+        dedup_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        quality.join(exact_keep, "doc_id", "left_semi")
+        .join(near_rejects, "doc_id", "left_anti")
+        .filter(
+            (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+            & (F.col("awl") <= CURATION_MAX_AVG_WORD_LEN)
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 2
+            ).alias("avg_tokens"),
+        )
+        .orderBy("lang")
     )

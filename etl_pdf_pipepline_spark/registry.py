@@ -76,6 +76,7 @@ _GATE_PRIORITY = [
     "dedup_connected_components",
     "embedding_cluster_components",
     "streaming_click_purchase_join",
+    "corpus_curation_stats",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
