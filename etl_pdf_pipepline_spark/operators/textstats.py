@@ -209,3 +209,46 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Per-language sampling rates (percent). The mechanism is the point: rate
+# rebalancing of a skewed corpus (downsample the dominant language) with a
+# DETERMINISTIC hash predicate instead of rand() — reruns, retries, and
+# both engines pick the exact same rows, which no seeded rand() gives you
+# across engines.
+SAMPLE_RATES = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 80}
+_SAMPLE_DEFAULT = 50
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang FROM hashed
+    WHERE bucket < CASE lang
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))}
+        ELSE {_SAMPLE_DEFAULT} END
+    ORDER BY doc_id
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling via hash-bucket thresholds: doc_id
+    hashes to a bucket in [0,100) and each language keeps buckets below
+    its rate — downsampling the dominant language to rebalance the
+    corpus. Unlike sampleBy/rand(), the hash predicate is deterministic
+    across reruns, retries, and engines (md5 is bit-identical in Spark
+    and DuckDB), and it is a pure scan-side filter: no shuffle, no state,
+    trivially pushable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for k, v in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return docs.select("doc_id", "lang").filter(bucket < rate).orderBy("doc_id")

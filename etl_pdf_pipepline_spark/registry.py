@@ -77,6 +77,7 @@ _GATE_PRIORITY = [
     "embedding_cluster_components",
     "streaming_click_purchase_join",
     "corpus_curation_stats",
+    "doc_stratified_sample",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
