@@ -133,3 +133,39 @@ def test_dedup_connected_components_groups(spark):
     # closure property: both endpoints of every candidate pair co-group
     comp_of = {r.doc_id: r.component for r in rows}
     assert all(comp_of[p.doc_a] == comp_of[p.doc_b] for p in pairs)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation vs a classic union-find reference on a seeded
+    random graph (stars, chains, cliques, singleton pairs all emerge at
+    this density)."""
+    import random
+
+    from etl_pdf_pipepline_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    nodes = list(range(60))
+    edges = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id reachable, matching the operator
+    expected = {}
+    for n in {x for e in edges for x in e}:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = {n: min(group) for root, group in expected.items() for n in group}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.id: r.label for r in connected_components(df).collect()}
+    assert got == want
