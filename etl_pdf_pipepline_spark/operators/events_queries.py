@@ -486,3 +486,77 @@ def events_user_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "n", "user_id")
     )
+
+
+@query(
+    "events_funnel_counts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_view_prev
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, event_type,
+               (event_type = 'click' AND seen_view_prev = 1) AS click_ok
+        FROM f
+    ),
+    h AS (
+        SELECT user_id, event_type, click_ok,
+               max(CASE WHEN click_ok THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_click_prev
+        FROM g
+    )
+    SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_viewers,
+           count(DISTINCT CASE WHEN click_ok THEN user_id END) AS n_clickers,
+           count(DISTINCT CASE WHEN event_type = 'purchase' AND seen_click_prev = 1
+                 THEN user_id END) AS n_purchasers
+    FROM h
+    """,
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user advances
+    a stage only by an event strictly AFTER an event that completed the
+    previous stage (ordering total via (ts, event_id)). Sequential-pattern
+    semantics via two stacked user-partitioned running-max windows — both
+    windows share ONE shuffle on user_id (same partitioning, Spark plans a
+    single Exchange), and the distinct-user funnel counts aggregate the
+    flagged stream. The window-state shape survives scale: per-user state
+    is two bits, not an event buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen_view_prev = F.max(
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+    ).over(w_prev)
+    staged = ev.select(
+        "user_id", "ts", "event_id", "event_type", seen_view_prev.alias("svp")
+    ).withColumn(
+        "click_ok", (F.col("event_type") == "click") & (F.col("svp") == 1)
+    )
+    seen_click_prev = F.max(
+        F.when(F.col("click_ok"), 1).otherwise(0)
+    ).over(w_prev)
+    flagged = staged.select(
+        "user_id", "event_type", "click_ok", seen_click_prev.alias("scp")
+    )
+    return flagged.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_viewers"),
+        F.countDistinct(F.when(F.col("click_ok"), F.col("user_id"))).alias(
+            "n_clickers"
+        ),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("scp") == 1),
+                F.col("user_id"),
+            )
+        ).alias("n_purchasers"),
+    )

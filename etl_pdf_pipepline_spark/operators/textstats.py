@@ -252,3 +252,48 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in sorted(SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
     return docs.select("doc_id", "lang").filter(bucket < rate).orderBy("doc_id")
+
+
+TOP_TERMS_K = 5
+
+
+@query(
+    "corpus_top_terms_per_lang",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term
+    )
+    SELECT lang, term, n,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rank
+    FROM counts
+    QUALIFY rank <= {TOP_TERMS_K}
+    ORDER BY lang, rank
+    """,
+)
+def corpus_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-K terms per language by raw
+    occurrence count — the explode → partial-agg → windowed-top-k shape.
+    Scale notes: the explosion (one row per token) partial-aggregates
+    map-side before the (lang, term) shuffle, so shuffled volume is the
+    per-partition vocabulary, not the token stream; the ranking window
+    runs on the aggregated vocabulary table (≈ |vocab| × |langs| rows),
+    never on token rows — windows over raw streams are where top-k
+    queries die at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .orderBy("lang", "rank")
+    )

@@ -78,6 +78,8 @@ _GATE_PRIORITY = [
     "streaming_click_purchase_join",
     "corpus_curation_stats",
     "doc_stratified_sample",
+    "corpus_top_terms_per_lang",
+    "events_funnel_counts",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
