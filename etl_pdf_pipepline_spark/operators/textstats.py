@@ -297,3 +297,51 @@ def corpus_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_TERMS_K)
         .orderBy("lang", "rank")
     )
+
+
+# Benchmark-contamination probes: n-gram phrases from a (stand-in) eval
+# set. At 100 TB the probe set is thousands of n-grams broadcast to every
+# executor; the scan stays a single pass over the corpus.
+CONTAMINATION_PROBES = (
+    "hash join",
+    "sort merge",
+    "window agg",
+    "broadcast exchange",
+    "shuffle partition",
+)
+
+
+@query(
+    "corpus_contamination_probe",
+    oracle="""
+    WITH probes(probe) AS (VALUES {values})
+    SELECT p.probe,
+           CAST(count(CASE WHEN contains(d.text, p.probe) THEN 1 END) AS BIGINT) AS n_docs,
+           round(CAST(count(CASE WHEN contains(d.text, p.probe) THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS frac_docs
+    FROM documents d CROSS JOIN probes p
+    GROUP BY p.probe ORDER BY p.probe
+    """.format(values=", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)),
+)
+def corpus_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination scan: for each probe n-gram, how many
+    documents contain it verbatim. The probe set broadcasts (a real one
+    is thousands of benchmark n-grams); the corpus is scanned ONCE with
+    the probe cross join evaluated as a per-row substring test — no
+    shuffle until the per-probe aggregate, which is |probes| groups. At
+    scale the contains() test upgrades to an Aho-Corasick automaton in a
+    mapInPandas, same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = spark.createDataFrame(
+        [(p,) for p in CONTAMINATION_PROBES], "probe string"
+    )
+    hit = F.when(F.contains(F.col("text"), F.col("probe")), 1)
+    return (
+        docs.crossJoin(F.broadcast(probes))
+        .groupBy("probe")
+        .agg(
+            F.count(hit).cast("bigint").alias("n_docs"),
+            F.round(F.count(hit).cast("double") / F.count("*"), 6).alias("frac_docs"),
+        )
+        .orderBy("probe")
+    )

@@ -80,6 +80,7 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_top_terms_per_lang",
     "events_funnel_counts",
+    "corpus_contamination_probe",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
