@@ -690,14 +690,19 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded LSH join (never O(n²)); the joins against documents are
     key-only semi/anti joins; the final agg is 5 groups."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # Stage the split once (Catalyst does not CSE higher-order exprs —
+    # same fix as doc_token_stats, measured 2x there).
     quality = docs.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
+        F.size(tokens("text")).alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("nonws"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
         (
-            F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double")
-            / F.greatest(F.size(toks), F.lit(1))
+            F.col("nonws").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
         ).alias("awl"),
     )
     exact_keep = (
