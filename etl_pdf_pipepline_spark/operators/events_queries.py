@@ -560,3 +560,57 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_purchasers"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS activity_week
+        FROM events e
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) / 7 AS INT) AS week_offset,
+           count(DISTINCT f.user_id) AS n_users
+    FROM first_signup f JOIN activity a ON a.user_id = f.user_id
+    WHERE a.activity_week >= f.cohort_week
+      AND date_diff('day', f.cohort_week, a.activity_week) / 7 <= 8
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-signup week,
+    counted in each later week they were active (0..8 week offsets) —
+    the classic retention triangle. Plan shape: first-signup is a
+    per-user min aggregate; activity is a per-(user, week) distinct —
+    both partial-aggregate map-side before their user_id shuffles, and
+    the cohort join is user-keyed (AQE broadcasts the signup side when
+    small). The final matrix is |cohorts| x 9 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    offset = (F.datediff("activity_week", "cohort_week") / 7).cast("int")
+    return (
+        first_signup.join(activity, "user_id")
+        .filter(
+            (F.col("activity_week") >= F.col("cohort_week"))
+            & (F.datediff("activity_week", "cohort_week") / 7 <= 8)
+        )
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -81,6 +81,7 @@ _GATE_PRIORITY = [
     "corpus_top_terms_per_lang",
     "events_funnel_counts",
     "corpus_contamination_probe",
+    "events_retention_cohorts",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
