@@ -614,3 +614,66 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+        SELECT event_type, day, n,
+               avg(n) OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma,
+               count(*) OVER w AS n_window
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           round((n - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_window = 7 AND sigma > 0 AND abs((n - mu) / sigma) >= 2.0
+    ORDER BY event_type, day
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day) count scored
+    against the trailing 7 FULL days' mean/stddev (frame excludes the
+    current row — scoring a point against a window containing itself
+    dilutes the signal), flagging |z| >= 2. The rolling frame runs over
+    the DAILY aggregate (|types| x |days| rows), never raw events — same
+    discipline as the top-terms window. Incomplete leading windows are
+    excluded (n_window = 7), not scored against a short baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_window"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(
+            (F.col("n_window") == 7) & (F.col("sigma") > 0) & (F.abs(z) >= 2.0)
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )

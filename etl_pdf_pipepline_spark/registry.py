@@ -82,6 +82,7 @@ _GATE_PRIORITY = [
     "events_funnel_counts",
     "corpus_contamination_probe",
     "events_retention_cohorts",
+    "events_anomaly_zscore",
     # r1-only green rows (never re-checked since)
     "chunk_fixed_window",
     "customer_balance_quartiles",
