@@ -50,66 +50,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r3 ordering (VERDICT r2 ask #6):
-# broken-first — the 8 queries red in CORRECTNESS_r02 (7 NTZ crashes + 1
-# hash mismatch, both root causes fixed this round), then plans/oracles
-# changed since their last green driver row (the narrow-shingle minhash
-# rewrite landed AFTER the r2 gate ran, so its r1 row proves a deleted
-# plan), then the 28 queries only ever proven in r1 (code unchanged but
-# stale — rotation keeps union coverage converging), then the rest in
-# registration order.
+# of the contract, so it is explicit. r4 ordering (VERDICT r3 ask #1):
+# code-touched-first — the 14 queries whose plans/oracles changed in r3
+# AFTER the r3 gate ran (2 rewritten TPC-H plans, 4 inheriting the
+# cents() change, 8 events_* reads inheriting the NTZ normalization)
+# currently have driver rows proving deleted code; they go first.  Then
+# queries touched THIS round (perf rewrites + new registrations), then
+# every remaining query whose latest driver row is r2, so after r4 every
+# registered query's latest row proves current code.  Invariant adopted
+# from VERDICT r3: any query whose plan/oracle changes enters the next
+# gate's top-50.
 _GATE_PRIORITY = [
-    # red in CORRECTNESS_r02 — fixed this round, must re-prove
-    "events_user_gaps",
-    "events_sessionization",
-    "events_asof_purchase_click",
-    "events_range_join_attribution",
-    "streaming_hourly_rollup",
-    "streaming_session_counts",
-    "streaming_dedup_counts",
-    "context_assembly",
-    # plan rewritten after the r2 gate ran (green row is for the old plan)
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    # new in r3
-    "ocr_document_text",
+    # r3-touched, driver row still r2 (proves pre-rewrite code) — re-prove
+    "revenue_by_nation",
+    "shipping_priority_top10",
+    "brand_price_stats",
+    "customer_order_profile",
+    "top_orders_by_value",
+    "running_spend_budget",
+    "events_hourly_rollup",
+    "events_daily_rollup_totals",
+    "events_sliding_window",
+    "events_top_users",
+    "events_type_pivot",
+    "events_cube_day_type",
+    "events_user_rank_dist",
+    "events_json_props",
+    # touched / added in r4 — need current-code rows
+    "doc_token_stats",
+    "ann_cosine_topk",
+    "chunk_fixed_window",
     "dedup_connected_components",
     "embedding_cluster_components",
-    "streaming_click_purchase_join",
-    "corpus_curation_stats",
-    "doc_stratified_sample",
-    "corpus_top_terms_per_lang",
-    "events_funnel_counts",
-    "corpus_contamination_probe",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    # r1-only green rows (never re-checked since)
-    "chunk_fixed_window",
-    "customer_balance_quartiles",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_bpe_token_counts",
-    "doc_fingerprints",
-    "doc_hashes",
-    "doc_language_id",
-    "doc_lookup_filters",
-    "doc_quality_scores",
-    "doc_titles_from_filenames",
-    "doc_token_estimates",
-    "doc_token_stats",
-    "docs_after_source_purge",
-    "incremental_new_docs",
-    "priority_set_ops",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q4_order_priority",
-    "q7_volume_shipping",
+    "bm25_search_title_weighted",
+    # remaining r2-latest rows (code unchanged; rotate forward so the
+    # union of latest driver rows all proves current code)
+    "approx_distinct_users",
+    "approx_value_quantiles",
+    "bm25_search",
+    "bm25_search_title_filtered",
+    "chunk_markdown_hybrid",
+    "context_distinct_sources",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_ngram_jaccard",
+    "docs_stats_by_source",
+    "embedding_lsh_pairs",
+    "embedding_near_dup_pairs",
+    "hybrid_rrf_search",
+    "ivf_assignment",
+    "ivf_probe_topk",
+    "label_centroids",
+    "lineitem_after_order_purge",
+    "media_decode_filter",
+    "media_frame_sample",
+    "media_metadata",
+    "order_sequence_window",
+    "routed_search",
+    "salted_skew_join",
+    "segment_acctbal_stats",
 ]
 
 
