@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import title_from_filename
 from ..functions.vectors import as_double, cosine
 from ..registry import query
 from ..sources.catalog import load_table
@@ -87,6 +88,107 @@ def bm25_search_title_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl, df) are those of the filtered corpus."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("source").contains("src1"))
     return bm25_topk(docs, "doc_id", "text", QUERY_TERMS, 10).withColumnRenamed("doc_key", "doc_id")
+
+
+# Title-weighted search: the reference's FTS index covers document_title
+# AND text (/root/reference/src/load/lancedb_store.py:104-112) with a 2.0×
+# title boost planned in plans/etl-pipeline-plan.md:1131-1158. Query terms
+# chosen to exercise both fields: 'spark'/'table' live in text, 'report'
+# is in every derived title (near-zero idf — sanity ballast), 'src1' is in
+# ~1/20 of titles and nowhere in text (the discriminating title hit).
+TITLE_BOOST = 2.0
+TW_QUERY_TERMS = ["spark", "table", "report", "src1"]
+_TW_QTERMS_SQL = "[" + ", ".join(f"'{t}'" for t in TW_QUERY_TERMS) + "]"
+
+# Mirror of _BM25_CTES over the derived title field (same regex chain as
+# the doc_titles_from_filenames oracle).
+_TITLE_BM25_CTES = """
+    titles AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(source || '_report_' || CAST(doc_id AS VARCHAR) || '.pdf', '\\.pdf$', ''),
+                           '^[A-Z]{{2,3}}[0-9]{{2,4}}[ _-]*', ''),
+                       '[_-][0-9]{{4,8}}$', ''),
+                   '[_-]+', ' ', 'g')) AS title
+        FROM documents
+    ),
+    ttoks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(title), '\\s+'), t -> t <> '')) AS term
+        FROM titles
+    ),
+    ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+    tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+    tstats AS (
+        SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM tdl
+    ),
+    tdfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM ttf
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    tbm25 AS (
+        SELECT ttf.doc_id,
+               sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                    * (ttf.tf * 2.2)
+                    / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+        FROM ttf
+        JOIN qterms q ON ttf.term = q.term
+        JOIN tdfreq d ON ttf.term = d.term
+        JOIN tdl      ON ttf.doc_id = tdl.doc_id
+        CROSS JOIN tstats s
+        GROUP BY ttf.doc_id
+    )
+""".format()
+
+
+@query(
+    "bm25_search_title_weighted",
+    oracle=f"""
+    WITH {_bm25_ctes(qterms=_TW_QTERMS_SQL)},
+    {_TITLE_BM25_CTES}
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM (
+        SELECT doc_id, score AS s FROM bm25
+        UNION ALL
+        SELECT doc_id, score * {TITLE_BOOST} AS s FROM tbm25
+    )
+    GROUP BY doc_id
+    ORDER BY round(sum(s), 4) DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_search_title_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S12/Q2 field parity (VERDICT r3 ask #6): the FTS index
+    covers document_title AND text (lancedb_store.py:104-112); a title
+    match lifts a result with the planned 2.0× boost
+    (plans/etl-pipeline-plan.md:1131-1158). Scored as per-field BM25
+    (each field has its own dl/avgdl/df — the BM25F-style decomposition)
+    fused join-free: union the two scored sets with the boost applied,
+    one groupBy-sum. Both scored sets are posting-list-sized (docs
+    matching ≥1 query term), so the fusion aggregate never touches the
+    corpus; titles derive from filenames exactly as F10 does."""
+    docs = load_table(spark, sf_dir, "documents")
+    fname = F.concat(
+        F.col("source"), F.lit("_report_"), F.col("doc_id").cast("string"), F.lit(".pdf")
+    )
+    with_title = docs.select(
+        "doc_id", "text", title_from_filename(fname).alias("title")
+    )
+    text_scored = bm25_scores(with_title, "doc_id", "text", TW_QUERY_TERMS)
+    title_scored = bm25_scores(with_title, "doc_id", "title", TW_QUERY_TERMS)
+    fused = (
+        text_scored.select("doc_key", F.col("score").alias("s"))
+        .unionByName(
+            title_scored.select("doc_key", (F.col("score") * TITLE_BOOST).alias("s"))
+        )
+        .groupBy("doc_key")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )
+    return (
+        fused.select(F.col("doc_key").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
 
 
 @query(
