@@ -26,6 +26,19 @@ def cents(c: Column | str, scale: int = 100) -> Column:
     integral and only carries float noise (±1e-9): adding 0.5 and
     flooring rounds to that nearest integer for either sign, and the
     exact-.5 tie that would distinguish floor(+0.5) from HALF_UP cannot
-    occur. Matches DuckDB's round() on the same doubles bit-for-bit."""
+    occur. Matches DuckDB's round() on the same doubles bit-for-bit.
+
+    DOMAIN PRECONDITION (ADVICE r3): callers must pass columns whose
+    values are fixed-point with at most log10(scale) decimals. For a
+    value that genuinely lands on an exact k+0.5 after scaling (only
+    possible with >2-decimal inputs at scale=100), floor(x+0.5) rounds
+    toward +inf while DuckDB's round() rounds half away from zero — a
+    NEGATIVE such value would diverge from every oracle. Verified for
+    all current callers against the generated tables: lineitem/orders
+    money columns and the events `value` column (adopted by
+    streaming_hourly_rollup) are nonnegative 2-decimal fixed-point
+    (max |x*100 − round(x*100)| observed 3.6e-12, no genuine third
+    decimal anywhere, minimums ≥ 0). A future column with finer
+    precision needs a larger `scale`, not this function unchanged."""
     col = F.col(c) if isinstance(c, str) else c
     return F.floor(col * scale + F.lit(0.5)).cast("bigint")

@@ -532,16 +532,22 @@ def connected_components(
     step of near-dedup at scale: LSH/SimHash emit PAIRS, but a dup GROUP
     is the transitive closure of pairs (A~B, B~C ⇒ {A,B,C} keep one).
 
-    Each round every node takes min(own label, neighbors' labels); rounds
-    needed = graph diameter, and near-dup components are dense (usually
-    cliques), so 2-4 rounds converge in practice. Per round: one shuffle
-    (groupBy dst) + one broadcast-able join — the same shape GraphX/
-    GraphFrames use. localCheckpoint truncates the per-iteration lineage
-    (plan growth is otherwise exponential); on a cluster with a
-    checkpoint dir, `checkpoint()` gives the durable equivalent. The
-    convergence probe costs one count per round — the orchestration is
-    driver-side CONTROL FLOW, not driver-side data (labels never
-    collect)."""
+    Each round every node takes min(own label, neighbors' labels), then a
+    POINTER-JUMPING step replaces each label with its label's label
+    (r4, ADVICE r3): propagation distance doubles per round, so
+    convergence needs O(log diameter) rounds, not O(diameter) — a
+    chain-shaped candidate graph (A~B~C~…) of length 2^20 still closes
+    within max_iter=20, where plain propagation silently stalled at 20
+    hops. Per round: one shuffle (groupBy dst) + two broadcast-able
+    joins — the same shape GraphX/GraphFrames use. localCheckpoint
+    truncates the per-iteration lineage (plan growth is otherwise
+    exponential); on a cluster with a checkpoint dir, `checkpoint()`
+    gives the durable equivalent. The convergence probe costs one count
+    per round — the orchestration is driver-side CONTROL FLOW, not
+    driver-side data (labels never collect).
+
+    Raises RuntimeError if the loop exhausts max_iter without reaching
+    the fixpoint (ADVICE r3: never return silently-stale labels)."""
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     adj = fwd.unionAll(rev).distinct().localCheckpoint(eager=True)
@@ -554,11 +560,21 @@ def connected_components(
             .groupBy(F.col("dst").alias("id2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # Pointer jump: label <- min(label, label[label]). Every label IS
+        # a node id with its own row, so the self-join always matches;
+        # coalesce guards the theoretical miss.
+        parents = propagated.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            propagated.join(parents, propagated["label"] == parents["pid"], "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -571,10 +587,20 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds; the candidate graph has extreme diameter — raise max_iter "
+        "(pointer jumping makes each round double the propagation distance, "
+        "so max_iter=20 already covers diameter ~2^20)"
+    )
 
 
+# ORACLE SCALE BOUND (ADVICE r3): the recursive CTE enumerates every
+# (node, reachable-smaller-label) pair — O(|component|²) rows per dense
+# near-dup component. Fine at gate fixture sizes (sf≤0.01); at larger sf
+# the DuckDB side would blow up long before the Spark side. Keep oracle
+# runs for this query at gate scale (see SCALING.md "Oracle bounds").
 _CC_ORACLE = f"""
     WITH RECURSIVE {_LSH_CTE_BODY},
     pairs AS (

@@ -83,6 +83,7 @@ _GATE_PRIORITY = [
     "dedup_connected_components",
     "embedding_cluster_components",
     "bm25_search_title_weighted",
+    "ocr_document_text",
     # remaining r2-latest rows (code unchanged; rotate forward so the
     # union of latest driver rows all proves current code)
     "approx_distinct_users",

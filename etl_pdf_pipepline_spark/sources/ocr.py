@@ -226,14 +226,17 @@ def assemble_markdown(ocr: DataFrame, id_col: str = "doc_id") -> DataFrame:
             id_col,
             F.size("_pages").cast("int").alias("page_count"),
             "failed_pages",
+            # Byte-compatible with the reference's page-marker format
+            # (google_vision_extractor.py:118): each page contributes
+            # '\n\n<!-- Page N -->\n\n' + text, pages joined by '\n'.
             F.concat_ws(
                 "\n",
                 F.transform(
                     "_pages",
                     lambda p: F.concat(
-                        F.lit("<!-- Page "),
+                        F.lit("\n\n<!-- Page "),
                         p["page_no"].cast("string"),
-                        F.lit(" -->\n"),
+                        F.lit(" -->\n\n"),
                         p["text"],
                     ),
                 ),
@@ -257,14 +260,15 @@ def assemble_markdown(ocr: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     SELECT doc_id, CAST(max(page_no) AS INT) AS page_count,
            CAST(0 AS INT) AS failed_pages,
-           string_agg('<!-- Page ' || page_no || ' -->' || chr(10) || ptext, chr(10) ORDER BY page_no) AS markdown
+           string_agg(chr(10) || chr(10) || '<!-- Page ' || page_no || ' -->' || chr(10) || chr(10) || ptext, chr(10) ORDER BY page_no) AS markdown
     FROM pages GROUP BY doc_id ORDER BY doc_id
     """,
 )
 def ocr_document_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 end to end on the documents table: fake render → batched
     "recognition" (lossless fake client, so the round trip is exactly the
-    paged reassembly DuckDB can mirror) → marker assembly. The oracle's
+    paged reassembly DuckDB can mirror) → marker assembly, byte-compatible
+    with the reference's page format since r4 (ADVICE r3). The oracle's
     static `nums` series replaces the per-row lateral (DuckDB can't
     correlate generate_series); Spark's explode(sequence(...)) IS the
     per-row lateral, which is the scalable shape — no corpus-wide max on

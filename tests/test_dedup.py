@@ -169,3 +169,32 @@ def test_connected_components_matches_union_find(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.id: r.label for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 200-node chain has diameter 199: plain min-label propagation
+    needs 199 rounds and r3's max_iter=20 silently returned stale labels
+    (ADVICE r3). Pointer jumping doubles propagation distance per round,
+    so max_iter=10 suffices (2^10 > 199) — and exhaustion now raises
+    instead of returning wrong labels."""
+    from etl_pdf_pipepline_spark.operators.dedup import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.label for r in connected_components(edges, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    import pytest
+
+    from etl_pdf_pipepline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "doc_a long, doc_b long"
+    )
+    # diameter 29 needs ceil(log2(29)) ≈ 5 jumping rounds + 1 stable probe
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

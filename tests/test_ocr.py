@@ -119,8 +119,13 @@ def test_ocr_pages_happy_path_and_assembly(spark):
     assert len(out) == 1
     row = out[0]
     assert row.page_count == 2 and row.failed_pages == 0
+    # Reference byte format (google_vision_extractor.py:118): each page is
+    # '\n\n<!-- Page N -->\n\n' + text, pages joined by '\n'.
     expected = (
-        "<!-- Page 1 -->\n" + "A" * DEFAULT_PAGE_CHARS + "\n<!-- Page 2 -->\n" + "BBBBB"
+        "\n\n<!-- Page 1 -->\n\n"
+        + "A" * DEFAULT_PAGE_CHARS
+        + "\n\n\n<!-- Page 2 -->\n\n"
+        + "BBBBB"
     )
     assert row.markdown == expected
 
@@ -152,11 +157,11 @@ def test_ocr_document_text_matches_direct_reassembly(spark):
     assert len(rows) == n_docs
     assert all(r.failed_pages == 0 for r in rows)
     # Lossless fake codec ⇒ stripping markers reconstructs the text.
-    # Drop each marker line together with the page-join newline before it;
-    # what remains is the pure concatenation of page slices = the text.
+    # Drop each marker block (leading page-join '\n' + '\n\n<!-- Page N
+    # -->\n\n'); what remains is the concatenation of page slices = text.
     joined = out.withColumn(
         "reconstructed",
-        F.regexp_replace("markdown", r"(\n)?<!-- Page \d+ -->\n", ""),
+        F.regexp_replace("markdown", r"(\n)?\n\n<!-- Page \d+ -->\n\n", ""),
     ).join(docs.select("doc_id", "text"), "doc_id")
     mismatches = joined.filter(
         F.col("reconstructed") != F.coalesce(F.col("text"), F.lit(""))
