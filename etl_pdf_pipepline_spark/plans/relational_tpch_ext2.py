@@ -1,0 +1,332 @@
+"""Final TPC-H query shapes over the test tables (round 4).
+
+With these four, every TPC-H shape the driver's tables can express is
+covered (relational.py: Q1/Q3/Q4/Q5/Q6/Q17; relational_tpch_ext.py:
+Q7/Q10/Q13/Q14/Q15/Q18/Q19; here: Q8/Q12/Q21/Q22). The remainder
+(Q2/Q9/Q11/Q16/Q20) requires the partsupp table, which the driver does
+not generate — documented as out of reach, not skipped.
+
+Adaptations, each keeping the query's defining plan shape:
+
+- Q8  : verbatim — every referenced column exists.
+- Q12 : l_shipmode/l_commitdate/l_receiptdate absent; the grouping key
+        becomes a ship-delay bucket derived from l_shipdate−o_orderdate.
+        The defining shape (fact join + dual conditional counts per
+        category) is intact.
+- Q21 : "late" is redefined as l_shipdate > o_orderdate + 60 days (no
+        commit/receipt dates). The defining shape — EXISTS another
+        supplier in the order AND NOT EXISTS another *late* supplier —
+        is kept, decorrelated into one per-order aggregate.
+- Q22 : country-code-from-phone becomes c_nationkey (no c_phone). The
+        defining shape — scalar average subquery + NOT EXISTS anti-join
+        + per-country rollup — is kept, with the balance comparison done
+        in exact integer cross-multiplication instead of float.
+
+Money follows the exact-cents convention (functions/money.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents as _cents
+from ..registry import query
+from ..sources.catalog import load_table
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS v,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(v) AS DOUBLE), 6) AS mkt_share,
+           round(CAST(sum(v) AS DOUBLE) / 10000, 2) AS total_volume
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), verbatim shape: the deepest join
+    tree in the suite — lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈
+    nation×2 ⋈ region — with the market-share ratio as a conditional sum
+    over the same aggregate pass.
+
+    Plan posture: part (filtered to one p_type), supplier, both nation
+    aliases, and region are dimensions — all broadcast, so the only
+    shuffles are lineitem⋈orders (orderkey) and orders⋈customer
+    (custkey), the two a cluster would bucket by. The date filter sits on
+    orders and prunes its scan before the fact join; the region filter
+    reaches customer through the broadcast nation⋈region tree. The ratio
+    is exact: integer-cents volumes summed as longs, one division at
+    output. Both engines compute sum-of-longs, so round(...,6) agrees
+    bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("o_year"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    # customer side: nation⋈region broadcast tree prunes customers to ASIA
+    asia_cust = cust.join(
+        F.broadcast(n1.join(region, n1.n_regionkey == region.r_regionkey)),
+        cust.c_nationkey == F.col("n1_key"),
+    ).select("c_custkey")
+    v = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .select("o_year", "supp_nation", v.alias("v"))
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("v")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("v").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("v").cast("double") / 10000, 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'FAST'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'NORMAL'
+                ELSE 'SLOW' END AS delay_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_commitdate/l_receiptdate
+    in the test tables — the category is a ship-delay bucket computed from
+    l_shipdate − o_orderdate). The defining shape survives: one fact⋈fact
+    join with a year filter, then dual conditional counts per category.
+
+    The shipdate year filter prunes the lineitem scan before the join;
+    the join shuffles on orderkey (the bucketing key); the CASE grouping
+    key collapses to 3 groups so the final aggregation is a near-free
+    partial+final pair. datediff stays in whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "NORMAL").otherwise("SLOW")
+    ).alias("delay_bucket")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(bucket, "o_orderpriority")
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               count(DISTINCT l.l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                                   THEN l.l_suppkey END) AS n_late,
+               min(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN l.l_suppkey END) AS late_supp
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_order p
+    JOIN supplier s ON p.late_supp = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.n_supp > 1 AND p.n_late = 1 AND n.n_name = 'NATION_3'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), decorrelated.
+    "Late" is l_shipdate > o_orderdate + 60 days (the tables have no
+    commit/receipt dates). The spec's correlated EXISTS (another supplier
+    in the order) + NOT EXISTS (another LATE supplier) pair is rewritten
+    as one aggregate over lineitem grouped by orderkey: an order counts
+    against supplier S iff n_distinct_suppliers > 1 and exactly one
+    supplier is late and it is S — semantically identical and it turns
+    two correlated subquery scans into a single shuffle on orderkey.
+
+    Plan posture: orders filtered to status 'F' broadcasts nothing large —
+    the join to lineitem shuffles on orderkey once; the per-order
+    aggregate reduces to one row per order BEFORE touching supplier, so
+    the supplier/nation joins see |orders| rows, not |lineitem|, and both
+    dims broadcast. Final top-k is TakeOrderedAndProject with a total
+    order (numwait DESC, s_name)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+            F.min(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    supp_in_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(supp_in_nation), per_order.late_supp == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    thresh AS (
+        SELECT sum(bal_c) AS tot, count(*) AS cnt FROM pool WHERE bal_c > 0
+    )
+    SELECT p.c_nationkey AS nationkey,
+           count(*) AS numcust,
+           round(CAST(sum(p.bal_c) AS DOUBLE) / 100, 2) AS totacctbal
+    FROM pool p, thresh t
+    WHERE p.bal_c * t.cnt > t.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY p.c_nationkey
+    ORDER BY p.c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: the country
+    code (substring of the absent c_phone) becomes c_nationkey. The
+    defining shape is intact — scalar AVG subquery over the filtered
+    customer pool, NOT EXISTS anti-join against orders, per-country
+    count/sum rollup. One further adaptation: the generated tables give
+    every customer at least one order, so the spec's "no orders at all"
+    is vacuous here; "no orders since 2000-01-01" (dormant customers)
+    keeps the anti-join non-trivial, with the date predicate pushed into
+    the orders scan before the anti-join.
+
+    The average comparison avoids floats entirely: bal > avg ⇔
+    bal·cnt > total (all bigint cents), so Spark and DuckDB agree
+    exactly even for customers landing ON the average. Plan posture: the
+    threshold aggregate is one row, cross-joined (broadcast) onto the
+    pool — the Spark analogue of a scalar subquery; the anti-join
+    shuffles on custkey against an orders scan pruned to that single
+    column; everything else is map-side."""
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nationkey"),
+            _cents("c_acctbal").alias("bal_c"),
+        )
+    )
+    thresh = pool.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("tot"), F.count("*").alias("cnt")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = pool.join(F.broadcast(thresh)).filter(
+        F.col("bal_c") * F.col("cnt") > F.col("tot")
+    )
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal_c").cast("double") / 100, 2).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )

@@ -84,6 +84,10 @@ _GATE_PRIORITY = [
     "embedding_cluster_components",
     "bm25_search_title_weighted",
     "ocr_document_text",
+    "q8_market_share",
+    "q12_shipmode_priority",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
     # remaining r2-latest rows (code unchanged; rotate forward so the
     # union of latest driver rows all proves current code)
     "approx_distinct_users",
@@ -140,6 +144,7 @@ def _ensure_loaded() -> None:
     # Imports are for the side effect of @query registration.
     from .plans import relational  # noqa: F401
     from .plans import relational_tpch_ext  # noqa: F401
+    from .plans import relational_tpch_ext2  # noqa: F401
     from .plans import lifecycle  # noqa: F401
     from .operators import chunker_queries  # noqa: F401
     from .operators import dedup  # noqa: F401

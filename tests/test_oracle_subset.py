@@ -19,6 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = [
     "q1_pricing_summary",      # scan-agg
     "revenue_by_nation",       # multi-way join
+    "q21_waiting_suppliers",   # decorrelated EXISTS/NOT-EXISTS
     "top_orders_by_value",     # top-k
     "order_sequence_window",   # window
     "bm25_search",             # retrieval keyword
