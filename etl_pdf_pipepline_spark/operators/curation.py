@@ -1,0 +1,398 @@
+"""Training-corpus curation operators (round 4, beyond-reference):
+sequence packing, repetition-based quality filtering, token-budget
+mixture sampling, and PII redaction.
+
+These complete the LLM-data-pipeline family started in dedup.py /
+textstats.py: after a corpus is deduplicated (dedup.py), quality-gated
+(doc_quality_scores), language-balanced (doc_stratified_sample) and
+decontaminated (corpus_contamination_probe), a pretraining pipeline still
+has to (a) drop mechanically repetitive documents (Gopher-style
+repetition signals, Rae et al. 2021 §A1.1), (b) rebalance the language /
+domain mixture to a token budget rather than a document count, (c) scrub
+PII spans, and (d) pack the surviving token stream into fixed-length
+training sequences. Each is expressed as JVM-side column algebra — the
+only Python anywhere is the test harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+from ..registry import query
+from ..sources.catalog import load_table
+
+SEQ_LEN = 256          # tokens per packed training sequence
+PACK_BUCKET = 1024     # docs per prefix-sum bucket (see doc_pack_sequences)
+MIX_BUDGET = 4000      # per-language token budget for mixture sampling
+TOP2_MAX = 0.20        # keep thresholds for the repetition gate
+DUP3_MAX = 0.30
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH nt AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n AS BIGINT) AS cum_before
+        FROM nt WHERE n > 0
+    ),
+    ex AS (
+        SELECT doc_id, n, cum_before,
+               unnest(range(cum_before // {SEQ_LEN},
+                            (cum_before + n - 1) // {SEQ_LEN} + 1)) AS seq_id
+        FROM c
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(cum_before + n, (seq_id + 1) * {SEQ_LEN})
+                    - greatest(cum_before, seq_id * {SEQ_LEN})) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM ex GROUP BY seq_id ORDER BY seq_id
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing — the GPT-style pretraining op:
+    the corpus token stream, ordered by doc_id, is cut into fixed
+    SEQ_LEN-token training sequences; a document whose span crosses a cut
+    contributes to both sequences. Output is one row per sequence
+    (doc count, token count, first/last doc) — every sequence holds
+    exactly SEQ_LEN tokens except the last.
+
+    The scale problem is the global prefix sum (each doc needs the total
+    token count of every earlier doc). A bare `ORDER BY doc_id ROWS
+    UNBOUNDED PRECEDING` window has no PARTITION BY, so Spark would drag
+    the whole corpus through ONE task. Instead the classic two-level
+    distributed prefix sum: (1) docs group into PACK_BUCKET-sized ranges
+    by doc_id; per-bucket token totals aggregate map-side, (2) the
+    single-task window runs over BUCKET TOTALS only (|docs|/1024 rows —
+    at 10^10 docs that is 10^7 rows, and the same trick recurses if that
+    ever dominates), (3) bucket offsets broadcast-join back and a window
+    PARTITIONED by bucket finishes the per-doc cumsum in parallel. The
+    sequence fan-out is then a narrow `sequence()+explode` — a doc emits
+    one row per sequence it touches (⌈n/SEQ_LEN⌉+1 at most), and the
+    final per-sequence aggregate partial-aggregates before its shuffle.
+    All integer arithmetic — bit-identical across engines by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n")).filter(
+        F.col("n") > 0
+    )
+    nt = nt.withColumn("bucket", F.floor(F.col("doc_id") / PACK_BUCKET))
+    # (2) prefix-sum over bucket totals: tiny input, single task by design
+    btot = nt.groupBy("bucket").agg(F.sum("n").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boff = btot.withColumn("boffset", F.sum("btot").over(w_b) - F.col("btot")).select(
+        "bucket", "boffset"
+    )
+    # (3) per-doc cumsum within bucket, shifted by the bucket offset
+    w_d = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        nt.join(F.broadcast(boff), "bucket")
+        .withColumn("cum_before", F.col("boffset") + F.sum("n").over(w_d) - F.col("n"))
+        .select("doc_id", "n", "cum_before")
+    )
+    seq_first = F.floor(F.col("cum_before") / SEQ_LEN)
+    seq_last = F.floor((F.col("cum_before") + F.col("n") - 1) / SEQ_LEN)
+    ex = c.select(
+        "doc_id",
+        "n",
+        "cum_before",
+        F.explode(F.sequence(seq_first, seq_last)).alias("seq_id"),
+    )
+    tok_in_seq = F.least(
+        F.col("cum_before") + F.col("n"), (F.col("seq_id") + 1) * SEQ_LEN
+    ) - F.greatest(F.col("cum_before"), F.col("seq_id") * SEQ_LEN)
+    return (
+        ex.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tok_in_seq).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def _gram_rows(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, gram) rows for word n-grams, built narrowly inside the scan
+    stage (the arrays_zip-of-shifted-slices trick from dedup.shingle_rows);
+    docs with fewer than `width` tokens emit nothing — mirrored by the
+    oracle's list comprehension, which is empty for them."""
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("__toks"))
+    n = F.size("__toks")
+    m = n - (width - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", F.lit(j + 1), m).alias(f"t{j}") for j in range(width)]
+    )
+    return (
+        base.filter(n >= width)
+        .select("doc_id", F.explode(zipped).alias("__z"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"__z.t{j}") for j in range(width)]).alias("gram"),
+        )
+    )
+
+
+@query(
+    "doc_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    grams2 AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+        FROM toks
+    ),
+    g2counts AS (
+        SELECT doc_id, gram, count(*) AS c FROM grams2 GROUP BY doc_id, gram
+    ),
+    top2 AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top2_frac
+        FROM g2counts GROUP BY doc_id
+    ),
+    dup3 AS (
+        SELECT doc_id,
+               round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1), 4)
+                   AS dup3_frac
+        FROM (SELECT doc_id,
+                     [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS g3
+              FROM toks)
+    )
+    SELECT d.doc_id,
+           coalesce(t.top2_frac, 0.0) AS top2_frac,
+           coalesce(u.dup3_frac, 0.0) AS dup3_frac,
+           coalesce(t.top2_frac, 0.0) <= {TOP2_MAX}
+               AND coalesce(u.dup3_frac, 0.0) <= {DUP3_MAX} AS keep
+    FROM documents d
+    LEFT JOIN top2 t ON d.doc_id = t.doc_id
+    LEFT JOIN dup3 u ON d.doc_id = u.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021, §A1.1): reject
+    documents dominated by repeated n-grams. Two signals per document —
+    top2_frac, the share of 2-gram occurrences claimed by the single most
+    frequent 2-gram, and dup3_frac, the fraction of 3-grams that are
+    repeats — gated at TOP2_MAX / DUP3_MAX.
+
+    Scale posture: dup3_frac never leaves the scan stage — the 3-gram
+    array is built narrowly per doc and `1 − distinct/total` is array
+    algebra, no shuffle. top2_frac needs per-(doc, gram) counts, which is
+    a genuine aggregation: the 2-gram row stream partial-aggregates
+    map-side before one shuffle keyed (doc_id, gram), then collapses to
+    per-doc max/sum on doc_id (AQE-coalesced; same key prefix, no second
+    wide exchange pattern at cluster scale with bucketed layouts). Docs
+    too short to have 2-grams join back as 0.0 via the same left join the
+    oracle uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = (
+        _gram_rows(docs, 2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top2_frac"),
+        )
+    )
+    toks = tokens("text")
+    n = F.size(toks)
+    m = n - 2
+    # dup3 from the 3-gram ARRAY (no exchange): build it once per doc
+    g3_arr = F.transform(
+        F.arrays_zip(
+            F.slice(toks, 1, m).alias("t0"), F.slice(toks, 2, m).alias("t1"),
+            F.slice(toks, 3, m).alias("t2"),
+        ),
+        lambda z: F.concat_ws(" ", z["t0"], z["t1"], z["t2"]),
+    )
+    dup3 = docs.filter(n >= 3).select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct(g3_arr)).cast("double")
+            / F.greatest(F.size(g3_arr), F.lit(1)),
+            4,
+        ).alias("dup3_frac"),
+    )
+    out = (
+        docs.select("doc_id")
+        .join(g2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("dup3_frac", F.lit(0.0)).alias("dup3_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top2_frac") <= TOP2_MAX) & (F.col("dup3_frac") <= DUP3_MAX),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH nt AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS n
+        FROM documents
+    ),
+    rates AS (
+        SELECT lang, CAST(least(100, 100 * {MIX_BUDGET} // sum(n)) AS BIGINT) AS rate
+        FROM nt GROUP BY lang
+    )
+    SELECT nt.lang, r.rate,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(nt.n) AS BIGINT) AS n_tokens_kept
+    FROM nt JOIN rates r ON nt.lang = r.lang
+    WHERE CAST('0x' || substr(md5(CAST(nt.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < r.rate
+    GROUP BY nt.lang, r.rate
+    ORDER BY nt.lang
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: rebalance the corpus so every
+    language contributes ≈MIX_BUDGET tokens — the domain-mixture step of
+    a pretraining pipeline (documents are sampled, token mass is what's
+    budgeted). Each language's keep-rate is derived FROM THE DATA
+    (100·budget/total_tokens, capped at 100) and applied as the same
+    deterministic md5-bucket predicate doc_stratified_sample uses, so
+    reruns, retries, and both engines select the identical doc set.
+
+    Scale posture: one pass computes per-lang token totals (tiny
+    aggregate — |langs| rows), broadcast back as rates; the keep
+    predicate is then pure scan-side filter. Integer rate arithmetic
+    (floor division) keeps the threshold exact across engines. Output is
+    the per-lang rollup (rate, docs kept, tokens kept) — the numbers a
+    curation report needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n")
+    )
+    rates = nt.groupBy("lang").agg(
+        F.least(F.lit(100), F.floor(100 * MIX_BUDGET / F.sum("n"))).cast("bigint").alias("rate")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        nt.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate"))
+        .groupBy("lang", "rate")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n").alias("n_tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# PII probe patterns — valid and identical in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact'
+                    || CASE WHEN doc_id % 3 <> 0
+                            THEN ' user' || doc_id || '@mail' || (doc_id % 7) || '.example.com'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END
+                    || ' 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS full_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(full_text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(full_text, '{_IP_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_IP_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM planted ORDER BY doc_id
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask email / phone / IP spans per
+    document. The generated corpus contains no natural PII, so — like
+    corpus_contamination_probe's stand-in eval set — the probe PLANTS
+    deterministic PII derived from doc_id at query time (varying which
+    docs get an email/phone so counts aren't constant), then redacts it.
+    The md5 of the redacted text is compared across engines, so the gate
+    proves byte-identical replacement behavior, not just counts.
+
+    Scale posture: pure per-row column algebra — three regexp_replace
+    passes and three counts inside one codegen stage, no shuffle, no
+    Python. The patterns avoid constructs where Java regex and RE2
+    diverge (no lookaround/backrefs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" user"), F.col("doc_id").cast("string"),
+                    F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.lit(" 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("full_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("full_text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("full_text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("full_text", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("full_text", F.lit(_IP_RE)).cast("bigint").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")

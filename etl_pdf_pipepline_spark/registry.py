@@ -88,6 +88,10 @@ _GATE_PRIORITY = [
     "q12_shipmode_priority",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
+    "doc_pack_sequences",
+    "doc_repetition_filter",
+    "corpus_mixture_sample",
+    "doc_pii_scrub",
     # remaining r2-latest rows (code unchanged; rotate forward so the
     # union of latest driver rows all proves current code)
     "approx_distinct_users",
@@ -149,6 +153,7 @@ def _ensure_loaded() -> None:
     from .operators import chunker_queries  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import textstats  # noqa: F401
+    from .operators import curation  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import events_queries  # noqa: F401
     from .operators import approx  # noqa: F401
