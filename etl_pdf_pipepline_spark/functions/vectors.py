@@ -112,3 +112,74 @@ def pair_cosine_pandas(va: pd.Series, vb: pd.Series) -> pd.Series:
     # Arrow ships NaN as NaN (not null) — callers filtering on a threshold
     # must drop NaN explicitly (Spark's NaN >= t is true; see cosine()).
     return pd.Series(sims)
+
+
+def cosine_topk_arrow(df, query_vec: list[float], k: int):
+    """Zero-copy Arrow top-k scan for one query vector: mapInArrow +
+    per-batch BLAS + per-partition candidate pruning.
+
+    Why a third scorer tier: `cosine_scores_pandas` pays an
+    Arrow→pandas→object-ndarray conversion (`np.vstack` over one small
+    ndarray PER ROW — a Python loop) before the matvec. Here the
+    embedding column arrives as a pyarrow ListArray whose contiguous
+    values buffer reshapes to the (n×d) matrix with NO per-row work, the
+    batch is scored with one matvec, and only the batch's top-k
+    candidate rows (rounded, vec_id tie-break — the same total order the
+    final TakeOrdered uses, so pruning is exactly order-compatible)
+    leave Python. Rows expected out: ≤ k per Arrow batch.
+
+    Contract matches ann_cosine_topk: float64 math, round(4), zero-norm
+    → dropped (never outranks), ties break on vec_id ascending."""
+    import pyarrow as pa
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    d = len(query_vec)
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int32()), ("score", pa.float64())]
+    )
+
+    def score_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            col = batch.column("embedding")
+            flat = col.flatten()
+            if len(flat) != n * d:  # ragged safety net: fall back per-row
+                m = np.vstack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+            else:
+                m = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, d)
+            den = np.linalg.norm(m, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(den != 0.0, (m @ q) / den, np.nan)
+            sims = np.round(sims, 4)
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = batch.column("label").to_numpy(zero_copy_only=False)
+            idx = np.nonzero(~np.isnan(sims))[0]
+            if not len(idx):
+                continue
+            top = idx[np.lexsort((vids[idx], -sims[idx]))][:k]
+            yield pa.record_batch(
+                [
+                    pa.array(vids[top], pa.int64()),
+                    pa.array(labels[top], pa.int32()),
+                    pa.array(sims[top], pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        IntegerType as _I,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    # label stays int32 — the scorer must not change the table's schema
+    spark_schema = _ST([_SF("vec_id", _L()), _SF("label", _I()), _SF("score", _D())])
+    cand = df.select("vec_id", "label", "embedding").mapInArrow(
+        score_batches, spark_schema
+    )
+    return cand.orderBy(F.desc("score"), "vec_id").limit(k)

