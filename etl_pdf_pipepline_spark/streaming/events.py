@@ -297,3 +297,14 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_available_now(joined, "append").orderBy(
         "user_id", "click_id", "purchase_id"
     )
+
+
+# NOTE (r4): the Spark 4 successor API to applyInPandasWithState —
+# transformWithStateInPandas with typed state variables (ValueState/
+# ListState/MapState + timers/TTL) — was prototyped here and works
+# API-wise, but its Python state server requires google.protobuf, which
+# is not importable in this container (STREAMING_PYTHON_RUNNER_
+# INITIALIZATION_FAILURE). streaming_session_counts keeps the
+# applyInPandasWithState form, which carries the same arbitrary-state
+# semantics without that dependency; migrating is a rename plus typed
+# state declarations when the environment allows it.
