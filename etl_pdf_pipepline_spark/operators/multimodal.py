@@ -250,3 +250,90 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the byte window stands in for the frame decode."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
     return sample_frames(media, 4).orderBy("media_id", "frame_index")
+
+
+THUMB_MAX_SIDE = 256
+
+
+@query(
+    "media_resize",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+        SELECT media_id, text,
+               100 + n % 900 AS width,
+               100 + (n * 7) % 900 AS height
+        FROM m
+    ),
+    fit AS (
+        SELECT media_id, text, width, height,
+               CASE WHEN greatest(width, height) <= {THUMB_MAX_SIDE}
+                    THEN width
+                    ELSE (width * {THUMB_MAX_SIDE}) // greatest(width, height) END AS thumb_w,
+               CASE WHEN greatest(width, height) <= {THUMB_MAX_SIDE}
+                    THEN height
+                    ELSE (height * {THUMB_MAX_SIDE}) // greatest(width, height) END AS thumb_h
+        FROM dims
+    )
+    SELECT media_id, width, height, thumb_w, thumb_h,
+           sha256(substring(text, 1, 64) || '|' || thumb_w || 'x' || thumb_h)
+               AS thumb_digest
+    FROM fit ORDER BY media_id
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → aspect-preserving thumbnail resize over image binaries —
+    the resize stage of an image-pipeline (decode + PIL `thumbnail()` in
+    a real deployment; here the decode is the documented fake and the
+    "resized content" digest hashes the leading byte window + target
+    dims, deterministic across engines because the corpus is pure ASCII).
+    Integer fit math (w·256 // max_side, never upscaled) keeps both
+    engines bit-identical with no float rounding question.
+
+    Scale posture: the resize lives in the SAME Arrow stage as the
+    decode — one mapInPandas pass, no shuffle; a real codec slots into
+    decode_image_real/PIL without touching the plan. Output order sort
+    is the oracle contract."""
+    import hashlib
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("thumb_w", T.LongType()),
+            T.StructField("thumb_h", T.LongType()),
+            T.StructField("thumb_digest", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "thumb_w", "thumb_h", "thumb_digest")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _fmt = decode_image_fake(content)
+                side = max(w, h)
+                if side <= THUMB_MAX_SIDE:
+                    tw, th = w, h
+                else:
+                    tw = (w * THUMB_MAX_SIDE) // side
+                    th = (h * THUMB_MAX_SIDE) // side
+                digest = hashlib.sha256(
+                    content[:64] + f"|{tw}x{th}".encode()
+                ).hexdigest()
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["thumb_w"].append(tw)
+                rows["thumb_h"].append(th)
+                rows["thumb_digest"].append(digest)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, out_schema).orderBy("media_id")

@@ -93,6 +93,7 @@ _GATE_PRIORITY = [
     "corpus_mixture_sample",
     "doc_pii_scrub",
     "ann_batch_topk",
+    "media_resize",
     # remaining r2-latest rows (code unchanged; rotate forward so the
     # union of latest driver rows all proves current code)
     "approx_distinct_users",
