@@ -79,7 +79,14 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       output sort itself, which both engines pay but a single-process
       engine pays less for; kept because the oracle contract orders by
       doc_id. At cluster scale the checkpoint is ~1% of the text size
-      (5 narrow columns)."""
+      (5 narrow columns).
+    - Explored and declined: a mapInPandas one-pass (Python
+      str.split + set per doc) measures ~30% faster (3.4s vs 4.8s,
+      same session) but moves the hot path into a Python row loop and
+      silently changes tokenization on non-ASCII whitespace (Python
+      splits on Unicode space; Java/RE2 '\\s' is ASCII) — wrong trade
+      for an engine whose doctrine is JVM-side text ops; the remaining
+      ratio is regex-tokenization cost both engines pay."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens("text").alias("toks"))
     stats = staged.select(
