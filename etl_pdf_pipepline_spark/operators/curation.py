@@ -396,3 +396,141 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("full_text", F.lit(_IP_RE)).cast("bigint").alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# --- Model-based quality scoring ------------------------------------------
+#
+# Real pipelines gate documents with (a) a fasttext-style linear classifier
+# over hashed n-gram features and (b) a language-model perplexity filter.
+# Both shapes are reproduced here with deterministic stand-ins for the
+# learned weights (the engine's job is the feature/score plumbing, not the
+# training): the classifier weight for a hash bucket is derived from the
+# bucket id, and the "LM" is the corpus's own unigram distribution.
+
+QC_BUCKETS = 4096
+
+
+def _tok_bucket(col):
+    """Deterministic token→bucket hash shared with the DuckDB oracle:
+    first 8 hex chars of md5 mod QC_BUCKETS (same trick as the
+    md5-bucket sampling predicates — bit-identical in both engines,
+    unlike Spark's Murmur `hash()` which DuckDB lacks)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % QC_BUCKETS
+    )
+
+
+@query(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
+                   AS term
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {QC_BUCKETS} AS bucket
+        FROM tok
+    ),
+    scored AS (
+        SELECT doc_id,
+               sum((CAST((bucket * 2654435761) % 1999 AS DOUBLE) / 999.0 - 1.0)) AS z,
+               count(*) AS n
+        FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(z / n))), 4) AS quality_score,
+           1.0 / (1.0 + exp(-(z / n))) >= 0.5 AS keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-shaped quality gate: hash every token into QC_BUCKETS
+    feature buckets, dot the bucket counts with a weight vector, squash
+    with a sigmoid, threshold at 0.5. The weights here are a
+    deterministic function of the bucket id (w = ((b·2654435761) mod
+    1999)/999 − 1 ∈ [−1, 1]) — a real deployment broadcast-joins a
+    learned weight table instead, same plan.
+
+    Scale posture: explode → map-side partial sum → ONE shuffle on
+    doc_id; the weight is computed inline (a learned table would be a
+    ≤QC_BUCKETS-row broadcast). The mean-then-sigmoid keeps z in a range
+    where both engines' exp() agree well inside the 4dp rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).select("doc_id", _tok_bucket(F.col("term")).alias("bucket"))
+    w = (((F.col("bucket") * 2654435761) % 1999).cast("double") / 999.0) - 1.0
+    scored = (
+        feat.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("z"), F.count("*").alias("n"))
+    )
+    qs = 1.0 / (1.0 + F.exp(-(F.col("z") / F.col("n"))))
+    return scored.select(
+        "doc_id",
+        F.round(qs, 4).alias("quality_score"),
+        (qs >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
+                   AS term
+        FROM documents
+    ),
+    uni AS (
+        SELECT term, count(*) AS cnt FROM tok GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+    doc AS (
+        SELECT t.doc_id,
+               sum(ln(CAST(u.cnt AS DOUBLE) / tt.total)) AS lp,
+               count(*) AS n
+        FROM tok t JOIN uni u ON t.term = u.term CROSS JOIN tot tt
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           round(-lp / n, 4) AS avg_neg_logprob,
+           -lp / n <= 8.0 AS keep
+    FROM doc ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy filter: score each document by the average
+    negative log-probability of its tokens under the corpus's own
+    unigram distribution and keep documents under a threshold — the
+    KenLM-filter shape with the n-gram LM replaced by the corpus
+    unigram model (a real deployment broadcast-joins a pretrained
+    n-gram table; identical plan, wider key).
+
+    Scale posture: two aggregates over the exploded token stream — the
+    unigram table (vocabulary-sized, partial-aggregated before its
+    term shuffle) and the per-doc sum after a broadcast-sized join of
+    token→logprob (vocab ≪ corpus; Spark broadcasts it, so the token
+    stream never shuffles on term for scoring — only the doc_id
+    partial-sum shuffle remains). The total-count scalar rides in as a
+    one-row broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    uni = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("total"))
+    doc = (
+        tok.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("cnt").cast("double") / F.col("total")).alias("lp1"))
+        .groupBy("doc_id")
+        .agg(F.sum("lp1").alias("lp"), F.count("*").alias("n"))
+    )
+    neg = -F.col("lp") / F.col("n")
+    return doc.select(
+        "doc_id",
+        F.round(neg, 4).alias("avg_neg_logprob"),
+        (neg <= 8.0).alias("keep"),
+    ).orderBy("doc_id")

@@ -94,6 +94,8 @@ _GATE_PRIORITY = [
     "doc_pii_scrub",
     "ann_batch_topk",
     "media_resize",
+    "doc_quality_classifier",
+    "doc_unigram_logprob",
     # remaining r2-latest rows (code unchanged; rotate forward so the
     # union of latest driver rows all proves current code)
     "approx_distinct_users",
