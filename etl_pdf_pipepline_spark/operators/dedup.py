@@ -761,3 +761,100 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) ---
+
+WINNOW_MOD = 1_000_000_007
+WINNOW_W = 4          # hashes per selection window
+WINNOW_MIN_SHARED = 2  # pair threshold
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(g, x ->
+                   CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % {WINNOW_MOD}) AS h
+        FROM grams
+    ),
+    wins AS (
+        SELECT doc_id,
+               list_distinct([list_min(h[i:i+{WINNOW_W - 1}])
+                              for i in range(1, len(h) - {WINNOW_W - 2})]) AS fps
+        FROM hashes WHERE len(h) >= {WINNOW_W}
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS plagiarism detector): hash every 3-gram, slide a
+    WINNOW_W-hash window and keep each window's MINIMUM hash as a
+    fingerprint; the guarantee is that any shared token run of length
+    ≥ w+k−1 contributes at least one SHARED fingerprint, so substring
+    overlap detection needs only equality joins on the (sparse)
+    fingerprint set — the substring-overlap complement to MinHash
+    (whole-doc resemblance) and SimHash (weighted profile distance).
+
+    Scale posture: fingerprint selection is per-document array algebra
+    inside the scan stage (the window-min transform is an interpreted
+    HOF over ~n·w element reads — fine because fingerprints are then
+    ~n/w per doc; the hot-path alternative is the exploded running-min
+    window by doc). The pair join is the LSH-candidate shape: explode
+    (doc, fp), self-join on fp — bucket sizes are bounded because
+    identical window minima require identical 3-grams (max observed DF
+    at sf0.01: 6) — then count shared fingerprints per pair with a
+    ≥{WINNOW_MIN_SHARED} threshold. No all-pairs product anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+        % WINNOW_MOD,
+    )
+    base = docs.filter(n >= 3).select("doc_id", hashes.alias("h"))
+    m = F.size("h")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m - (WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice("h", i, WINNOW_W)),
+        )
+    )
+    fp = (
+        base.filter(m >= WINNOW_W)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, (a.fp == b.fp) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

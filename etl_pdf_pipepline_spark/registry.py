@@ -96,6 +96,7 @@ _GATE_PRIORITY = [
     "media_resize",
     "doc_quality_classifier",
     "doc_unigram_logprob",
+    "dedup_winnowing_pairs",
     # remaining r2-latest rows (code unchanged; rotate forward so the
     # union of latest driver rows all proves current code)
     "approx_distinct_users",
