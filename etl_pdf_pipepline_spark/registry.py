@@ -97,6 +97,7 @@ _GATE_PRIORITY = [
     "doc_quality_classifier",
     "doc_unigram_logprob",
     "dedup_winnowing_pairs",
+    "fts_phrase_search",
     # remaining r2-latest rows (code unchanged; rotate forward so the
     # union of latest driver rows all proves current code)
     "approx_distinct_users",

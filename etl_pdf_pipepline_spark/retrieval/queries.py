@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import title_from_filename
+from ..functions.text import title_from_filename, tokens
 from ..functions.vectors import as_double, cosine
 from ..registry import query
 from ..sources.catalog import load_table
@@ -337,4 +337,77 @@ def context_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source")
         .distinct()
         .orderBy("source")
+    )
+
+
+PHRASE = ("hash", "join")
+
+
+@query(
+    "fts_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len([i for i in range(1, len(t))
+                         if t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}']) AS BIGINT)
+                   AS n_matches,
+               CAST(list_min([i for i in range(1, len(t))
+                              if t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}']) AS BIGINT)
+                   AS first_pos
+        FROM toks
+    )
+    SELECT doc_id, n_matches, first_pos
+    FROM m WHERE n_matches > 0
+    ORDER BY doc_id
+    """,
+)
+def fts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over POSITIONAL postings — the FTS feature BM25's
+    bag-of-words postings cannot answer (Tantivy/Lucene phrase queries use
+    the same structure; the reference's FTS index delegates to Tantivy,
+    /root/reference/src/load/lancedb_store.py:104-112). The plan is the
+    real inverted-index shape, not a substring scan: posexplode the token
+    stream to (doc, term, pos), keep only the phrase's terms (at index
+    scale this is the posting-list fetch), and adjacency-join the two
+    position lists (pos_b = pos_a + 1) — per-doc match count and first
+    position come out of one aggregate. 1-based positions match the
+    oracle's list-comprehension indexing.
+
+    Scale posture: the term filter cuts the exploded stream to the two
+    query terms' postings BEFORE any exchange; the adjacency self-join
+    shuffles on (doc_id) with tiny per-doc lists; with a persisted
+    positional-postings table (persist_index's natural extension,
+    bucketed by term) the scan never touches non-query terms at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    a, b = PHRASE
+    toks = tokens("text")
+    # (term, 1-based pos) structs so positions survive the term filter;
+    # the filter runs INSIDE the scan stage, so only the two query terms'
+    # postings are ever exploded into rows.
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda t, i: F.struct(t.alias("term"), i.alias("p")),
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.filter(indexed, lambda s: s["term"].isin(a, b))).alias("s"),
+    ).select("doc_id", F.col("s.term").alias("term"), F.col("s.p").alias("p"))
+    pa = pos.filter(F.col("term") == a).select("doc_id", F.col("p").alias("pa"))
+    pb = pos.filter(F.col("term") == b).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    matches = pa.join(pb, (pa.doc_id == pb.doc_b) & (pb.pb == pa.pa + 1))
+    return (
+        matches.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("pa").alias("first_pos"),
+        )
+        .orderBy("doc_id")
     )
