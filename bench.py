@@ -50,7 +50,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("bench")
+    # data_dir sizes spark.sql.shuffle.partitions to the input (sf0.1→32,
+    # sf100→256 — the measured spill-wall fix; see session.py docstring).
+    spark = get_spark("bench", data_dir=sf_dir)
     qs = all_queries()
 
     # Prepare phase, outside timing — mirrors the reference's lifecycle:

@@ -19,6 +19,24 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 
+def round_half_away(sims: "np.ndarray", digits: int = 4) -> "np.ndarray":
+    """Round exactly like the DuckDB oracle's round(): half away from
+    zero evaluated on the BINARY double (std::round(x·10⁴)/10⁴) — NOT
+    numpy's banker's rounding (np.round(0.00005, 4) == 0.0, DuckDB gives
+    0.0001), and deliberately not Spark's F.round either: F.round goes
+    through BigDecimal's shortest-decimal re-derivation, so a double just
+    BELOW a .5 decimal boundary (0.00015 stores as …49999…e-4) rounds to
+    0.0002 in Spark but 0.0001 in DuckDB and here. The Arrow scorers'
+    scores are hash-compared against DuckDB, so DuckDB semantics are the
+    contract; a boundary tie would otherwise change both the emitted
+    score and the prune/tie order the scorers claim is order-compatible
+    (tested against live DuckDB in test_vectors.py). NaN passes through
+    (floor and copysign both propagate it)."""
+    scale = 10.0 ** digits
+    with np.errstate(invalid="ignore"):
+        return np.copysign(np.floor(np.abs(sims) * scale + 0.5) / scale, sims)
+
+
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(v, lambda x: x.cast("double"))
@@ -146,14 +164,21 @@ def cosine_topk_arrow(df, query_vec: list[float], k: int):
                 continue
             col = batch.column("embedding")
             flat = col.flatten()
-            if len(flat) != n * d:  # ragged safety net: fall back per-row
-                m = np.vstack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+            if col.null_count or len(flat) != n * d:
+                # Ragged/null safety net: per-row copy into a NaN-filled
+                # matrix — null or wrong-length embeddings score NaN and
+                # are dropped below, instead of crashing np.vstack /
+                # np.asarray(None) with an obscure TypeError.
+                m = np.full((n, d), np.nan, dtype=np.float64)
+                for i, v in enumerate(col.to_pylist()):
+                    if v is not None and len(v) == d:
+                        m[i] = v
             else:
                 m = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, d)
             den = np.linalg.norm(m, axis=1) * qn
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(den != 0.0, (m @ q) / den, np.nan)
-            sims = np.round(sims, 4)
+            sims = round_half_away(sims)
             vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             labels = batch.column("label").to_numpy(zero_copy_only=False)
             idx = np.nonzero(~np.isnan(sims))[0]

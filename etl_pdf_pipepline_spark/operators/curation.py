@@ -174,7 +174,7 @@ def _gram_rows(docs: DataFrame, width: int) -> DataFrame:
                    AS dup3_frac
         FROM (SELECT doc_id,
                      [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS g3
-              FROM toks)
+              FROM toks WHERE len(t) >= 3)
     )
     SELECT d.doc_id,
            coalesce(t.top2_frac, 0.0) AS top2_frac,
@@ -202,7 +202,10 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc max/sum on doc_id (AQE-coalesced; same key prefix, no second
     wide exchange pattern at cluster scale with bucketed layouts). Docs
     too short to have 2-grams join back as 0.0 via the same left join the
-    oracle uses."""
+    oracle uses — and the oracle's dup3 subquery filters len(t) >= 3 to
+    match, so sub-3-token docs coalesce to 0.0 (keep=true) in BOTH
+    engines rather than diverging (a doc with no 3-grams has duplicated
+    nothing)."""
     docs = load_table(spark, sf_dir, "documents")
     g2 = (
         _gram_rows(docs, 2)
@@ -259,7 +262,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     rates AS (
-        SELECT lang, CAST(least(100, 100 * {MIX_BUDGET} // sum(n)) AS BIGINT) AS rate
+        SELECT lang, CAST(greatest(1, least(100, 100 * {MIX_BUDGET} // sum(n))) AS BIGINT) AS rate
         FROM nt GROUP BY lang
     )
     SELECT nt.lang, r.rate,
@@ -278,7 +281,11 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgeted). Each language's keep-rate is derived FROM THE DATA
     (100·budget/total_tokens, capped at 100) and applied as the same
     deterministic md5-bucket predicate doc_stratified_sample uses, so
-    reruns, retries, and both engines select the identical doc set.
+    reruns, retries, and both engines select the identical doc set. The
+    rate is clamped to [1, 100]: without the floor, a language whose
+    token mass exceeds 100×budget would floor-divide to rate 0 and be
+    silently DROPPED from the mixture instead of downsampled — the floor
+    keeps every language represented (at ~1% of docs minimum).
 
     Scale posture: one pass computes per-lang token totals (tiny
     aggregate — |langs| rows), broadcast back as rates; the keep
@@ -291,7 +298,10 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n")
     )
     rates = nt.groupBy("lang").agg(
-        F.least(F.lit(100), F.floor(100 * MIX_BUDGET / F.sum("n"))).cast("bigint").alias("rate")
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(100), F.floor(100 * MIX_BUDGET / F.sum("n"))),
+        ).cast("bigint").alias("rate")
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -534,3 +544,87 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(neg, 4).alias("avg_neg_logprob"),
         (neg <= 8.0).alias("keep"),
     ).orderBy("doc_id")
+
+
+PARA_LEN = 20          # tokens per pseudo-paragraph segment
+DUP_PARA_MAX = 0.30    # keep threshold on the duplicate-paragraph fraction
+
+
+@query(
+    "doc_dup_paragraph_fraction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest([md5(array_to_string(t[(i * {PARA_LEN} + 1):((i + 1) * {PARA_LEN})], ' '))
+                       for i in range(0, CAST(ceil(len(t) / {PARA_LEN}.0) AS BIGINT))]) AS seg_hash
+        FROM toks WHERE len(t) > 0
+    ),
+    seg_docs AS (
+        SELECT seg_hash, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg_hash
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_para_frac,
+           round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) <= {DUP_PARA_MAX} AS keep
+    FROM segs s JOIN seg_docs d ON s.seg_hash = d.seg_hash
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def doc_dup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup signal (VERDICT r4 ask #6) — the
+    C4/RefinedWeb granularity between doc-level exact dedup (dedup.py)
+    and intra-doc n-gram repetition (doc_repetition_filter): the fraction
+    of a document's paragraphs that ALSO occur verbatim in at least one
+    other document (Gopher's cross-doc dup-paragraph signal, Rae et al.
+    2021 §A1.2). The generated corpus has no blank-line boundaries
+    (single-line texts), so a "paragraph" is a fixed PARA_LEN-token
+    segment — the same pseudo-boundary a chunk-granular dedup pass uses;
+    on real data the segmenter swaps for split-on-blank-lines with the
+    rest of the plan unchanged.
+
+    Scale posture: segment hashes are built SCAN-SIDE as array algebra
+    (transform over the segment-index sequence, md5 of each slice — one
+    row per doc leaves the scan carrying only a hash array, never the
+    text). After explode, the only wide operations are a partial-
+    aggregated count-distinct-docs per hash and the join back on the
+    SAME key — co-partitioned, no second exchange pattern — then the
+    per-doc rollup. Nothing is quadratic: a segment shared by k docs
+    costs k rows, and the hash table is bounded by total corpus tokens /
+    PARA_LEN. At 100 TB this is the standard two-shuffle
+    chunk-dedup-mark pass; the md5 keys are uniform so no salting is
+    needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    nseg = F.ceil(F.size(toks) / F.lit(float(PARA_LEN))).cast("int")
+    seg_arr = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * PARA_LEN + 1, PARA_LEN))),
+        ),
+    )
+    segs = (
+        docs.select("doc_id", F.explode(seg_arr).alias("seg_hash"))
+    )
+    seg_docs = segs.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_seg")
+    )
+    dup = F.sum(F.when(F.col("n_docs_with_seg") > 1, 1).otherwise(0))
+    frac = F.round(dup.cast("double") / F.count("*"), 4)
+    return (
+        segs.join(seg_docs, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            frac.alias("dup_para_frac"),
+            (frac <= DUP_PARA_MAX).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

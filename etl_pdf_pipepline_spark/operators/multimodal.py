@@ -126,6 +126,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+# Output contract of sample_frames — kept as the declared schema even
+# though the JVM rewrite produces it by construction (tests assert it).
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -140,24 +142,37 @@ def sample_frames(df: DataFrame, frames_per_clip: int = 4) -> DataFrame:
     """1→N frame sampling over video binaries: evenly spaced byte offsets
     stand in for timestamps; the per-frame 'decode' is a digest of the
     64-byte window at the offset (deterministic fake). Fan-out factor is
-    explicit so output volume is input_rows × frames_per_clip by plan."""
-    import hashlib
+    explicit so output volume is input_rows × frames_per_clip by plan.
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out: dict[str, list] = {k: [] for k in ("media_id", "frame_index", "offset_bytes", "frame_digest")}
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                n = len(content)
-                for i in range(frames_per_clip):
-                    off = (n * i) // frames_per_clip
-                    window = content[off : off + 64]
-                    out["media_id"].append(mid)
-                    out["frame_index"].append(i)
-                    out["offset_bytes"].append(off)
-                    out["frame_digest"].append(hashlib.sha256(window).hexdigest())
-            yield pd.DataFrame(out)
+    Pure JVM column algebra — rewritten from mapInPandas in round 5.
+    The previous form shipped every full video binary across Arrow into
+    Python to hash four 64-byte windows: at sf100 that serialization was
+    the whole cost (27.7 s, 2.31× the DuckDB oracle). Everything the fake
+    computes is expressible scan-side: `transform(sequence(...))` builds
+    the per-clip frame structs (offset arithmetic + sha2-of-substring)
+    against ONE copy of the blob inside whole-stage codegen, and only the
+    tiny {index, offset, digest} structs fan out through explode — the
+    binary itself never leaves the JVM and is pruned before any exchange.
+    (decode_media keeps its mapInPandas form deliberately: it is the
+    documented real-codec seam where Python IS the point.)"""
+    n_total = F.octet_length("content").cast("bigint")
 
-    return df.mapInPandas(batches, FRAME_SCHEMA)
+    def frame(i):
+        off = F.floor((F.col("n_total") * i) / F.lit(frames_per_clip)).cast("bigint")
+        return F.struct(
+            i.cast("int").alias("frame_index"),
+            off.alias("offset_bytes"),
+            F.sha2(
+                F.col("content").substr((off + 1).cast("int"), F.lit(64)), 256
+            ).alias("frame_digest"),
+        )
+
+    frames_arr = F.transform(F.sequence(F.lit(0), F.lit(frames_per_clip - 1)), frame)
+    return (
+        df.select("media_id", n_total.alias("n_total"), "content")
+        .select("media_id", F.explode(frames_arr).alias("f"))
+        .select("media_id", "f.frame_index", "f.offset_bytes", "f.frame_digest")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -246,8 +261,9 @@ def media_decode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling (4 frames/clip) over video binaries — the
-    mapInPandas fan-out pattern for video pipelines; per-frame digest of
-    the byte window stands in for the frame decode."""
+    fan-out pattern for video pipelines; per-frame digest of the byte
+    window stands in for the frame decode. All-JVM since round 5 (see
+    sample_frames): the binary never crosses into Python."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
     return sample_frames(media, 4).orderBy("media_id", "frame_index")
 

@@ -29,6 +29,7 @@ from ..functions.vectors import (
     dot,
     pair_cosine_pandas,
     query_vector_lit,
+    round_half_away,
 )
 from ..registry import query
 from ..sources.catalog import load_table
@@ -591,7 +592,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             den = np.linalg.norm(m, axis=1)[:, None] * qn[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(den != 0.0, (m @ qm.T) / den, np.nan)
-            sims = np.round(sims, 4)
+            sims = round_half_away(sims)
             vids = pdf["vec_id"].to_numpy()
             for qi in range(len(qids)):
                 s = sims[:, qi]

@@ -138,10 +138,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'FAST'
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'NORMAL'
                 ELSE 'SLOW' END AS delay_bucket,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -159,7 +159,13 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shipdate year filter prunes the lineitem scan before the join;
     the join shuffles on orderkey (the bucketing key); the CASE grouping
     key collapses to 3 groups so the final aggregation is a near-free
-    partial+final pair. datediff stays in whole-stage codegen."""
+    partial+final pair. datediff stays in whole-stage codegen.
+
+    Oracle typing note: the conditional counts are CAST(... AS BIGINT)
+    because DuckDB's sum over integers returns HUGEINT (int128), whose
+    string form the driver hashes differently from Spark's bigint even
+    when the values are equal — the same convention every other oracle
+    in the registry follows."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -231,7 +237,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    # Timestamp-preserving arithmetic: date_add would truncate o_orderdate
+    # to a DATE, silently shifting the cutoff if orders ever carried a
+    # time-of-day component; the INTERVAL form matches the oracle exactly.
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("l_orderkey", "l_suppkey", late.alias("is_late"))

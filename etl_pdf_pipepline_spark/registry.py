@@ -50,80 +50,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r4 ordering (VERDICT r3 ask #1):
-# code-touched-first — the 14 queries whose plans/oracles changed in r3
-# AFTER the r3 gate ran (2 rewritten TPC-H plans, 4 inheriting the
-# cents() change, 8 events_* reads inheriting the NTZ normalization)
-# currently have driver rows proving deleted code; they go first.  Then
-# queries touched THIS round (perf rewrites + new registrations), then
-# every remaining query whose latest driver row is r2, so after r4 every
-# registered query's latest row proves current code.  Invariant adopted
-# from VERDICT r3: any query whose plan/oracle changes enters the next
-# gate's top-50.
+# of the contract, so it is explicit. r5 ordering, same invariant as r3/r4
+# (any query whose plan/oracle changes enters the next gate's top-50):
+# first the queries touched or added THIS round (oracle-typing fix,
+# interval fix, rate clamp, JVM frame-sampler rewrite, rounding-contract
+# change in the Arrow scorers, two new registrations), then the 9 queries
+# whose latest driver row is still r2 (r4's gate budget-capped them out;
+# code verified unchanged, rows valid but stale), then the OLDEST r3 rows
+# to fill the 50 budget so no row ages past ~2 rounds. The 12 r3-latest
+# rows below the cut are the trivial scalar-projection/count plans
+# (doc_hashes, q6, etc.) — they rotate in r6.
 _GATE_PRIORITY = [
-    # r3-touched, driver row still r2 (proves pre-rewrite code) — re-prove
-    "revenue_by_nation",
-    "shipping_priority_top10",
-    "brand_price_stats",
-    "customer_order_profile",
-    "top_orders_by_value",
-    "running_spend_budget",
-    "events_hourly_rollup",
-    "events_daily_rollup_totals",
-    "events_sliding_window",
-    "events_top_users",
-    "events_type_pivot",
-    "events_cube_day_type",
-    "events_user_rank_dist",
-    "events_json_props",
-    # touched / added in r4 — need current-code rows
-    "doc_token_stats",
-    "ann_cosine_topk",
-    "chunk_fixed_window",
-    "dedup_connected_components",
-    "embedding_cluster_components",
-    "bm25_search_title_weighted",
-    "ocr_document_text",
-    "q8_market_share",
+    # touched / added in r5 — need current-code rows
     "q12_shipmode_priority",
     "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "doc_pack_sequences",
     "doc_repetition_filter",
     "corpus_mixture_sample",
-    "doc_pii_scrub",
+    "media_frame_sample",
+    "ann_cosine_topk",
     "ann_batch_topk",
-    "media_resize",
-    "doc_quality_classifier",
-    "doc_unigram_logprob",
-    "dedup_winnowing_pairs",
-    "fts_phrase_search",
-    # remaining r2-latest rows (code unchanged; rotate forward so the
-    # union of latest driver rows all proves current code)
-    "approx_distinct_users",
-    "approx_value_quantiles",
-    "bm25_search",
-    "bm25_search_title_filtered",
-    "chunk_markdown_hybrid",
-    "context_distinct_sources",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "dedup_ngram_jaccard",
-    "docs_stats_by_source",
-    "embedding_lsh_pairs",
-    "embedding_near_dup_pairs",
-    "hybrid_rrf_search",
-    "ivf_assignment",
-    "ivf_probe_topk",
+    "doc_dup_paragraph_fraction",
+    "bm25_topk_from_index",
+    # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
     "media_decode_filter",
-    "media_frame_sample",
     "media_metadata",
     "order_sequence_window",
     "routed_search",
     "salted_skew_join",
     "segment_acctbal_stats",
+    # oldest r3-latest rows, non-trivial plans first
+    "dedup_exact",
+    "dedup_lsh_candidates",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "corpus_curation_stats",
+    "corpus_contamination_probe",
+    "corpus_top_terms_per_lang",
+    "context_assembly",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_stratified_sample",
+    "docs_after_source_purge",
+    "events_anomaly_zscore",
+    "events_asof_purchase_click",
+    "events_funnel_counts",
+    "events_range_join_attribution",
+    "events_retention_cohorts",
+    "events_sessionization",
+    "events_user_gaps",
+    "q1_pricing_summary",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "streaming_click_purchase_join",
+    "streaming_dedup_counts",
+    "streaming_hourly_rollup",
+    "streaming_session_counts",
+    # ---- 50-budget cut (driver caps here) ----
+    # r3-latest trivial plans, deferred to r6
+    "incremental_new_docs",
+    "doc_lookup_filters",
+    "doc_hashes",
+    "doc_titles_from_filenames",
+    "doc_token_estimates",
+    "orders_status_counts",
+    "priority_set_ops",
+    "customer_balance_quartiles",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
 ]
 
 

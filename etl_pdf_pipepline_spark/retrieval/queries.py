@@ -192,6 +192,48 @@ def bm25_search_title_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_topk_from_index",
+    oracle=f"""
+    WITH {_bm25_ctes()}
+    SELECT doc_id, round(score, 4) AS score
+    FROM bm25 ORDER BY round(score, 4) DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_topk_from_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index path of S12 (VERDICT r4 ask #8), gated against
+    the SAME oracle as bm25_search: build the bucketed postings +
+    doc-stats parquet pair (bm25.persist_index — term-hash-partitioned,
+    sorted within partitions), then score top-15 from the files with no
+    corpus scan or tokenization. A green row proves index-path ≡
+    recompute-path end-to-end (build + read-back + score), which is the
+    100 TB story for repeated queries: the reference builds its Tantivy
+    index once per ingest batch (lancedb_store.py:104-112, pipeline.py:
+    164-165) and serves every search from it.
+
+    The index lands under the repo warehouse keyed by corpus dir so gate
+    runs at different sf don't collide; each invocation rebuilds
+    (mode=overwrite) — the gate intentionally times/validates the whole
+    build+query cycle, not a warm cache."""
+    import hashlib
+    import os
+
+    from .bm25 import bm25_topk_from_index, persist_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"bm25_index_{tag}",
+    )
+    persist_index(docs, "doc_id", "text", path)
+    return (
+        bm25_topk_from_index(spark, path, QUERY_TERMS, 15)
+        .withColumnRenamed("doc_key", "doc_id")
+    )
+
+
+@query(
     "routed_search",
     oracle=f"""
     WITH {_bm25_ctes(qterms="['how', 'fast', 'is', 'spark']")}

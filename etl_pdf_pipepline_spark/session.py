@@ -25,14 +25,61 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Compressed input bytes one shuffle partition should be responsible for.
+# 64 MB compressed ≈ 0.5 GB of decompressed hash-build state — the knee of
+# the measured spill curve (SCALING.md knob matrix: revenue_by_nation sf100
+# 119 s at 32 partitions / ~1 GB-task vs 48 s at 256 / ~0.12 GB-task).
+_BYTES_PER_PARTITION = 64 * 1024 * 1024
+
+
+def derive_shuffle_partitions(data_dir: str) -> int:
+    """Size `spark.sql.shuffle.partitions` from the data, not a constant.
+
+    SCALING.md's sf100 matrix showed there is no single static value for a
+    1000× data range: 32 is right for the sf0.1 gate but a 2.5×-measured
+    spill wall at sf100, while AQE coalesce is NOT a substitute (its 64 MB
+    advisory re-merges the big join's partitions back into spill
+    territory — fanning out via initialPartitionNum LOST to plain static
+    256). A cluster deployment scales the knob with executors×cores, i.e.
+    with the compute that scales with the data; the local analogue is to
+    scale it with the input: one footer-less directory walk sums the
+    compressed parquet bytes, and partitions grow as the next power of two
+    of bytes/64 MB, floored at 32 (sf≤10 keeps the gate-tuned default
+    exactly) and capped at 2048. Powers of two keep partition counts
+    stable under small data-size jitter. Measured mapping: sf0.1→32,
+    sf10→32, sf30→128, sf100 (15 GB)→256 — reproducing the matrix's
+    winning static value at every measured point without env vars."""
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    need = total // _BYTES_PER_PARTITION
+    p = 32
+    while p < need and p < 2048:
+        p *= 2
+    return p
+
 
 def get_spark(
     app_name: str = "etl-pdf-pipeline-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    data_dir: str | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's standard config."""
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    Precedence for shuffle partitions: explicit argument >
+    $SPARK_GRAFT_SHUFFLE_PARTITIONS > derived-from-`data_dir` size > 32."""
+    if shuffle_partitions is None:
+        if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
+            shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+        elif data_dir is not None:
+            shuffle_partitions = derive_shuffle_partitions(data_dir)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")

@@ -80,3 +80,65 @@ def test_pii_scrub_counts_and_masking(spark):
         assert r.n_phones == (1 if r.doc_id % 2 == 0 else 0)
         assert r.n_ips == 1
         assert len(r.redacted_md5) == 32
+
+
+def test_mixture_sample_keeps_every_language(spark):
+    """The rate floor (greatest(1, ...)) guarantees no language is
+    silently dropped: a language whose token mass exceeds 100×MIX_BUDGET
+    would otherwise floor-divide to rate 0 and vanish from the rollup.
+    On this corpus no language is that heavy, so additionally assert the
+    floor's arithmetic directly at the boundary."""
+    in_langs = {
+        r.lang
+        for r in load_table(spark, SF, "documents").select("lang").distinct().collect()
+    }
+    out_langs = {r.lang for r in corpus_mixture_sample(spark, SF).collect()}
+    assert out_langs == in_langs
+    # rate arithmetic at the over-budget boundary: 100*B // (100*B + 1) == 0
+    # before the clamp, 1 after — the exact case the floor exists for.
+    assert max(1, min(100, 100 * MIX_BUDGET // (100 * MIX_BUDGET + 1))) == 1
+
+
+def test_repetition_filter_short_docs_agree_with_oracle(spark, tmp_path):
+    """Docs with <3 tokens have no 3-grams: both the Spark plan and the
+    DuckDB oracle must emit dup3_frac = 0.0 (keep=true), not diverge
+    (ADVICE r4: the unfiltered oracle scored them 1.0). Latent on the
+    real corpus (min doc length 10 tokens), so probed on a synthetic
+    table with 0/1/2/3-token docs."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["", "one", "two words", "three word doc", "a a a a a a"],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [0, 3, 9, 14, 11],
+        }
+    )
+    pq_path = tmp_path / "documents.parquet"
+    docs.to_parquet(pq_path)
+    sdf = doc_repetition_filter(spark, str(tmp_path))
+    spark_rows = {r.doc_id: (r.top2_frac, r.dup3_frac, r.keep) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_path}')"
+    )
+    from etl_pdf_pipepline_spark.registry import all_oracles
+
+    duck_rows = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(all_oracles()["doc_repetition_filter"]).fetchall()
+    }
+    con.close()
+    assert spark_rows == duck_rows
+    # short docs (no 3-grams) score dup3_frac 0.0 — the dup3 signal never
+    # rejects them (doc 3 is still caught by top2: its single 2-gram owns
+    # 100% of 2-gram mass, which both engines agree on)
+    for short_id in (1, 2, 3):
+        assert spark_rows[short_id][1] == 0.0
+    assert spark_rows[1][2] is True and spark_rows[2][2] is True
+    assert spark_rows[3][0] == 1.0
+    # the all-repeats doc is caught by both signals
+    assert spark_rows[5][0] == 1.0 and spark_rows[5][1] > 0.0

@@ -128,3 +128,54 @@ def test_cosine_topk_arrow_matches_pandas_path(spark):
         (r.vec_id, r.label, r.score) for r in ref
     ]
     assert all(r.vec_id != 200 for r in arrow)
+
+
+def test_round_half_away_matches_duckdb_round(spark):
+    """The Arrow scorers' rounding contract is the ORACLE's (DuckDB),
+    probed against live DuckDB at .5 boundaries (ADVICE r4). Note DuckDB
+    and Spark's F.round themselves disagree here (binary-double half-away
+    vs BigDecimal shortest-decimal: round(0.00015, 4) is 0.0001 in DuckDB
+    but 0.0002 in Spark) — the scorers are hash-compared against DuckDB,
+    so DuckDB semantics win."""
+    import duckdb
+    import numpy as np
+
+    from etl_pdf_pipepline_spark.functions.vectors import round_half_away
+
+    vals = [0.00005, 0.00015, -0.00005, -0.00015, 0.12345, -0.99995, 0.5, 1.0]
+    got = round_half_away(np.array(vals))
+    con = duckdb.connect()
+    duck = [
+        con.execute(f"SELECT round(CAST({v!r} AS DOUBLE), 4)").fetchone()[0]
+        for v in vals
+    ]
+    con.close()
+    assert list(got) == duck
+    # numpy's default would disagree at the even boundary — the defect probe
+    assert np.round(0.00005, 4) == 0.0 and round_half_away(np.array([0.00005]))[0] == 0.0001
+    # NaN passes through untouched
+    assert np.isnan(round_half_away(np.array([np.nan]))[0])
+
+
+def test_cosine_topk_arrow_null_and_ragged_rows_skipped(spark):
+    """A null or wrong-length embedding must be skipped (scored NaN →
+    dropped), not crash np.vstack/np.asarray (ADVICE r4: the old ragged
+    fallback raised an obscure TypeError on null rows)."""
+    import numpy as np
+
+    from etl_pdf_pipepline_spark.functions.vectors import cosine_topk_arrow
+
+    rng = np.random.default_rng(11)
+    d = 6
+    rows = [(i, 0, [float(x) for x in rng.normal(size=d)]) for i in range(20)]
+    rows.append((20, 0, None))                       # null embedding
+    rows.append((21, 0, [1.0, 2.0]))                 # ragged (wrong length)
+    df = (
+        spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+        .withColumn("label", F.col("label").cast("int"))
+    )
+    q = [float(x) for x in rng.normal(size=d)]
+    out = cosine_topk_arrow(df, q, k=5).collect()
+    assert len(out) == 5
+    assert all(r.vec_id not in (20, 21) for r in out)
