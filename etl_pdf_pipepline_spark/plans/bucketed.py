@@ -1,0 +1,150 @@
+"""Bucketed co-located join over the real fact tables (round 5).
+
+tests/test_bucketing.py proves the mechanism on synthetic ranges; this
+module carries it into the gate over the actual workload: the Q5-shaped
+revenue rollup (`revenue_by_nation`, plans/relational.py:298) re-run from
+lineitem and orders PRE-BUCKETED on the join key, checked against the
+SAME DuckDB oracle. This is the second half of the 100 TB join story:
+
+- `revenue_by_nation` is the query-time plan — two exchanges on
+  orderkey (lineitem's per-order pre-aggregation, then the join).
+- Here both facts are written `bucketBy(orderkey)`+`sortBy` once
+  (the lake layout a recurring workload pays for at ingest), after which
+  BOTH orderkey exchanges disappear from every future run: the bucketed
+  scan already satisfies the hash-partitioning requirement of the
+  groupBy AND the join. At 600M lineitem rows that is the entire 3.1 GB
+  shuffle (TELEMETRY_sf100) converted to zero bytes, per query, forever.
+
+The remaining custkey hop (orders⋈region-filtered customer) is
+explicitly broadcast: one bucket layout can co-locate one key, and the
+orderkey join is the one that scales with lineitem; the region-filtered
+customer side is the smallest input in the query. A deployment that also
+re-runs custkey joins buckets customer/orders by custkey in a second
+layout — same mechanism, different key choice.
+
+tests/test_bucketing.py::test_revenue_bucketed_plan_has_no_orderkey_exchange
+asserts the plan property (no Exchange on either orderkey), not just the
+values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents as _cents
+from ..registry import query
+from ..sources.catalog import load_table
+
+N_BUCKETS = 8
+
+_REVENUE_ORACLE = """
+    SELECT n.n_name,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue
+    FROM customer c
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """
+
+
+def bucketed_table_names(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Deterministic per-corpus table names (metastore is shared across
+    gate runs at different sf dirs)."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return f"bkt_{tag}_lineitem", f"bkt_{tag}_orders"
+
+
+def _drop_stale(spark: SparkSession, *names: str) -> None:
+    """DROP TABLE IF EXISTS plus orphan-location cleanup. Local sessions
+    use the in-memory catalog, so a table written by a PREVIOUS session
+    leaves its warehouse directory behind with no catalog entry —
+    saveAsTable(overwrite) then fails with LOCATION_ALREADY_EXISTS. A
+    cluster deployment with a persistent metastore only needs the DROP."""
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join(warehouse, name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+
+
+def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Ingest-time layout: both facts bucketed+sorted on the join key.
+    Only the columns the revenue query reads are materialized — the lake
+    copy a recurring workload maintains is a projection, not a clone."""
+    li_name, o_name = bucketed_table_names(spark, sf_dir)
+    _drop_stale(spark, li_name, o_name)
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(li_name)
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(o_name)
+    )
+    return li_name, o_name
+
+
+def revenue_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue_by_nation plan reading the bucketed layout. Identical
+    logical shape to plans/relational.py:298 (broadcast dim chain,
+    lineitem pre-aggregated by orderkey before the join) — but the
+    groupBy(l_orderkey) and the orderkey join both inherit the bucketed
+    scan's partitioning, so neither exchanges."""
+    li_name, o_name = bucketed_table_names(spark, sf_dir)
+    li = spark.table(li_name)
+    o = spark.table(o_name)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey", "n_nationkey")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    li_rev = (
+        li.select("l_orderkey", rev.alias("rev_c"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    o_asia = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_nationkey"
+    )
+    return (
+        li_rev.join(o_asia, li_rev.l_orderkey == o_asia.o_orderkey)
+        .groupBy("n_nationkey")
+        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), "n_nationkey")
+        .select("n_name", "revenue")
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query("revenue_by_nation_bucketed", oracle=_REVENUE_ORACLE)
+def revenue_by_nation_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the bucketed layout, then answer from it — gated against the
+    same oracle as revenue_by_nation, so a green row proves the layout
+    path computes the identical result (the gate intentionally re-proves
+    build + read-back + join each run, like bm25_topk_from_index)."""
+    write_bucketed_facts(spark, sf_dir)
+    return revenue_from_bucketed(spark, sf_dir)

@@ -71,6 +71,8 @@ _GATE_PRIORITY = [
     "ann_batch_topk",
     "doc_dup_paragraph_fraction",
     "bm25_topk_from_index",
+    "revenue_by_nation_bucketed",
+    "events_partition_pruned_day",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -108,8 +110,6 @@ _GATE_PRIORITY = [
     "q10_returned_items",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
     "streaming_click_purchase_join",
     "streaming_dedup_counts",
     "streaming_hourly_rollup",
@@ -128,6 +128,8 @@ _GATE_PRIORITY = [
     "q6_forecast_revenue",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q18_large_volume_customers",
 ]
 
 
@@ -159,6 +161,8 @@ def _ensure_loaded() -> None:
     from .plans import relational  # noqa: F401
     from .plans import relational_tpch_ext  # noqa: F401
     from .plans import relational_tpch_ext2  # noqa: F401
+    from .plans import bucketed  # noqa: F401
+    from .plans import partitioned  # noqa: F401
     from .plans import lifecycle  # noqa: F401
     from .operators import chunker_queries  # noqa: F401
     from .operators import dedup  # noqa: F401
