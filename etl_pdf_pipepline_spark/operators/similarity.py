@@ -269,9 +269,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ivf_probe_topk",
-    oracle="""
+# Shared by ivf_probe_topk (in-session index) and ivf_probe_from_index
+# (persisted index): both must produce exactly this result.
+_IVF_PROBE_ORACLE = """
     WITH {ctes},
     q AS (SELECT v AS qv FROM d WHERE vec_id = 4),
     qprobe AS (
@@ -298,12 +298,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY score DESC, d.vec_id
     LIMIT 10
     """.format(
-        ctes=_kmeans_oracle_ctes(),
-        cosqc=_COS_ORACLE_EXPR.format(a="c.cv", b="q.qv"),
-        cosdc=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv"),
-        cosdq=_COS_ORACLE_EXPR.format(a="d.v", b="q.qv"),
-    ),
+    ctes=_kmeans_oracle_ctes(),
+    cosqc=_COS_ORACLE_EXPR.format(a="c.cv", b="q.qv"),
+    cosdc=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv"),
+    cosdq=_COS_ORACLE_EXPR.format(a="d.v", b="q.qv"),
 )
+
+
+@query("ivf_probe_topk", oracle=_IVF_PROBE_ORACLE)
 def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete IVF-ANN search path over TRAINED centroids
     (kmeans_centroids): rank centroids against the query, probe only the
@@ -341,6 +343,105 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(candidates, "vec_id", "left_semi")
         .crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"ivf_index_{tag}")
+
+
+def persist_ivf_index(spark: SparkSession, sf_dir: str, exclude_vec_id: int | None = None) -> str:
+    """Materialize the IVF layout the probe path assumes: trained
+    centroids as a k-row parquet, vectors written partitionBy(centroid_id)
+    — one directory per cell, so a probe of nprobe cells is DIRECTORY
+    pruning, not a filtered full scan. The embedding rides along as its
+    float array; repartition on the partition column gives one file per
+    cell (the compacted layout, same rationale as
+    plans/partitioned.py:write_partitioned_events)."""
+    path = ivf_index_path(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if exclude_vec_id is not None:
+        emb = emb.filter(F.col("vec_id") != exclude_vec_id)
+    d = emb.select("vec_id", "embedding", as_double("embedding").alias("v"))
+    c = kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    c.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = (
+        d.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id", "embedding", "centroid_id",
+            F.round(cosine(F.col("v"), F.col("cv")), 4).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(centroid_id, struct(s, -centroid_id))").alias("centroid_id"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    return path
+
+
+@query("ivf_probe_from_index", oracle=_IVF_PROBE_ORACLE)
+def ivf_probe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF search path (the vector-side twin of
+    bm25_topk_from_index, gated against the SAME oracle as
+    ivf_probe_topk): build the centroid-partitioned layout once
+    (persist_ivf_index), then serve the probe entirely from files —
+    rank the k-row centroid parquet against the query, read ONLY the
+    nprobe=2 matching `centroid_id=` directories (directory-level
+    partition pruning, the mechanism tests/test_bucketing.py proves for
+    events), exact-score those candidates, top-10.
+
+    This is what "IVF at 100 TB" concretely means: nlist cells on disk,
+    a probe touches nprobe/nlist of the lake before any row is read, and
+    the index amortizes across every query instead of re-deriving
+    centroids and assignments per search. The nprobe centroid ids are a
+    2-row parameter fetch (collect of a k-row ranking), the engine's
+    query-parameter convention. A green row proves persisted-path ≡
+    in-session-path bit-for-bit."""
+    path = persist_ivf_index(spark, sf_dir, exclude_vec_id=4)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 4).select(
+        as_double("embedding").alias("qv")
+    )
+    c = spark.read.parquet(f"{path}/centroids")
+    qc_w = Window.orderBy(F.desc("s"), F.asc("centroid_id"))
+    probe_ids = [
+        r.centroid_id
+        for r in (
+            c.crossJoin(F.broadcast(q))
+            .select("centroid_id", F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("s"))
+            .withColumn("rn", F.row_number().over(qc_w))
+            .filter(F.col("rn") <= 2)
+            .select("centroid_id")
+            .collect()
+        )
+    ]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return (
+        vecs.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
+        )
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
@@ -508,6 +609,56 @@ def embedding_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.select(F.col("id").alias("vec_id"), F.col("label").alias("component"))
         .withColumn("component_size", F.count("*").over(w))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "semantic_dedup_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_ELSH_CTES},
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM lsh_pairs
+        UNION ALL SELECT vec_b, vec_a FROM lsh_pairs
+    ),
+    cc(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    final AS (SELECT id AS vec_id, min(label) AS component FROM cc GROUP BY id)
+    SELECT e.vec_id,
+           coalesce(f.component, e.vec_id) AS component,
+           e.vec_id = coalesce(f.component, e.vec_id) AS is_keeper
+    FROM embeddings e LEFT JOIN final f ON e.vec_id = f.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's corpus-level output (Abbas et al. 2023): the per-vector
+    KEEP/PRUNE decision, completing the semantic-dedup story that
+    embedding_cluster_components leaves at the group level. One canonical
+    representative (min vec_id — the component label itself, by
+    construction of the min-label closure) survives per semantic cluster;
+    every vector outside any cluster is trivially its own keeper.
+
+    Scale posture: the closure runs only over vectors that appear in an
+    LSH candidate pair (a small fraction of the corpus by design — LSH
+    recall bounds the graph), so the label table is dimension-sized and
+    BROADCAST onto the full corpus scan; the keep decision itself is one
+    scan-side coalesce+compare, no corpus shuffle. The downstream
+    training pipeline filters `is_keeper` and never materializes the
+    pruned rows."""
+    from .dedup import connected_components
+
+    pairs = embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, src_col="vec_a", dst_col="vec_b")
+    lab = labels.select(F.col("id").alias("vec_id"), F.col("label").alias("component"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        emb.join(F.broadcast(lab), "vec_id", "left")
+        .select("vec_id", F.coalesce("component", F.col("vec_id")).alias("component"))
+        .withColumn("is_keeper", F.col("vec_id") == F.col("component"))
         .orderBy("vec_id")
     )
 

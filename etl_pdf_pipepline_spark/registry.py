@@ -73,6 +73,8 @@ _GATE_PRIORITY = [
     "bm25_topk_from_index",
     "revenue_by_nation_bucketed",
     "events_partition_pruned_day",
+    "ivf_probe_from_index",
+    "semantic_dedup_keepers",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -108,8 +110,6 @@ _GATE_PRIORITY = [
     "q1_pricing_summary",
     "q7_volume_shipping",
     "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
     "streaming_click_purchase_join",
     "streaming_dedup_counts",
     "streaming_hourly_rollup",
@@ -130,6 +130,8 @@ _GATE_PRIORITY = [
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
     "q18_large_volume_customers",
+    "q17_small_quantity_revenue",
+    "q15_top_supplier",
 ]
 
 
