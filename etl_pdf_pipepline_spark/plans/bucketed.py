@@ -39,7 +39,15 @@ from ..functions.money import cents as _cents
 from ..registry import query
 from ..sources.catalog import load_table
 
-N_BUCKETS = 8
+# Bucket count scales with the data like shuffle partitions do (and for
+# the same reason: a bucketed join runs one task per bucket, so bucket
+# count IS the join's parallelism). 8 buckets at sf100 would put 75M
+# rows in each of 8 tasks on 32 cores; deriving from input size gives
+# 32 at the sf0.01 gate and 256 at sf100.
+def _n_buckets(sf_dir: str) -> int:
+    from ..session import derive_shuffle_partitions
+
+    return derive_shuffle_partitions(sf_dir)
 
 _REVENUE_ORACLE = """
     SELECT n.n_name,
@@ -85,11 +93,13 @@ def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     Only the columns the revenue query reads are materialized — the lake
     copy a recurring workload maintains is a projection, not a clone."""
     li_name, o_name = bucketed_table_names(spark, sf_dir)
+    n_buckets = _n_buckets(sf_dir)
     _drop_stale(spark, li_name, o_name)
     (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .repartition(n_buckets, "l_orderkey")
+        .write.bucketBy(n_buckets, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
         .saveAsTable(li_name)
@@ -97,7 +107,8 @@ def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey")
-        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .repartition(n_buckets, "o_orderkey")
+        .write.bucketBy(n_buckets, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
         .saveAsTable(o_name)

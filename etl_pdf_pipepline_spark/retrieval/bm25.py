@@ -157,22 +157,34 @@ def bm25_topk(
 
 
 def persist_index(docs: DataFrame, id_col: str, text_col: str, path: str, n_buckets: int = 16) -> None:
-    """Materialize the postings + doc-stats pair as parquet, postings
-    hash-partitioned by term (repartition(n_buckets, term) + sorted
-    within partitions). A query's term lookup then touches only the
-    partitions its terms hash to, and the per-term posting rows arrive
-    contiguously — the explicit-files analogue of a bucketed Delta/Hive
-    table (bucketBy needs a metastore; the plan shape is identical).
-    Rebuild cadence mirrors the reference: once per ingest batch
+    """Materialize the index as parquet: postings hash-partitioned by term
+    (repartition(n_buckets, term) + sorted within partitions), the
+    per-doc length DENORMALIZED into each posting row, and the corpus
+    scalars (N, avgdl) as a one-row table. A query's term lookup then
+    touches only the partitions/row-groups its terms hash to, and scoring
+    needs NO doc-side join at all — the same reason Lucene stores norms
+    inline in the postings rather than in a separate doc table. The dl
+    copy costs ~one long per posting row at build time (amortized across
+    every query); at sf100 it removed a 1.5M×4M-row doc_stats shuffle
+    from every query (SCALING.md r5). doc_stats is still written for
+    consumers that want the per-doc view. Rebuild cadence mirrors the
+    reference: once per ingest batch
     (/root/reference/src/pipeline.py:164-165)."""
     postings = build_postings(docs, id_col, text_col)
+    doc_stats = build_doc_stats(postings)
     (
-        postings.repartition(n_buckets, "term")
+        postings.join(doc_stats, "doc_key")
+        .repartition(n_buckets, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
     )
-    build_doc_stats(postings).write.mode("overwrite").parquet(f"{path}/doc_stats")
+    doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    (
+        doc_stats.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/corpus")
+    )
 
 
 def bm25_topk_from_index(
@@ -183,9 +195,41 @@ def bm25_topk_from_index(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Query a persisted index: no tokenization, no corpus scan — read the
-    posting lists of the query terms (term-dictionary filter pushed to
-    parquet), then the same shared scoring plan as the live path."""
-    postings = spark.read.parquet(f"{path}/postings")
-    doc_stats = spark.read.parquet(f"{path}/doc_stats")
-    return _topk_by_score(_score_postings(postings, doc_stats, query_terms, k1, b), k)
+    """Query a persisted index: no tokenization, no corpus scan, no
+    doc-side join — read the posting lists of the query terms, score,
+    top-k. Two scan-path properties carry the whole cost model:
+
+    - The term lookup is a LITERAL isin predicate on the scan, not only a
+      broadcast join probe (which cannot push down to parquet): without
+      it the scan reads every posting row (measured 20.5 s over ~375M
+      postings at sf100); with it, PushedFilters carries In(term, ...)
+      into the reader and the sortWithinPartitions('term') layout makes
+      each term's rows contiguous row-group runs min/max stats can skip.
+    - dl rides inside the posting rows (persist_index denormalizes it),
+      so scoring is matched-rows algebra + one groupBy(doc_key) — the
+      1.5M-doc doc_stats join the live path needs is gone.
+
+    Same scores as the live path (same dl, same scalars): proven by the
+    shared oracle row and the round-trip test."""
+    matched = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(list(set(query_terms)))
+    )
+    corpus = spark.read.parquet(f"{path}/corpus")
+    if not query_terms:
+        return (
+            matched.select(F.col("doc_key"), F.lit(0.0).alias("score")).limit(0)
+        )
+    df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        matched.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "term_score",
+            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_key")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return _topk_by_score(scored, k)
