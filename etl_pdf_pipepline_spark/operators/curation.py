@@ -628,3 +628,110 @@ def doc_dup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_dup_paragraph_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, u.i AS seg_idx, u.s AS seg_text, md5(u.s) AS seg_hash
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'i': i, 's': array_to_string(t[(i * {PARA_LEN} + 1):((i + 1) * {PARA_LEN})], ' ')}}
+                           for i in range(0, CAST(ceil(len(t) / {PARA_LEN}.0) AS BIGINT))]) AS u
+            FROM toks WHERE len(t) > 0)
+    ),
+    firsts AS (
+        SELECT seg_hash, min(doc_id) AS k_doc FROM segs GROUP BY seg_hash
+    ),
+    first_idx AS (
+        SELECT s.seg_hash, f.k_doc, min(s.seg_idx) AS k_idx
+        FROM segs s JOIN firsts f ON s.seg_hash = f.seg_hash AND s.doc_id = f.k_doc
+        GROUP BY s.seg_hash, f.k_doc
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_idx, s.seg_text
+        FROM segs s JOIN first_idx f ON s.seg_hash = f.seg_hash
+        WHERE s.doc_id = f.k_doc AND s.seg_idx = f.k_idx
+    )
+    SELECT p.doc_id, p.n_paras,
+           coalesce(k.n_kept, 0) AS n_kept,
+           md5(coalesce(k.txt, '')) AS cleaned_md5
+    FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM segs GROUP BY doc_id) p
+    LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      string_agg(seg_text, ' ' ORDER BY seg_idx) AS txt
+               FROM kept GROUP BY doc_id) k ON p.doc_id = k.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def doc_dup_paragraph_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-paragraph REMOVAL (Raffel et al. 2020 §2.2 —
+    C4 drops every repeated three-sentence span corpus-wide, keeping one
+    occurrence): where doc_dup_paragraph_fraction only scores, this
+    rebuilds the cleaned corpus. Every distinct paragraph survives
+    exactly once, at its globally-first location (min (doc_id, seg_idx),
+    a total order both engines share); all later occurrences are cut,
+    and the per-doc output is the rebuilt text's md5 — byte-level proof
+    of identical reconstruction, same convention as doc_pii_scrub.
+
+    Scale posture: two shuffles, both key-hashed and skew-free — a
+    window min over seg_hash (md5 keys are uniform; the window carries
+    struct(doc_id, seg_idx), 12 bytes beyond the key) picks each
+    paragraph's first occurrence, then the per-doc rollup regroups on
+    doc_id and reassembles order via array_sort(collect_list(struct)) —
+    the paragraph TEXT rides only this second shuffle, which is the
+    reconstruction's inherent payload (output ≈ input bytes, the same
+    volume any rewrite pass moves). Nothing is quadratic in duplicate
+    multiplicity: k copies of a paragraph cost k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    nseg = F.ceil(F.size(toks) / F.lit(float(PARA_LEN))).cast("int")
+    seg_arr = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("seg_idx"),
+                F.concat_ws(" ", F.slice(toks, i * PARA_LEN + 1, PARA_LEN)).alias(
+                    "seg_text"
+                ),
+            ),
+        ),
+    )
+    segs = docs.select("doc_id", F.explode(seg_arr).alias("f")).select(
+        "doc_id", "f.seg_idx", "f.seg_text", F.md5("f.seg_text").alias("seg_hash")
+    )
+    w = Window.partitionBy("seg_hash")
+    flagged = segs.withColumn(
+        "first_occ", F.min(F.struct("doc_id", "seg_idx")).over(w)
+    ).withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("seg_idx") == F.col("first_occ.seg_idx")),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("kept"), F.struct("seg_idx", "seg_text"))
+                            )
+                        ),
+                        lambda s: s.getField("seg_text"),
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -75,6 +75,7 @@ _GATE_PRIORITY = [
     "events_partition_pruned_day",
     "ivf_probe_from_index",
     "semantic_dedup_keepers",
+    "doc_dup_paragraph_removal",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -109,7 +110,6 @@ _GATE_PRIORITY = [
     "events_user_gaps",
     "q1_pricing_summary",
     "q7_volume_shipping",
-    "q10_returned_items",
     "streaming_click_purchase_join",
     "streaming_dedup_counts",
     "streaming_hourly_rollup",
@@ -132,6 +132,7 @@ _GATE_PRIORITY = [
     "q18_large_volume_customers",
     "q17_small_quantity_revenue",
     "q15_top_supplier",
+    "q10_returned_items",
 ]
 
 
