@@ -58,6 +58,7 @@ def main() -> int:
     spark = get_spark(
         "bench-telemetry",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
+        data_dir=sf_dir,  # same derived shuffle partitions as bench.py
     )
     base = "http://localhost:4050"
     app_id = _api(base, "/api/v1/applications")[0]["id"]
