@@ -54,12 +54,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (any query whose plan/oracle changes enters the next gate's top-50):
 # first the queries touched or added THIS round (oracle-typing fix,
 # interval fix, rate clamp, JVM frame-sampler rewrite, rounding-contract
-# change in the Arrow scorers, two new registrations), then the 9 queries
-# whose latest driver row is still r2 (r4's gate budget-capped them out;
-# code verified unchanged, rows valid but stale), then the OLDEST r3 rows
-# to fill the 50 budget so no row ages past ~2 rounds. The 12 r3-latest
-# rows below the cut are the trivial scalar-projection/count plans
-# (doc_hashes, q6, etc.) — they rotate in r6.
+# change in the Arrow scorers, the new layout/index/curation
+# registrations), then the 9 queries whose latest driver row is still r2
+# (r4's gate budget-capped them out; code verified unchanged, rows valid
+# but stale), then the OLDEST r3 rows to fill the 50 budget so no row
+# ages past ~2 rounds. The r3-latest rows below the cut are mostly the
+# trivial scalar-projection/count plans (doc_hashes, q6, etc.) plus a
+# few stable unchanged joins displaced by the r5 additions — they rotate
+# in r6.
 _GATE_PRIORITY = [
     # touched / added in r5 — need current-code rows
     "q12_shipmode_priority",
@@ -76,6 +78,7 @@ _GATE_PRIORITY = [
     "ivf_probe_from_index",
     "semantic_dedup_keepers",
     "doc_dup_paragraph_removal",
+    "hybrid_rrf_from_index",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -109,7 +112,6 @@ _GATE_PRIORITY = [
     "events_sessionization",
     "events_user_gaps",
     "q1_pricing_summary",
-    "q7_volume_shipping",
     "streaming_click_purchase_join",
     "streaming_dedup_counts",
     "streaming_hourly_rollup",
@@ -133,6 +135,7 @@ _GATE_PRIORITY = [
     "q17_small_quantity_revenue",
     "q15_top_supplier",
     "q10_returned_items",
+    "q7_volume_shipping",
 ]
 
 

@@ -187,17 +187,17 @@ def persist_index(docs: DataFrame, id_col: str, text_col: str, path: str, n_buck
     )
 
 
-def bm25_topk_from_index(
+def bm25_scores_from_index(
     spark,
     path: str,
     query_terms: list[str],
-    k: int,
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Query a persisted index: no tokenization, no corpus scan, no
-    doc-side join — read the posting lists of the query terms, score,
-    top-k. Two scan-path properties carry the whole cost model:
+    """(doc_key, score) from a persisted index: no tokenization, no
+    corpus scan, no doc-side join — read the posting lists of the query
+    terms and score them. Two scan-path properties carry the whole cost
+    model:
 
     - The term lookup is a LITERAL isin predicate on the scan, not only a
       broadcast join probe (which cannot push down to parquet): without
@@ -220,7 +220,7 @@ def bm25_topk_from_index(
             matched.select(F.col("doc_key"), F.lit(0.0).alias("score")).limit(0)
         )
     df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
+    return (
         matched.join(F.broadcast(df_counts), "term")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
@@ -232,4 +232,15 @@ def bm25_topk_from_index(
         .groupBy("doc_key")
         .agg(F.sum("term_score").alias("score"))
     )
-    return _topk_by_score(scored, k)
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k by rounded score over bm25_scores_from_index."""
+    return _topk_by_score(bm25_scores_from_index(spark, path, query_terms, k1, b), k)

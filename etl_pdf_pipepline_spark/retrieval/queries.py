@@ -214,10 +214,22 @@ def bm25_topk_from_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at different sf don't collide; each invocation rebuilds
     (mode=overwrite) — the gate intentionally times/validates the whole
     build+query cycle, not a warm cache."""
+    from .bm25 import bm25_topk_from_index
+
+    path = _build_bm25_index(spark, sf_dir)
+    return (
+        bm25_topk_from_index(spark, path, QUERY_TERMS, 15)
+        .withColumnRenamed("doc_key", "doc_id")
+    )
+
+
+def _build_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the BM25 index for this corpus under the repo warehouse
+    (path keyed by corpus dir) and return its path."""
     import hashlib
     import os
 
-    from .bm25 import bm25_topk_from_index, persist_index
+    from .bm25 import persist_index
 
     docs = load_table(spark, sf_dir, "documents")
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
@@ -227,10 +239,7 @@ def bm25_topk_from_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"bm25_index_{tag}",
     )
     persist_index(docs, "doc_id", "text", path)
-    return (
-        bm25_topk_from_index(spark, path, QUERY_TERMS, 15)
-        .withColumnRenamed("doc_key", "doc_id")
-    )
+    return path
 
 
 @query(
@@ -264,9 +273,9 @@ def routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hybrid_rrf_search",
-    oracle=f"""
+# Shared by hybrid_rrf_search (live postings) and hybrid_rrf_from_index
+# (persisted postings): both must produce exactly this fusion.
+_HYBRID_ORACLE = f"""
     WITH {_bm25_ctes()},
     kw_rank AS (
         SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank_kw
@@ -290,8 +299,10 @@ def routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(coalesce(1.0 / (60 + k.rank_kw), 0) + coalesce(1.0 / (60 + v.rank_vec), 0), 6) AS score
     FROM kw_rank k FULL OUTER JOIN vec_rank v ON k.doc_id = v.doc_id
     ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("hybrid_rrf_search", oracle=_HYBRID_ORACLE)
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Q3 hybrid search
     (/root/reference/src/load/lancedb_store.py:154-190): overfetch 20 from
@@ -310,6 +321,35 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_key"),
             F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
         )
+    )
+    vec_rank = rank_top(vec_scored, 20, "doc_key")
+
+    return rrf_fuse(kw_rank, vec_rank, "doc_key", k=10).withColumnRenamed("doc_key", "doc_id")
+
+
+@query("hybrid_rrf_from_index", oracle=_HYBRID_ORACLE)
+def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path of Q3 hybrid search: the keyword side scores from
+    the persisted bucketed postings (bm25_scores_from_index — literal
+    term predicate pushed to the scan, dl inline, no doc-side join), the
+    vector side is the scored scan, fusion is the same join-free RRF.
+    Gated against the SAME oracle as hybrid_rrf_search, proving the
+    reference's steady-state serving contract end-to-end: LanceDB builds
+    its Tantivy+vector indexes once per ingest and every hybrid query
+    reads them (lancedb_store.py:104-112,154-190) — here that is
+    build-parquet-once, then every query is posting-list reads + one
+    corpus vector scan. At sf100 the in-session keyword side costs
+    26.8 s per query; from the index it is ~5 s (SCALING.md r5)."""
+    from .bm25 import bm25_scores_from_index
+
+    path = _build_bm25_index(spark, sf_dir)
+    kw_rank = rank_top(bm25_scores_from_index(spark, path, QUERY_TERMS), 20, "doc_key")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    vec_scored = emb.crossJoin(F.broadcast(qdf)).select(
+        F.col("vec_id").alias("doc_key"),
+        F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
     )
     vec_rank = rank_top(vec_scored, 20, "doc_key")
 
