@@ -90,14 +90,17 @@ def _drop_stale(spark: SparkSession, *names: str) -> None:
 
 def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Ingest-time layout: both facts bucketed+sorted on the join key.
-    Only the columns the revenue query reads are materialized — the lake
-    copy a recurring workload maintains is a projection, not a clone."""
+    Only the columns the orderkey-join WORKLOAD reads (Q5-shaped revenue
+    AND Q3-shaped shipping priority — a layout serves a workload, not one
+    query) are materialized — the lake copy a recurring workload
+    maintains is a projection, not a clone. Column pruning at read time
+    means each query still scans only its own columns."""
     li_name, o_name = bucketed_table_names(spark, sf_dir)
     n_buckets = _n_buckets(sf_dir)
     _drop_stale(spark, li_name, o_name)
     (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
         .repartition(n_buckets, "l_orderkey")
         .write.bucketBy(n_buckets, "l_orderkey")
         .sortBy("l_orderkey")
@@ -106,7 +109,7 @@ def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
     (
         load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
         .repartition(n_buckets, "o_orderkey")
         .write.bucketBy(n_buckets, "o_orderkey")
         .sortBy("o_orderkey")
@@ -159,3 +162,70 @@ def revenue_by_nation_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build + read-back + join each run, like bm25_topk_from_index)."""
     write_bucketed_facts(spark, sf_dir)
     return revenue_from_bucketed(spark, sf_dir)
+
+
+_SHIPPING_ORACLE = """
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """
+
+
+@query("shipping_priority_bucketed", oracle=_SHIPPING_ORACLE)
+def shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 from the SAME bucketed layout revenue_by_nation_bucketed
+    uses — one layout amortizing across the whole orderkey-join workload,
+    which is the actual economics of bucketing a lake (same oracle as
+    shipping_priority_top10, plans/relational.py:368). Every wide
+    operation inherits the bucketed distribution: the filtered lineitem
+    pre-aggregation by orderkey, the orderkey join, and the final
+    (orderkey, date, priority) group (hash(l_orderkey) clusters a subset
+    of its keys, which satisfies the aggregation's required
+    distribution) — zero exchanges besides the broadcast of the
+    BUILDING-segment customer keys onto the orders scan."""
+    write_bucketed_facts(spark, sf_dir)
+    li_name, o_name = bucketed_table_names(spark, sf_dir)
+    li = spark.table(li_name).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    o = spark.table(o_name).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    li_rev = (
+        li.select("l_orderkey", rev.alias("rev_c"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    o_bldg = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        li_rev.join(o_bldg, li_rev.l_orderkey == o_bldg.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

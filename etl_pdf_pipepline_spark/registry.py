@@ -79,6 +79,7 @@ _GATE_PRIORITY = [
     "semantic_dedup_keepers",
     "doc_dup_paragraph_removal",
     "hybrid_rrf_from_index",
+    "shipping_priority_bucketed",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -110,7 +111,6 @@ _GATE_PRIORITY = [
     "events_range_join_attribution",
     "events_retention_cohorts",
     "events_sessionization",
-    "events_user_gaps",
     "q1_pricing_summary",
     "streaming_click_purchase_join",
     "streaming_dedup_counts",
@@ -136,6 +136,7 @@ _GATE_PRIORITY = [
     "q15_top_supplier",
     "q10_returned_items",
     "q7_volume_shipping",
+    "events_user_gaps",
 ]
 
 

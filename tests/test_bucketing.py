@@ -69,6 +69,20 @@ def test_revenue_bucketed_plan_has_no_orderkey_exchange(spark):
     got = [(r.n_name, r.revenue) for r in df.collect()]
     want = [(r.n_name, r.revenue) for r in revenue_by_nation(spark, sf).collect()]
     assert got == want
+    # the SAME layout serves the Q3 shape with the same zero-exchange
+    # property: filter + pre-agg + join + final group all inherit the
+    # bucketed distribution (hash(l_orderkey) clusters a subset of the
+    # final group's keys)
+    from etl_pdf_pipepline_spark.plans.bucketed import shipping_priority_bucketed
+
+    ship_plan = (
+        shipping_priority_bucketed(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning(l_orderkey" not in ship_plan, ship_plan[:3000]
+    assert "Exchange hashpartitioning(o_orderkey" not in ship_plan, ship_plan[:3000]
 
 
 def test_partitioned_events_scan_is_pruned(spark):
