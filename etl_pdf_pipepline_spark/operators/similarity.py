@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from ..functions.vectors import (
     as_double,
     cosine,
-    cosine_scores_pandas,
     cosine_topk_arrow,
     dot,
     pair_cosine_pandas,

@@ -142,3 +142,42 @@ def test_repetition_filter_short_docs_agree_with_oracle(spark, tmp_path):
     assert spark_rows[3][0] == 1.0
     # the all-repeats doc is caught by both signals
     assert spark_rows[5][0] == 1.0 and spark_rows[5][1] > 0.0
+
+
+def test_dup_paragraph_removal_conservation(spark):
+    """Removal conserves paragraphs: across the corpus, kept paragraphs =
+    distinct paragraph strings (each survives exactly once), and a doc
+    that is an exact duplicate of an earlier doc keeps nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_pdf_pipepline_spark.operators.curation import (
+        PARA_LEN,
+        doc_dup_paragraph_fraction,
+        doc_dup_paragraph_removal,
+    )
+
+    rows = doc_dup_paragraph_removal(spark, SF).collect()
+    assert rows
+    total_kept = sum(r.n_kept for r in rows)
+    # distinct paragraph count, computed independently
+    docs = load_table(spark, SF, "documents")
+    toks = tokens("text")
+    nseg = F.ceil(F.size(toks) / F.lit(float(PARA_LEN))).cast("int")
+    seg_arr = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * PARA_LEN + 1, PARA_LEN))),
+        ),
+    )
+    n_distinct = (
+        docs.select(F.explode(seg_arr).alias("h")).select("h").distinct().count()
+    )
+    assert total_kept == n_distinct
+    # agreement with the scoring query: a doc whose every paragraph is
+    # duplicated elsewhere (dup_para_frac == 1.0) that is NOT the first
+    # owner keeps nothing; and n_paras matches between the two queries
+    fracs = {r.doc_id: r for r in doc_dup_paragraph_fraction(spark, SF).collect()}
+    for r in rows:
+        assert fracs[r.doc_id].n_paras == r.n_paras
+        assert 0 <= r.n_kept <= r.n_paras

@@ -78,3 +78,24 @@ def test_ann_batch_topk_partition_pruning_is_exact(spark):
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(r.vec_id >= 5 for r in rs)
+
+
+def test_semantic_dedup_keepers_invariants(spark):
+    """Keepers = one per component: every component's keeper is its own
+    label, non-keepers point at a keeper, and the keeper count equals the
+    distinct component count. Corpus coverage is total (every vec_id)."""
+    from etl_pdf_pipepline_spark.operators.similarity import semantic_dedup_keepers
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+    rows = semantic_dedup_keepers(spark, "/root/testdata/sf0.001").collect()
+    n_vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").count()
+    assert len(rows) == n_vecs
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    keepers = [r for r in rows if r.is_keeper]
+    assert len(keepers) == len(comps)
+    for comp, members in comps.items():
+        ks = [r for r in members if r.is_keeper]
+        assert len(ks) == 1 and ks[0].vec_id == comp
+        assert all(r.component == comp for r in members)
