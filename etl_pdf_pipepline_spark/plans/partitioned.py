@@ -71,9 +71,10 @@ def day_rollup_from_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_partition_pruned_day",
-    oracle=f"""
+# Shared by events_partition_pruned_day (batch-written layout) and
+# streaming_partitioned_ingest (stream-written layout): both answer the
+# same one-day rollup from a date-partitioned lake.
+DAY_ROLLUP_ORACLE = f"""
     SELECT event_type, count(*) AS n,
            round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
                AS total_value
@@ -81,8 +82,10 @@ def day_rollup_from_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts >= TIMESTAMP '{TARGET_DAY} 00:00:00'
       AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 1 DAY
     GROUP BY event_type ORDER BY event_type
-    """,
-)
+    """
+
+
+@query("events_partition_pruned_day", oracle=DAY_ROLLUP_ORACLE)
 def events_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the date-partitioned layout, answer one day's rollup from it.
     The oracle runs the equivalent ts-range predicate over the flat

@@ -80,6 +80,7 @@ _GATE_PRIORITY = [
     "doc_dup_paragraph_removal",
     "hybrid_rrf_from_index",
     "shipping_priority_bucketed",
+    "streaming_partitioned_ingest",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -105,7 +106,6 @@ _GATE_PRIORITY = [
     "doc_quality_scores",
     "doc_stratified_sample",
     "docs_after_source_purge",
-    "events_anomaly_zscore",
     "events_asof_purchase_click",
     "events_funnel_counts",
     "events_range_join_attribution",
@@ -137,6 +137,7 @@ _GATE_PRIORITY = [
     "q10_returned_items",
     "q7_volume_shipping",
     "events_user_gaps",
+    "events_anomaly_zscore",
 ]
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..plans.partitioned import DAY_ROLLUP_ORACLE as _DAY_ROLLUP_ORACLE
 from ..registry import query
 
 SESSION_GAP_MS = 30 * 60 * 1000
@@ -308,3 +309,56 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 # applyInPandasWithState form, which carries the same arbitrary-state
 # semantics without that dependency; migrating is a rename plus typed
 # state declarations when the environment allows it.
+
+
+@query("streaming_partitioned_ingest", oracle=_DAY_ROLLUP_ORACLE)
+def streaming_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGEST into the date-partitioned lake layout — the
+    producer side of plans/partitioned.py, closing the loop the batch
+    queries only read: a file stream of raw events is appended
+    `partitionBy(event_date)` through a checkpointed exactly-once parquet
+    sink (the standard streaming-ingest → nightly-layout topology), then
+    the one-day rollup is answered from the freshly written lake with the
+    partition filter. Gated against the SAME oracle as
+    events_partition_pruned_day over the flat table, so a green row
+    proves stream-written-layout ≡ batch-written-layout ≡ flat scan.
+
+    Scale posture: the sink's commit log gives exactly-once file-level
+    semantics across restarts (re-running with the same checkpoint does
+    not duplicate data — asserted in tests/test_streaming.py); appends
+    are partition-local so a continuous deployment compacts per-day
+    directories without touching the stream."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..functions.money import cents as _cents
+    from ..plans.partitioned import TARGET_DAY
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = os.path.join(repo_root, "spark-warehouse", f"stream_events_lake_{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh deterministic ingest per gate run
+
+    ev = stream_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", os.path.join(base, "data"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .partitionBy("event_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    lake = spark.read.parquet(os.path.join(base, "data"))
+    return (
+        lake.filter(F.col("event_date") == F.lit(TARGET_DAY).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -91,3 +91,35 @@ def test_release_stream_tables_drops_memory_sinks(spark):
     after = set(t.name for t in spark.catalog.listTables())
     assert not (created & after)
     assert se.release_stream_tables(spark) == 0
+
+
+def test_streaming_partitioned_ingest_exactly_once(spark, tmp_path):
+    """The partitioned parquet sink's commit log gives exactly-once
+    file-level semantics: a second availableNow drain against the same
+    checkpoint (no new source files) appends nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+    from etl_pdf_pipepline_spark.streaming.events import stream_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = stream_events(spark, sf).withColumn("event_date", F.to_date("ts"))
+
+    def drain():
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", str(tmp_path / "data"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .partitionBy("event_date")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(str(tmp_path / "data")).count()
+    drain()
+    n2 = spark.read.parquet(str(tmp_path / "data")).count()
+    expected = load_table(spark, sf, "events").count()
+    assert n1 == n2 == expected
