@@ -623,15 +623,9 @@ _CC_ORACLE = f"""
 """
 
 
-@query("dedup_connected_components", oracle=_CC_ORACLE)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUPS from LSH candidate pairs: transitive closure via
-    label propagation; component id = min doc_id in the group (the keep-
-    canonical-drop-rest policy of dedup pipelines). Only docs appearing
-    in ≥1 candidate pair are emitted — singletons need no dedup decision.
-    The DuckDB oracle mirrors the same pair generation and closes it with
-    a recursive CTE."""
-    docs = load_table(spark, sf_dir, "documents")
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) MinHash-LSH candidate pairs — the banded signature
+    equi-join shared by the CC grouping and the keeper selection."""
     sig = minhash_signature(docs, "doc_id", "text")
     bands = None
     for bi, (a, b) in enumerate(_LSH_BANDS):
@@ -643,7 +637,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = band if bands is None else bands.unionAll(band)
     a_side = bands.alias("a")
     b_side = bands.alias("b")
-    pairs = (
+    return (
         a_side.join(
             b_side,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -653,11 +647,75 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from LSH candidate pairs: transitive closure via
+    label propagation; component id = min doc_id in the group (the keep-
+    canonical-drop-rest policy of dedup pipelines). Only docs appearing
+    in ≥1 candidate pair are emitted — singletons need no dedup decision.
+    The DuckDB oracle mirrors the same pair generation and closes it with
+    a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
     labels = connected_components(pairs)
     w = Window.partitionBy("component")
     return (
         labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
         .withColumn("component_size", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+
+
+_KEEPERS_ORACLE = f"""
+    WITH RECURSIVE {_LSH_CTE_BODY},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    cc(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    final AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(f.component, d.doc_id) AS component,
+           d.doc_id = coalesce(f.component, d.doc_id) AS is_keeper
+    FROM documents d LEFT JOIN final f ON d.doc_id = f.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@query("dedup_keepers", oracle=_KEEPERS_ORACLE)
+def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level KEEP/PRUNE decision from MinHash-LSH near-dup
+    groups — the text-side twin of semantic_dedup_keepers
+    (operators/similarity.py), completing both dedup families with the
+    same output contract: one canonical representative (min doc_id = the
+    component label) survives per near-dup group, every unpaired doc is
+    its own keeper. This is the row a training pipeline actually filters
+    on; dedup_connected_components exposes the groups, this exposes the
+    decision over the WHOLE corpus.
+
+    Scale posture: identical to the semantic twin — the closure runs only
+    over docs in ≥1 candidate pair (LSH-bounded), the label table is
+    dimension-sized and BROADCAST onto the corpus scan, and the decision
+    is one scan-side coalesce+compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(lsh_candidate_pairs(docs))
+    lab = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(lab), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
         .orderBy("doc_id")
     )
 

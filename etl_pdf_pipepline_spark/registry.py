@@ -81,6 +81,8 @@ _GATE_PRIORITY = [
     "hybrid_rrf_from_index",
     "shipping_priority_bucketed",
     "streaming_partitioned_ingest",
+    "dedup_keepers",
+    "dedup_connected_components",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -107,9 +109,7 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "docs_after_source_purge",
     "events_asof_purchase_click",
-    "events_funnel_counts",
     "events_range_join_attribution",
-    "events_retention_cohorts",
     "events_sessionization",
     "q1_pricing_summary",
     "streaming_click_purchase_join",
@@ -138,6 +138,8 @@ _GATE_PRIORITY = [
     "q7_volume_shipping",
     "events_user_gaps",
     "events_anomaly_zscore",
+    "events_funnel_counts",
+    "events_retention_cohorts",
 ]
 
 
