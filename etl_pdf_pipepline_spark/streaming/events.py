@@ -23,6 +23,7 @@ state volume is O(active users), not O(events)."""
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Any, Iterator
 
 import pandas as pd
@@ -58,11 +59,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if raw_schema is None:
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         _SCHEMA_CACHE[key] = raw_schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src_path):
+        # Spark-written source (the .scale dirs): events.parquet is a
+        # DIRECTORY of part files. The single-file branch's pathGlobFilter
+        # would match NO files here (it filters file names, and the parts
+        # are part-*.parquet) — the stream would silently read zero rows,
+        # which is exactly the hollow-benchmark failure mode fixed in r5:
+        # streaming bench numbers at .scale sf were measuring an empty
+        # stream. Point the stream at the directory itself.
+        stream = spark.readStream.schema(raw_schema).parquet(src_path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Same ts normalization as the batch catalog (sources/catalog.py:
     # _normalize_events_ts) — dispatch on the SOURCE dtype, never assume
     # int64 nanos: the driver's parquet reads back TIMESTAMP_NTZ.

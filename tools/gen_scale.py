@@ -88,6 +88,24 @@ def main() -> int:
             if name == "documents" and i > 0:
                 rep = rep.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
                 rep = rep.withColumn("n_chars", F.length("text").cast("long"))
+            if name == "embeddings" and i > 0:
+                # Perturb one dimension per replica (deterministic, tiny):
+                # exact-copy replicas make every vector's LSH bucket hold
+                # K identical members, so pair/closure queries degenerate
+                # to their worst case BY CONSTRUCTION (the true near-dup
+                # pair count is quadratic in K) — measured as a disk-
+                # filling spill at sf30. The jitter keeps replicas
+                # near-dup (cosine ≈ 0.999+) without being identical,
+                # matching how the documents replica gets a suffix token.
+                dim = i % 64
+                delta = float(i) * 1e-3
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: F.when(j == dim, x + delta).otherwise(x).cast("float"),
+                    ),
+                )
             reps.append(rep)
         outdf = reps[0]
         for rep in reps[1:]:
