@@ -72,8 +72,20 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, sf_dir).toPandas()
+        result = qs[name](spark, sf_dir).toPandas()
         cold[name] = round(time.time() - t0, 3)
+        # Hollow-measurement guard (r5 lesson: a streaming source whose
+        # glob matched zero files benchmarked an EMPTY stream for three
+        # rounds of scale tables). Every headline query legitimately
+        # returns rows at every sf; zero rows means the measurement is
+        # of nothing — fail loudly instead of publishing it.
+        if len(result) == 0:
+            print(
+                f"FATAL: headline query {name!r} returned 0 rows at {sf_dir} — "
+                "refusing to benchmark an empty result",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
 
     # Timed phase: min of 2 repetitions per query (timeit convention) —
     # shared-machine noise and JVM GC make single-shot numbers swing ±50%.
