@@ -371,3 +371,66 @@ def corpus_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+@query(
+    "corpus_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    ORDER BY column_name
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of the documents table — the
+    monitoring/CBO-statistics utility every lake deployment runs after
+    ingest (row count, null count, exact distinct count, min/max, one row
+    per column; values stringified so heterogenous column types share one
+    tidy schema).
+
+    Scale posture: expressed as one aggregate per column unioned — each
+    is a single scan + partial/final aggregate, and Spark schedules the
+    independent aggregates' stages concurrently (the union's children
+    share no shuffle). The exact countDistinct per column is the gate
+    contract (the oracle must match bit-for-bit); at 100 TB the same
+    query swaps in approx_count_distinct (operators/approx.py's HLL
+    contract) per column — the plan shape is unchanged and the scan stays
+    one pass per column either way. Text itself is profiled by the
+    doc_token_stats / doc_quality_scores family, not min/max'd here."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def col_profile(c: str) -> DataFrame:
+        return docs.agg(
+            F.lit(c).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+
+    out = None
+    for c in ("doc_id", "lang", "source", "n_chars"):
+        p = col_profile(c)
+        out = p if out is None else out.unionByName(p)
+    return out.orderBy("column_name")

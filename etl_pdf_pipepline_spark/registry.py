@@ -83,6 +83,7 @@ _GATE_PRIORITY = [
     "streaming_partitioned_ingest",
     "dedup_keepers",
     "dedup_connected_components",
+    "corpus_profile",
     # r2-latest rows (code unchanged since their gate; rotate forward)
     "label_centroids",
     "lineitem_after_order_purge",
@@ -109,7 +110,6 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "docs_after_source_purge",
     "events_asof_purchase_click",
-    "events_range_join_attribution",
     "events_sessionization",
     "q1_pricing_summary",
     "streaming_click_purchase_join",
@@ -140,6 +140,7 @@ _GATE_PRIORITY = [
     "events_anomaly_zscore",
     "events_funnel_counts",
     "events_retention_cohorts",
+    "events_range_join_attribution",
 ]
 
 
