@@ -31,10 +31,18 @@ def round_half_away(sims: "np.ndarray", digits: int = 4) -> "np.ndarray":
     contract; a boundary tie would otherwise change both the emitted
     score and the prune/tie order the scorers claim is order-compatible
     (tested against live DuckDB in test_vectors.py). NaN passes through
-    (floor and copysign both propagate it)."""
+    (floor and the >= comparison both propagate it).
+
+    The comparison is done on r = |x|·scale directly (floor(r) + (frac >=
+    0.5)) rather than floor(r + 0.5): the FP add would round a value one
+    ulp BELOW the boundary (r = 0.49999999999999994 → r + 0.5 == 1.0 →
+    floor 1) up, where std::round keeps it down — the 1-ulp edge case the
+    earlier floor(r+0.5) form got wrong."""
     scale = 10.0 ** digits
     with np.errstate(invalid="ignore"):
-        return np.copysign(np.floor(np.abs(sims) * scale + 0.5) / scale, sims)
+        r = np.abs(sims) * scale
+        fl = np.floor(r)
+        return np.copysign((fl + (r - fl >= 0.5)) / scale, sims)
 
 
 def as_double(vec: Column | str) -> Column:
@@ -97,7 +105,10 @@ def cosine_topk_pandas(df, vec_col: str, query_vec: list[float], k: int, id_col:
     zip_with/aggregate HOFs are interpreted per element (fine at dim 64 /
     small corpora); for dim ≥ 512 at corpus scale, one Arrow batch into
     numpy turns the whole partition's scoring into a single BLAS matmul.
-    Same scores as `cosine` (double accumulation), same top-k contract."""
+    Same scores as the Arrow tier: rounding happens INSIDE the UDF via
+    round_half_away, so the pandas and mapInArrow tiers agree even at .5
+    decimal boundaries (Spark's F.round would diverge there — see
+    round_half_away), keeping the cross-tier equality test exact."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
 
@@ -105,10 +116,10 @@ def cosine_topk_pandas(df, vec_col: str, query_vec: list[float], k: int, id_col:
     def score(vecs: pd.Series) -> pd.Series:
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-        return pd.Series(sims)
+        return pd.Series(round_half_away(sims))
 
     return (
-        df.select(id_col, F.round(score(F.col(vec_col)), 4).alias("score"))
+        df.select(id_col, score(F.col(vec_col)).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -130,6 +141,23 @@ def pair_cosine_pandas(va: pd.Series, vb: pd.Series) -> pd.Series:
     # Arrow ships NaN as NaN (not null) — callers filtering on a threshold
     # must drop NaN explicitly (Spark's NaN >= t is true; see cosine()).
     return pd.Series(sims)
+
+
+@pandas_udf(DoubleType())
+def pair_cosine_rounded_pandas(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """pair_cosine_pandas with round_half_away(·, 4) applied INSIDE the
+    UDF, for callers whose output is hash-compared against a DuckDB
+    round() oracle: Spark's F.round (BigDecimal shortest-decimal) diverges
+    from DuckDB at .5 decimal boundaries, round_half_away does not — so
+    SQL-facing pair scorers round here instead of wrapping in F.round,
+    and all scorer tiers (Arrow, single-query pandas, pair pandas) share
+    one rounding rule."""
+    a = np.vstack([np.asarray(v, dtype=np.float64) for v in va])
+    b = np.vstack([np.asarray(v, dtype=np.float64) for v in vb])
+    denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom != 0.0, (a * b).sum(axis=1) / denom, np.nan)
+    return pd.Series(round_half_away(sims))
 
 
 def cosine_topk_arrow(df, query_vec: list[float], k: int):

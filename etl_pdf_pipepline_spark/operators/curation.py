@@ -550,6 +550,29 @@ PARA_LEN = 20          # tokens per pseudo-paragraph segment
 DUP_PARA_MAX = 0.30    # keep threshold on the duplicate-paragraph fraction
 
 
+def _seg_texts(col: str = "text") -> "F.Column":
+    """Pseudo-paragraph segment texts as an array column, in one regex
+    pass over the raw string. Whitespace-collapse first makes the
+    normalized string equal tokens() joined by single spaces, so each
+    greedy {1,PARA_LEN}-token chunk is byte-identical to
+    concat_ws(' ', slice(tokens, i*PARA_LEN+1, PARA_LEN)) — verified by
+    a full-outer hash-class diff (0 rows) at sf30 against the array
+    form, which cost 7× more scan time in interpreted HOF slicing.
+    Empty/whitespace-only text yields an empty array (explode drops the
+    doc, matching the oracle's WHERE len(t) > 0)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    return F.transform(
+        F.regexp_extract_all(norm, F.lit(r"(?:[^ ]+ ?){1,%d}" % PARA_LEN), F.lit(0)),
+        lambda s: F.rtrim(s),
+    )
+
+
+def _seg_hashes(col: str = "text") -> "F.Column":
+    """xxhash64 per segment — int64 shuffle keys (see
+    doc_dup_paragraph_fraction's scale-posture notes)."""
+    return F.transform(_seg_texts(col), lambda s: F.xxhash64(s))
+
+
 @query(
     "doc_dup_paragraph_fraction",
     oracle=f"""
@@ -571,8 +594,8 @@ DUP_PARA_MAX = 0.30    # keep threshold on the duplicate-paragraph fraction
            CAST(count(*) AS BIGINT) AS n_paras,
            round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 4) AS dup_para_frac,
-           round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) <= {DUP_PARA_MAX} AS keep
+           CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) <= {DUP_PARA_MAX} AS keep
     FROM segs s JOIN seg_docs d ON s.seg_hash = d.seg_hash
     GROUP BY s.doc_id ORDER BY s.doc_id
     """,
@@ -589,47 +612,56 @@ def doc_dup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     on real data the segmenter swaps for split-on-blank-lines with the
     rest of the plan unchanged.
 
-    Scale posture: segment hashes are built SCAN-SIDE as array algebra
-    (transform over the segment-index sequence, md5 of each slice — one
-    row per doc leaves the scan carrying only a hash array, never the
-    text). After explode, the only wide operations are one window over
-    seg_hash (min/max doc_id — cheap partial-aggregating functions; the
-    min≠max comparison IS "appears in ≥2 distinct docs", replacing a
-    measured-slower countDistinct aggregate + join-back) and the per-doc
-    rollup. Nothing is quadratic: a segment shared by k docs costs k
-    rows, and the hash space is bounded by total corpus tokens /
-    PARA_LEN. At 100 TB this is the standard two-shuffle
-    chunk-dedup-mark pass; the md5 keys are uniform so no salting is
-    needed."""
+    Scale posture: segment hashes are built SCAN-SIDE — one row per doc
+    leaves the scan carrying only a hash array, never the text. Two r6
+    rewrites, both profiled at sf30:
+
+    - Segmentation is one regex pass, not array algebra: the r5 form
+      (transform over a segment-index sequence, concat_ws over
+      slice(tokens)) re-sliced and re-joined the token array per segment
+      inside interpreted HOFs — profiled at 13 s of the 18 s wall for
+      the SCAN ALONE. Collapsing whitespace once
+      (regexp_replace(trim(lower), '\\s+', ' ') — by construction of
+      tokens(), the normalized string IS the tokens joined by single
+      spaces) and chunking with regexp_extract_all('([^ ]+ ?){1,N}')
+      yields byte-identical segments (full-outer hash-class diff = 0 at
+      sf30) with the scan at 1.8 s.
+    - The hash is xxhash64, NOT md5: the shuffled key is 8 bytes instead
+      of a 32-char string and non-cryptographic to compute. The oracle
+      keeps md5 — the hash never appears in the output, only the min≠max
+      signal, so any injective-enough hash agrees; a 64-bit collision
+      falsely marks one segment dup with probability ~n²/2⁶⁵ (≈10⁻⁸ of
+      segments even at 10¹² segments — the standard chunk-dedup trade,
+      documented here rather than hidden).
+
+    After explode, the only wide operations are one window over seg_hash
+    (min/max doc_id — cheap partial-aggregating functions; the min≠max
+    comparison IS "appears in ≥2 distinct docs", replacing a
+    measured-slower countDistinct aggregate + join-back; a
+    collect_list hash-aggregate form was also raced and lost, 21 s vs
+    17.5 s pre-rewrite) and the per-doc rollup. Nothing is quadratic: a
+    segment shared by k docs costs k rows. At 100 TB this is the
+    standard two-shuffle chunk-dedup-mark pass; the hashed keys are
+    uniform so no salting is needed.
+
+    The keep DECISION compares the unrounded ratio to the threshold
+    (PLANS.md oracle-conventions: rounding is display-only where a
+    boundary could flip a decision; both engines compute the identical
+    IEEE quotient, so the comparison is engine-independent)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    nseg = F.ceil(F.size(toks) / F.lit(float(PARA_LEN))).cast("int")
-    seg_arr = F.when(
-        nseg > 0,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * PARA_LEN + 1, PARA_LEN))),
-        ),
-    )
-    segs = docs.select("doc_id", F.explode(seg_arr).alias("seg_hash"))
-    # "appears in ≥2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id) over the
-    # hash window — one window shuffle replaces the r5-draft
-    # countDistinct aggregate + join-back on seg_hash (measured at sf30:
-    # 26.0 s → the window form matches doc_dup_paragraph_removal's ~20 s;
-    # same mechanism, and min/max are cheap partial aggregates while
-    # countDistinct is not).
+    segs = docs.select("doc_id", F.explode(_seg_hashes()).alias("seg_hash"))
     w = Window.partitionBy("seg_hash")
     flagged = segs.withColumn(
         "is_dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)
     )
     dup = F.sum(F.col("is_dup").cast("long"))
-    frac = F.round(dup.cast("double") / F.count("*"), 4)
+    ratio = dup.cast("double") / F.count("*")
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_paras"),
-            frac.alias("dup_para_frac"),
-            (frac <= DUP_PARA_MAX).alias("keep"),
+            F.round(ratio, 4).alias("dup_para_frac"),
+            (ratio <= DUP_PARA_MAX).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -685,7 +717,7 @@ def doc_dup_paragraph_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     of identical reconstruction, same convention as doc_pii_scrub.
 
     Scale posture: two shuffles, both key-hashed and skew-free — a
-    window min over seg_hash (md5 keys are uniform; the window carries
+    window min over seg_hash (xxhash64 int64 keys are uniform; the window carries
     struct(doc_id, seg_idx), 12 bytes beyond the key) picks each
     paragraph's first occurrence, then the per-doc rollup regroups on
     doc_id and reassembles order via array_sort(collect_list(struct)) —
@@ -694,22 +726,18 @@ def doc_dup_paragraph_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume any rewrite pass moves). Nothing is quadratic in duplicate
     multiplicity: k copies of a paragraph cost k rows."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    nseg = F.ceil(F.size(toks) / F.lit(float(PARA_LEN))).cast("int")
-    seg_arr = F.when(
-        nseg > 0,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("seg_idx"),
-                F.concat_ws(" ", F.slice(toks, i * PARA_LEN + 1, PARA_LEN)).alias(
-                    "seg_text"
-                ),
-            ),
-        ),
-    )
-    segs = docs.select("doc_id", F.explode(seg_arr).alias("f")).select(
-        "doc_id", "f.seg_idx", "f.seg_text", F.md5("f.seg_text").alias("seg_hash")
+    # One regex pass builds the segment texts (_seg_texts — same 7×
+    # scan-time win as doc_dup_paragraph_fraction); posexplode supplies
+    # seg_idx. xxhash64, not md5: the hash is internal grouping state
+    # (the output is the cleaned TEXT's md5), so the shuffle key is 8
+    # bytes — same collision-rate note as doc_dup_paragraph_fraction.
+    segs = docs.select(
+        "doc_id", F.posexplode(_seg_texts()).alias("seg_idx", "seg_text")
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        "seg_text",
+        F.xxhash64("seg_text").alias("seg_hash"),
     )
     w = Window.partitionBy("seg_hash")
     flagged = segs.withColumn(

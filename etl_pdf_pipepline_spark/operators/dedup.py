@@ -705,15 +705,19 @@ def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision over the WHOLE corpus.
 
     Scale posture: identical to the semantic twin — the closure runs only
-    over docs in ≥1 candidate pair (LSH-bounded), the label table is
-    dimension-sized and BROADCAST onto the corpus scan, and the decision
-    is one scan-side coalesce+compare."""
+    over docs in ≥1 candidate pair (LSH-bounded). The label table joins
+    back onto the corpus WITHOUT a broadcast hint: on a clean corpus it is
+    dimension-sized and AQE broadcasts it at runtime, but on a real web
+    corpus the near-dup fraction is commonly 30–50%, making it
+    corpus-fraction-sized — a forced broadcast there is a guaranteed OOM,
+    while a plain equi-join lets AQE pick broadcast vs shuffle from the
+    actual runtime size. The decision itself is one coalesce+compare."""
     docs = load_table(spark, sf_dir, "documents")
     labels = connected_components(lsh_candidate_pairs(docs))
     lab = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
     return (
         docs.select("doc_id")
-        .join(F.broadcast(lab), "doc_id", "left")
+        .join(lab, "doc_id", "left")
         .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
         .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
         .orderBy("doc_id")

@@ -74,10 +74,21 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_image_real(content: bytes) -> tuple[int, int, str]:
     """The real-codec slot (PIL `Image.open`, reference
-    image_extractor.py:127). Not available in this container."""
+    image_extractor.py:127). r6: PNG is decoded for real via the
+    stdlib-only codec in functions/png.py (IHDR dims; full IDAT
+    de-filtering available as png.decode_png when pixels are needed) —
+    the container's one NotImplementedError is now a working decode for
+    the one format that needs no external library. Non-PNG bytes still
+    raise: JPEG/WEBP entropy coding genuinely requires a codec library,
+    and a guessed answer would be worse than an honest error."""
+    from ..functions.png import is_png, png_dimensions
+
+    if is_png(content):
+        w, h = png_dimensions(content)
+        return w, h, "png"
     raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use decode_image_fake for deterministic tests"
+        "only PNG decodes without an image library in this environment; "
+        "use decode_image_fake for deterministic tests of other formats"
     )
 
 
@@ -104,14 +115,18 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, codec=decode_image_fake) -> DataFrame:
     """Arrow-batched decode: one pandas DataFrame per batch, binary cells
     arrive as Python bytes. Output partitioning == input partitioning (no
-    shuffle); batch size is governed by the Arrow batch config, not code."""
+    shuffle); batch size is governed by the Arrow batch config, not code.
+    `codec` is the innermost per-cell call — decode_image_fake for
+    deterministic oracle-checkable queries over the text-derived media
+    table, decode_image_real for genuine PNG binaries (tested end-to-end
+    in tests/test_png.py)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [decode_image_fake(c) for c in pdf["content"]]
+            decoded = [codec(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

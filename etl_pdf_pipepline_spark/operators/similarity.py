@@ -26,7 +26,7 @@ from ..functions.vectors import (
     cosine,
     cosine_topk_arrow,
     dot,
-    pair_cosine_pandas,
+    pair_cosine_rounded_pandas,
     query_vector_lit,
     round_half_away,
 )
@@ -565,7 +565,9 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = pairs if cand is None else cand.unionAll(pairs)
     cand = cand.dropDuplicates(["vec_a", "vec_b"])
 
-    score = F.round(pair_cosine_pandas(F.col("va"), F.col("vb")), 4)
+    # round_half_away inside the UDF (not F.round): the oracle is DuckDB
+    # round(), and the tiers' shared rounding rule lives in vectors.py.
+    score = pair_cosine_rounded_pandas(F.col("va"), F.col("vb"))
     return (
         cand.select("vec_a", "vec_b", score.alias("score"))
         .filter(~F.isnan("score") & (F.col("score") >= 0.3))
@@ -642,12 +644,14 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector outside any cluster is trivially its own keeper.
 
     Scale posture: the closure runs only over vectors that appear in an
-    LSH candidate pair (a small fraction of the corpus by design — LSH
-    recall bounds the graph), so the label table is dimension-sized and
-    BROADCAST onto the full corpus scan; the keep decision itself is one
-    scan-side coalesce+compare, no corpus shuffle. The downstream
-    training pipeline filters `is_keeper` and never materializes the
-    pruned rows."""
+    LSH candidate pair, so on a clean corpus the label table is
+    dimension-sized — but on a near-dup-heavy corpus it is
+    corpus-fraction-sized, so the join back carries NO broadcast hint:
+    AQE broadcasts it when the runtime size allows and falls back to a
+    shuffle join when it doesn't, instead of a forced broadcast OOMing at
+    the 100 TB design point. The keep decision itself is one
+    coalesce+compare. The downstream training pipeline filters
+    `is_keeper` and never materializes the pruned rows."""
     from .dedup import connected_components
 
     pairs = embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
@@ -655,7 +659,7 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = labels.select(F.col("id").alias("vec_id"), F.col("label").alias("component"))
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return (
-        emb.join(F.broadcast(lab), "vec_id", "left")
+        emb.join(lab, "vec_id", "left")
         .select("vec_id", F.coalesce("component", F.col("vec_id")).alias("component"))
         .withColumn("is_keeper", F.col("vec_id") == F.col("component"))
         .orderBy("vec_id")

@@ -78,9 +78,12 @@ def _drop_stale(spark: SparkSession, *names: str) -> None:
     saveAsTable(overwrite) then fails with LOCATION_ALREADY_EXISTS. A
     cluster deployment with a persistent metastore only needs the DROP."""
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # unquote: the warehouse URI percent-encodes spaces etc.; without it a
+    # warehouse path containing them resolves wrong, the orphan cleanup
+    # misses, and the next cross-session overwrite dies LOCATION_ALREADY_EXISTS.
+    warehouse = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     for name in names:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         loc = os.path.join(warehouse, name)
@@ -117,6 +120,23 @@ def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .saveAsTable(o_name)
     )
     return li_name, o_name
+
+
+def bucketed_layout_exists(spark: SparkSession, sf_dir: str) -> bool:
+    """True when this corpus's bucketed fact layout is registered in the
+    session catalog — the routing predicate for the orderkey-join family
+    (revenue_by_nation / shipping_priority_top10 serve from the layout
+    when a prior ingest built it, scan path otherwise). Catalog-only by
+    design: bucketing metadata lives in the metastore, so a warehouse
+    directory without a catalog entry (local in-memory catalog after a
+    session restart) is NOT servable — a cluster deployment's persistent
+    metastore keeps the entry and routes across sessions. The layout is
+    tied to the corpus by a path-hash name; a lake that mutates facts
+    after ingest must rebuild it (write_bucketed_facts) or the route
+    serves stale data — same invalidation contract as any materialized
+    index (bm25 postings, IVF centroids)."""
+    li_name, o_name = bucketed_table_names(spark, sf_dir)
+    return spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name)
 
 
 def revenue_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,6 +215,13 @@ def shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution) — zero exchanges besides the broadcast of the
     BUILDING-segment customer keys onto the orders scan."""
     write_bucketed_facts(spark, sf_dir)
+    return shipping_from_bucketed(spark, sf_dir)
+
+
+def shipping_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q3-shaped plan reading the existing bucketed layout (no build)
+    — the serving path shipping_priority_top10 routes to when
+    bucketed_layout_exists."""
     li_name, o_name = bucketed_table_names(spark, sf_dir)
     li = spark.table(li_name).filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")

@@ -85,6 +85,45 @@ def test_revenue_bucketed_plan_has_no_orderkey_exchange(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in ship_plan, ship_plan[:3000]
 
 
+def test_layout_routing_switches_serving_path(spark):
+    """r6 routing (VERDICT r5 ask #3): with no layout, revenue_by_nation
+    is the scan plan (orderkey exchanges present); once the corpus's
+    bucketed layout exists, the SAME registry query serves from it
+    (zero orderkey exchanges) and values are identical."""
+    from etl_pdf_pipepline_spark.plans.bucketed import (
+        _drop_stale,
+        bucketed_layout_exists,
+        bucketed_table_names,
+        write_bucketed_facts,
+    )
+    from etl_pdf_pipepline_spark.plans.relational import (
+        revenue_by_nation,
+        shipping_priority_top10,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _drop_stale(spark, *bucketed_table_names(spark, sf))
+    assert not bucketed_layout_exists(spark, sf)
+    scan_df = revenue_by_nation(spark, sf)
+    scan_plan = scan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" in scan_plan, scan_plan[:3000]
+    scan_vals = [(r.n_name, r.revenue) for r in scan_df.collect()]
+    scan_top = [r.l_orderkey for r in shipping_priority_top10(spark, sf).collect()]
+
+    write_bucketed_facts(spark, sf)
+    assert bucketed_layout_exists(spark, sf)
+    try:
+        routed = revenue_by_nation(spark, sf)
+        routed_plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(l_orderkey" not in routed_plan, routed_plan[:3000]
+        assert [(r.n_name, r.revenue) for r in routed.collect()] == scan_vals
+        assert [
+            r.l_orderkey for r in shipping_priority_top10(spark, sf).collect()
+        ] == scan_top
+    finally:
+        _drop_stale(spark, *bucketed_table_names(spark, sf))
+
+
 def test_partitioned_events_scan_is_pruned(spark):
     """Directory-level pruning (plans/partitioned.py): the one-day query
     over the date-partitioned layout must carry a live PartitionFilter

