@@ -283,6 +283,83 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, 4).orderBy("media_id", "frame_index")
 
 
+PNG_ROUNDTRIP_W = 64  # grayscale row width for the codec-gate query
+
+
+@query(
+    "media_png_roundtrip",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {PNG_ROUNDTRIP_W} AS width,
+           CAST(greatest(1, ceil(octet_length(encode(text)) / {PNG_ROUNDTRIP_W}.0)) AS INT) AS height,
+           'png' AS format,
+           sha256(text) AS pixel_sha
+    FROM documents WHERE doc_id % 3 = 0
+    ORDER BY media_id
+    """,
+)
+def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec gate (r6): every image-typed doc's bytes are packed
+    into a genuine grayscale PNG on the executor (functions/png.py
+    encoder, filter type rotating doc_id % 5 so all five scanline
+    filters are exercised corpus-wide), then decoded back through
+    `decode_image_real` + `decode_png`. The emitted dims come from the
+    real IHDR parse and `pixel_sha` hashes the DECODED pixel payload
+    (truncated to the original byte length — the tail is pad zeros), so
+    a green row proves byte-exact encode→decode fidelity against the
+    oracle's closed-form dims + sha256(text). This is the end-to-end
+    proof that the former codec-seam NotImplementedError is now a
+    working decode inside a distributed plan, not just a unit test.
+
+    Scale posture: one mapInPandas stage, no shuffle before the final
+    sort — codec work is partition-parallel and the binary never leaves
+    its partition; output is a narrow manifest row per image."""
+    import hashlib as _hashlib
+    import math as _math
+
+    from ..functions.png import decode_png, encode_png
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("pixel_sha", T.StringType()),
+        ]
+    )
+    w = PNG_ROUNDTRIP_W
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = len(content)
+                h = max(1, _math.ceil(n / w))
+                padded = content + b"\x00" * (h * w - n)
+                png = encode_png(
+                    [padded[y * w : (y + 1) * w] for y in range(h)],
+                    w,
+                    h,
+                    channels=1,
+                    filter_type=int(mid) % 5,
+                )
+                dw, dh, fmt = decode_image_real(png)
+                _, _, _, drows = decode_png(png)
+                pixels = b"".join(drows)[:n]
+                rows.append((mid, dw, dh, fmt, _hashlib.sha256(pixels).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "format", "pixel_sha"]
+            )
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    return (
+        media.select("media_id", "content")
+        .mapInPandas(batches, out_schema)
+        .orderBy("media_id")
+    )
+
+
 THUMB_MAX_SIDE = 256
 
 

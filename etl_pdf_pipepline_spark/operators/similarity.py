@@ -461,6 +461,32 @@ def ivf_probe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_BANDS = 2
 _LSH_PLANES_PER_BAND = 8
+# Bucket occupancy the derived plane count aims for: candidates per band
+# ≈ buckets × C(occupancy, 2), so holding occupancy CONSTANT as the
+# corpus grows keeps the candidate volume LINEAR in n instead of
+# quadratic (fixed 2^8 buckets at 200k vectors meant 780 per bucket and
+# ~150M candidate pairs — the r6 fresh-vector corpus filled the spill
+# disk proving it).
+_LSH_TARGET_OCCUPANCY = 32
+
+
+def derive_lsh_planes(n_rows: int) -> int:
+    """Planes per band sized to the corpus: 2^planes buckets ≈
+    n / occupancy. Floor = the static _LSH_PLANES_PER_BAND so gate-scale
+    corpora (≤ ~16k vectors) use exactly the constants the DuckDB oracle
+    CTE is generated from; the derived value only departs where no
+    oracle runs (perf-scale corpora). Each added plane halves occupancy
+    and multiplies per-band recall for cosine-θ pairs by (1 - θ/π) —
+    for the near-identical pairs dedup hunts (cosine ≥ 0.95, θ ≤ 0.32),
+    that factor is ≥ 0.9/plane, so candidate volume falls ~2× per plane
+    while true-dup recall falls ≤ 10% — the right trade at every scale,
+    same economics as MinHash-LSH band sizing (dedup.py)."""
+    import math
+
+    return max(
+        _LSH_PLANES_PER_BAND,
+        math.ceil(math.log2(max(1.0, n_rows / _LSH_TARGET_OCCUPANCY))),
+    )
 
 
 def _sign_hyperplanes(n_planes: int, dim: int = _EMB_DIM) -> list[list[float]]:
@@ -476,9 +502,9 @@ def _sign_hyperplanes(n_planes: int, dim: int = _EMB_DIM) -> list[list[float]]:
     return planes
 
 
-def _band_planes(band: int) -> list[list[float]]:
-    all_planes = _sign_hyperplanes(_LSH_BANDS * _LSH_PLANES_PER_BAND)
-    return all_planes[band * _LSH_PLANES_PER_BAND : (band + 1) * _LSH_PLANES_PER_BAND]
+def _band_planes(band: int, planes_per_band: int = _LSH_PLANES_PER_BAND) -> list[list[float]]:
+    all_planes = _sign_hyperplanes(_LSH_BANDS * planes_per_band)
+    return all_planes[band * planes_per_band : (band + 1) * planes_per_band]
 
 
 def _lsh_band_sql(band: int) -> str:
@@ -492,10 +518,10 @@ def _lsh_band_sql(band: int) -> str:
     return " + ".join(terms)
 
 
-def lsh_band_bucket(v, band: int) -> F.Column:
+def lsh_band_bucket(v, band: int, planes_per_band: int = _LSH_PLANES_PER_BAND) -> F.Column:
     """Band `band`'s sign-bucket key of an array<double> column (Spark)."""
     acc = F.lit(0)
-    for h, w in enumerate(_band_planes(band)):
+    for h, w in enumerate(_band_planes(band, planes_per_band)):
         bit = F.when(dot(v, query_vector_lit(w)) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
         acc = acc + bit
     return acc
@@ -534,36 +560,51 @@ _ELSH_CTES = """d AS (
 )
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH near-dup pairs: each vector gets one bucket key per
-    band (8 AND-ed hyperplane signs); the self-join runs per band on the
-    band key and bands are OR-combined with a pair-level distinct. The
-    shuffle co-locates candidates by band key, so the quadratic term is
-    per-bucket — expected occupancy n/256 per band vs n/16 for the r1
-    single-band 4-plane form, whose candidate count grew quadratically
-    with corpus size (SCALING.md). Band count trades recall, plane count
-    trades occupancy — identical to MinHash-LSH banding (dedup.py).
+    band (AND-ed hyperplane signs); the self-join runs per band on the
+    band key and bands are OR-combined with a pair-level distinct. Band
+    count trades recall, plane count trades occupancy — identical to
+    MinHash-LSH banding (dedup.py).
+
+    Two r6 scale fixes, surfaced the day the scale corpus stopped being
+    near-dup-by-construction (fresh isotropic vectors, gen_scale.py):
+
+    - Plane count derives from corpus size (derive_lsh_planes): fixed
+      2^8 buckets meant occupancy — and with it the per-bucket quadratic
+      candidate term — grew linearly with n (200k vectors → ~780/bucket
+      → ~150M candidate pairs; filled the spill disk). Constant target
+      occupancy keeps the candidate volume LINEAR in n. Gate-scale
+      corpora derive the floor (8 planes), exactly the constants the
+      static oracle CTE is generated from.
+    - The candidate distinct runs over (vec_a, vec_b) IDS ONLY, vectors
+      re-attached by key afterwards: the old form carried both dim-64
+      arrays (~1 KB/row) through the union+dropDuplicates shuffle — the
+      dominant payload at every scale. Id pairs are 16 bytes; the two
+      re-attach joins each move the corpus once (linear, one vector per
+      row).
 
     Pair scoring is the Arrow-vectorized pandas UDF
-    (functions/vectors.py::pair_cosine_pandas): one numpy pass per
-    partition scores the whole batch, vs ~64 interpreted expression
+    (functions/vectors.py::pair_cosine_rounded_pandas): one numpy pass
+    per partition scores the whole batch, vs ~64 interpreted expression
     evaluations per pair for the zip_with/aggregate fold (measured 2.3×
     end-to-end on the r1 candidate volume)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = emb.count()  # parquet metadata count — no scan
+    planes = derive_lsh_planes(n_rows)
     sig = emb.select("vec_id", as_double("embedding").alias("v"))
-    for band in range(_LSH_BANDS):
-        sig = sig.withColumn(f"b{band}", lsh_band_bucket(F.col("v"), band))
 
     cand = None
     for band in range(_LSH_BANDS):
-        key = f"b{band}"
-        a = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col(key))
-        b = sig.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col(key).alias(f"{key}_r")
-        )
+        keyed = sig.select("vec_id", lsh_band_bucket(F.col("v"), band, planes).alias("k"))
+        a = keyed.select(F.col("vec_id").alias("vec_a"), "k")
+        b = keyed.select(F.col("vec_id").alias("vec_b"), F.col("k").alias("k_r"))
         pairs = a.join(
-            b, (F.col(key) == F.col(f"{key}_r")) & (F.col("vec_a") < F.col("vec_b"))
-        ).select("vec_a", "vec_b", "va", "vb")
+            b, (F.col("k") == F.col("k_r")) & (F.col("vec_a") < F.col("vec_b"))
+        ).select("vec_a", "vec_b")
         cand = pairs if cand is None else cand.unionAll(pairs)
     cand = cand.dropDuplicates(["vec_a", "vec_b"])
+    va = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cand = cand.join(va, "vec_a").join(vb, "vec_b")
 
     # round_half_away inside the UDF (not F.round): the oracle is DuckDB
     # round(), and the tiers' shared rounding rule lives in vectors.py.

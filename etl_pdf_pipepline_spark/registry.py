@@ -50,74 +50,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r5 ordering, same invariant as r3/r4
-# (any query whose plan/oracle changes enters the next gate's top-50):
-# first the queries touched or added THIS round (oracle-typing fix,
-# interval fix, rate clamp, JVM frame-sampler rewrite, rounding-contract
-# change in the Arrow scorers, the new layout/index/curation
-# registrations), then the 9 queries whose latest driver row is still r2
-# (r4's gate budget-capped them out; code verified unchanged, rows valid
-# but stale), then the OLDEST r3 rows to fill the 50 budget so no row
-# ages past ~2 rounds. The r3-latest rows below the cut are mostly the
-# trivial scalar-projection/count plans (doc_hashes, q6, etc.) plus a
-# few stable unchanged joins displaced by the r5 additions — they rotate
-# in r6.
+# of the contract, so it is explicit. r6 ordering, same invariant since
+# r3 (any query whose plan/oracle changes enters the next gate's top-50):
+# first the 16 queries r6 touched (paragraph-dedup regex chunker, keeper
+# broadcast removal, LSH derived-planes restructure, layout routing,
+# round_half_away ulp fix), then the 23 r3-latest rows the r5 budget
+# deferred (now 3 rounds old — the rotation debt this ordering pays
+# off), then the oldest r4-latest rows to fill 50. After this gate no
+# row is older than r4; the r4/r5 rows below the cut rotate in r7.
 _GATE_PRIORITY = [
-    # touched / added in r5 — need current-code rows
-    "q12_shipmode_priority",
-    "q21_waiting_suppliers",
-    "doc_repetition_filter",
-    "corpus_mixture_sample",
-    "media_frame_sample",
-    "ann_cosine_topk",
-    "ann_batch_topk",
-    "doc_dup_paragraph_fraction",
-    "bm25_topk_from_index",
-    "revenue_by_nation_bucketed",
-    "events_partition_pruned_day",
-    "ivf_probe_from_index",
-    "semantic_dedup_keepers",
-    "doc_dup_paragraph_removal",
-    "hybrid_rrf_from_index",
-    "shipping_priority_bucketed",
-    "streaming_partitioned_ingest",
-    "dedup_keepers",
-    "dedup_connected_components",
-    "corpus_profile",
-    # r2-latest rows (code unchanged since their gate; rotate forward)
-    "label_centroids",
-    "lineitem_after_order_purge",
-    "media_decode_filter",
-    "media_metadata",
-    "order_sequence_window",
-    "routed_search",
-    "salted_skew_join",
-    "segment_acctbal_stats",
-    # oldest r3-latest rows, non-trivial plans first
-    "dedup_exact",
-    "dedup_lsh_candidates",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "corpus_curation_stats",
-    "corpus_contamination_probe",
-    "corpus_top_terms_per_lang",
-    "context_assembly",
-    "doc_bpe_token_counts",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_stratified_sample",
-    "docs_after_source_purge",
-    "events_asof_purchase_click",
-    "events_sessionization",
-    "q1_pricing_summary",
-    "streaming_click_purchase_join",
-    "streaming_dedup_counts",
-    "streaming_hourly_rollup",
-    "streaming_session_counts",
-    # ---- 50-budget cut (driver caps here) ----
-    # r3-latest trivial plans, deferred to r6
+    # touched in r6 — plans or shared scorers changed, need current-code rows
+    "doc_dup_paragraph_fraction",   # regex chunker + xxhash64 keys + unrounded keep
+    "doc_dup_paragraph_removal",    # regex chunker + xxhash64 keys
+    "dedup_keepers",                # forced broadcast dropped
+    "semantic_dedup_keepers",       # forced broadcast dropped
+    "embedding_lsh_pairs",          # derived planes + id-only distinct
+    "embedding_cluster_components", # inherits the lsh restructure
+    "embedding_near_dup_pairs",     # pair scorer rounding moved into UDF
+    "revenue_by_nation",            # layout-aware routing
+    "shipping_priority_top10",      # layout-aware routing
+    "revenue_by_nation_bucketed",   # shares the routed read path
+    "shipping_priority_bucketed",   # shares the routed read path
+    "ann_cosine_topk",              # round_half_away ulp fix
+    "ann_batch_topk",               # round_half_away ulp fix
+    "ivf_probe_topk",               # round_half_away ulp fix
+    "ivf_probe_from_index",         # round_half_away ulp fix
+    "media_decode_filter",          # decode_media codec param
+    "media_png_roundtrip",          # NEW r6: real-codec end-to-end gate
+    # the 23 r3-latest rows deferred below the r5 cut — 3 rounds old, due
     "incremental_new_docs",
     "doc_lookup_filters",
     "doc_hashes",
@@ -141,6 +101,47 @@ _GATE_PRIORITY = [
     "events_funnel_counts",
     "events_retention_cohorts",
     "events_range_join_attribution",
+    # oldest r4-latest rows fill the 50 budget (CORRECTNESS_r04 order)
+    "brand_price_stats",
+    "customer_order_profile",
+    "top_orders_by_value",
+    "running_spend_budget",
+    "events_hourly_rollup",
+    "events_daily_rollup_totals",
+    "events_sliding_window",
+    "events_top_users",
+    "events_type_pivot",
+    "events_cube_day_type",
+    # ---- 50-budget cut (driver caps here) ----
+    # remaining r4/r5 rows rotate in r7
+    "events_user_rank_dist",
+    "events_json_props",
+    "doc_token_stats",
+    "chunk_fixed_window",
+    "dedup_connected_components",
+    "bm25_search_title_weighted",
+    "ocr_document_text",
+    "q8_market_share",
+    "q22_sales_opportunity",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "media_resize",
+    "doc_quality_classifier",
+    "doc_unigram_logprob",
+    "dedup_winnowing_pairs",
+    "fts_phrase_search",
+    "approx_distinct_users",
+    "approx_value_quantiles",
+    "bm25_search",
+    "bm25_search_title_filtered",
+    "chunk_markdown_hybrid",
+    "context_distinct_sources",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_ngram_jaccard",
+    "docs_stats_by_source",
+    "hybrid_rrf_search",
+    "ivf_assignment",
 ]
 
 

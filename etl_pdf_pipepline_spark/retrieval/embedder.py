@@ -12,8 +12,14 @@ the engine ships:
   Arrow batch becomes one provider call, the direct analogue of the
   reference's batch loop but partition-parallel instead of sequential.
 
-A real OpenAI-compatible provider would implement `embed_batch` with an
-HTTP client; it is deliberately not imported here (no network deps).
+- `OpenAICompatibleEmbedder` (r6): the real provider slot, stdlib-only
+  urllib against any OpenAI-compatible `/embeddings` endpoint — the
+  direct analogue of the reference's OpenAI client call
+  (embedder.py:60-95), including the `dimensions` param for
+  text-embedding-3-* models and 429/5xx retry with backoff. Tested
+  end-to-end in tests/test_embedder_provider.py against an in-process
+  HTTP server, including through the `embed_dataframe` Spark path
+  (executors call the endpoint concurrently — the production shape).
 """
 
 from __future__ import annotations
@@ -59,6 +65,84 @@ class HashEmbedder:
             n = math.sqrt(sum(x * x for x in vec))
             out.append([float(x / n) if n > 0 else 0.0 for x in vec])
         return out
+
+
+class OpenAICompatibleEmbedder:
+    """HTTP provider for any OpenAI-compatible embeddings endpoint
+    (reference src/transform/embedder.py:60-95 re-expressed without the
+    vendor SDK): POST {base_url}/embeddings with {model, input[,
+    dimensions]}, parse data[*].embedding ordered by index. Stdlib
+    urllib only — picklable, so each Spark task calls the endpoint
+    directly from its partition (embed_dataframe), which is exactly how
+    a cluster hits a real embedding service: per-executor concurrency,
+    batch_size texts per request.
+
+    `api_key_env` names the env var read lazily AT CALL TIME on the
+    worker (the reference reads OPENAI_API_KEY the same way); a missing
+    key raises only if the server demands auth. Retries: 429 and 5xx
+    with exponential backoff (the reference lets the SDK do this);
+    other 4xx fail fast with the server's message."""
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str = "text-embedding-3-small",
+        dim: int = 16,
+        api_key_env: str = "OPENAI_API_KEY",
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.dim = dim
+        self.api_key_env = api_key_env
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+
+    def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        import json
+        import os
+        import time
+        import urllib.error
+        import urllib.request
+
+        if not texts:
+            return []
+        payload: dict = {"model": self.model, "input": texts}
+        if "text-embedding-3" in self.model and self.dim:
+            payload["dimensions"] = self.dim
+        body = json.dumps(payload).encode()
+        headers = {"Content-Type": "application/json"}
+        key = os.getenv(self.api_key_env)
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(
+                f"{self.base_url}/embeddings", data=body, headers=headers
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    out = json.loads(resp.read())
+                data = sorted(out["data"], key=lambda d: d["index"])
+                if len(data) != len(texts):
+                    raise ValueError(
+                        f"endpoint returned {len(data)} embeddings for {len(texts)} inputs"
+                    )
+                return [[float(x) for x in d["embedding"]] for d in data]
+            except urllib.error.HTTPError as e:
+                if e.code == 429 or e.code >= 500:
+                    last_err = e
+                    time.sleep(min(2.0**attempt * 0.1, 5.0))
+                    continue
+                detail = e.read().decode(errors="replace")[:500]
+                raise RuntimeError(f"embedding endpoint HTTP {e.code}: {detail}") from e
+            except (urllib.error.URLError, TimeoutError) as e:
+                last_err = e
+                time.sleep(min(2.0**attempt * 0.1, 5.0))
+        raise RuntimeError(
+            f"embedding endpoint unreachable after {self.max_retries + 1} attempts"
+        ) from last_err
 
 
 def embed_dataframe(

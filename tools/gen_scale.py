@@ -55,6 +55,27 @@ ZIPF_COLS = {"lineitem": "l_orderkey", "events": "user_id"}
 ZIPF_BUCKETS = [(80, 0), (120, 1), (140, 2), (150, 3)]
 
 
+def _fresh_unit_vector(key_col: str, dim: int):
+    """A fresh unit vector as a column expression, deterministic in the
+    (replica-offset) key: per dimension j, two xxhash64-derived uniforms
+    feed Box-Muller; the gaussian array is then L2-normalized. Matches
+    the base corpus's measured distribution (isotropic unit, dim-wise
+    std ≈ 1/√dim)."""
+
+    def u(j, salt):
+        h = F.pmod(F.xxhash64(F.col(key_col), j, F.lit(salt)), F.lit(1 << 30))
+        return (h.cast("double") + 0.5) / float(1 << 30)
+
+    import math
+
+    gauss = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.sqrt(-2.0 * F.log(u(j, 1))) * F.cos(2.0 * math.pi * u(j, 2)),
+    )
+    nrm = F.sqrt(F.aggregate(gauss, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(gauss, lambda x: (x / nrm).cast("float"))
+
+
 def zipf_remap(df, col, hot_keys):
     b = F.pmod(F.xxhash64(F.col(col), F.lit(42)), F.lit(1000))
     expr = None
@@ -66,18 +87,30 @@ def zipf_remap(df, col, hot_keys):
 
 def main() -> int:
     src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    zipf = len(sys.argv) > 4 and sys.argv[4] == "zipf"
+    extra = sys.argv[4:]
+    zipf = "zipf" in extra
+    # only=<table>[,<table>…]: regenerate a subset into an existing out
+    # dir (e.g. `only=embeddings` after the r6 fresh-vector change,
+    # without rewriting a 15 GB lineitem).
+    only = None
+    for a in extra:
+        if a.startswith("only="):
+            only = set(a[5:].split(","))
     spark = get_spark("gen-scale")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     os.makedirs(out, exist_ok=True)
 
     for name in COPY:
+        if only and name not in only:
+            continue
         spark.read.parquet(f"{src}/{name}.parquet").write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
         print(f"{name}: copied")
 
     for name, keys in OFFSETS.items():
+        if only and name not in only:
+            continue
         df = spark.read.parquet(f"{src}/{name}.parquet")
         strides = {c: df.agg(F.max(c)).first()[0] + 1 for c in keys}
         reps = []
@@ -89,23 +122,19 @@ def main() -> int:
                 rep = rep.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
                 rep = rep.withColumn("n_chars", F.length("text").cast("long"))
             if name == "embeddings" and i > 0:
-                # Perturb one dimension per replica (deterministic, tiny):
-                # exact-copy replicas make every vector's LSH bucket hold
-                # K identical members, so pair/closure queries degenerate
-                # to their worst case BY CONSTRUCTION (the true near-dup
-                # pair count is quadratic in K) — measured as a disk-
-                # filling spill at sf30. The jitter keeps replicas
-                # near-dup (cosine ≈ 0.999+) without being identical,
-                # matching how the documents replica gets a suffix token.
-                dim = i % 64
-                delta = float(i) * 1e-3
-                rep = rep.withColumn(
-                    "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda x, j: F.when(j == dim, x + delta).otherwise(x).cast("float"),
-                    ),
-                )
+                # FRESH vectors per replica (VERDICT r5 ask #7), not
+                # jittered copies: replicas of the same base vector are
+                # genuine near-dups, so K× replication makes every
+                # pair/closure query's TRUE output quadratic in K — the
+                # r5 jitter kept them near-dup (cosine 0.999+) and the
+                # sweep filled a spill disk discovering it. The base
+                # corpus is isotropic unit vectors (measured: norms
+                # 1.0±4e-8, intra-label cosine 0.009 ≈ inter-label
+                # -0.004 — no cluster structure), so the faithful scale
+                # distribution is fresh isotropic draws: Box-Muller over
+                # xxhash64-derived uniforms keyed by the ALREADY-OFFSET
+                # vec_id (deterministic, no Date/rand), then normalize.
+                rep = rep.withColumn("embedding", _fresh_unit_vector("vec_id", 64))
             reps.append(rep)
         outdf = reps[0]
         for rep in reps[1:]:
