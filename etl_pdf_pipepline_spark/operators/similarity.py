@@ -413,37 +413,43 @@ def ivf_probe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids and assignments per search. The nprobe centroid ids are a
     2-row parameter fetch (collect of a k-row ranking), the engine's
     query-parameter convention. A green row proves persisted-path ≡
-    in-session-path bit-for-bit."""
+    in-session-path bit-for-bit.
+
+    r6: candidate scoring runs through the zero-copy Arrow BLAS scorer
+    (cosine_topk_arrow), not the interpreted cosine() HOF fold. The
+    fresh-vector scale corpus exposed the inversion: with the HOF
+    scorer the pruned probe (2.25 s at sf10) LOST to the brute-force
+    Arrow scan (0.73 s) — the scorer, not the I/O, was the cost, so
+    pruning 14/16 of the data saved nothing. With both paths on the
+    same scorer the probe's advantage is what it should be: brute ×
+    nprobe/nlist + the k-row centroid fetch."""
     path = persist_ivf_index(spark, sf_dir, exclude_vec_id=4)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 4).select(
-        as_double("embedding").alias("qv")
-    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 4).select("embedding").first()["embedding"]
+    ]
+    q = F.array(*[F.lit(x) for x in qvec])
     c = spark.read.parquet(f"{path}/centroids")
     qc_w = Window.orderBy(F.desc("s"), F.asc("centroid_id"))
     probe_ids = [
         r.centroid_id
         for r in (
-            c.crossJoin(F.broadcast(q))
-            .select("centroid_id", F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("s"))
+            c.select("centroid_id", F.round(cosine(F.col("cv"), q), 4).alias("s"))
             .withColumn("rn", F.row_number().over(qc_w))
             .filter(F.col("rn") <= 2)
             .select("centroid_id")
             .collect()
         )
     ]
-    vecs = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("centroid_id").isin(probe_ids)
+    from ..functions.vectors import cosine_topk_arrow
+
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .withColumn("label", F.lit(0).cast("int"))
     )
-    return (
-        vecs.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
-        )
-        .orderBy(F.desc("score"), "vec_id")
-        .limit(10)
-    )
+    return cosine_topk_arrow(vecs, qvec, 10).select("vec_id", "score")
 
 
 # --------------------------------------------------------------------------
