@@ -6,10 +6,13 @@ training-data pipeline. Design notes per operator:
 - exact: hash-groupBy on content digest. One shuffle on the digest; at
   scale the digest is computed scan-side so only (digest, id) shuffles,
   never the text.
-- MinHash: k independent permutations approximated by min(md5(seed:shingle)).
-  md5 is available and byte-identical in both Spark and DuckDB, which makes
-  the signatures oracle-checkable — a deliberate choice over xxhash64
-  (Spark-only). Signatures are per-row expressions: no shuffle.
+- MinHash: k permutations approximated by min over shingles of a universal
+  hash family (A[i]*h + B[i]) % p applied to 32-bit slices of ONE
+  md5(shingle) digest. md5 is available and byte-identical in both Spark
+  and DuckDB, which makes the signatures oracle-checkable — a deliberate
+  choice over xxhash64 (Spark-only); the affine family keeps it to one
+  digest per shingle (both engines were md5-bound before, SCALING.md).
+  Signatures are per-row expressions: no shuffle.
 - LSH banding: signatures → band keys → groupBy band key → candidate pairs
   only within buckets. The all-pairs O(n²) never materializes; the shuffle
   is on band keys. Skew guard: a bucket with B members emits B(B−1)/2
@@ -33,6 +36,16 @@ from ..sources.catalog import load_table
 
 N_MINHASH = 8  # signature length
 SHINGLE = 3  # word-shingle width
+
+# Universal-hash family for the r6 one-digest minhash scheme: component i
+# is min over shingles of (A[i] * h[i % 4] + B[i]) % MH_P where h[0..3]
+# are the four 32-bit slices of ONE md5(shingle) digest. Constants are
+# fixed primes/odd seeds chosen so A[i] * h fits in 62 bits (A < 2^28,
+# h < 2^32) — both engines' BIGINT arithmetic stays overflow-free and
+# byte-identical (DuckDB raises on int64 overflow; Spark would wrap).
+MH_P = 2147483647  # 2^31 - 1
+MH_A = [15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
+MH_B = [377424577, 1877850533, 1085273731, 1406367907, 701925941, 1985772143, 259261057, 1644482837]
 
 
 def word_shingles(text_col: Column | str, width: int = SHINGLE) -> Column:
@@ -91,38 +104,48 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, width: int = SHINGLE
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINHASH) -> DataFrame:
     """(id, mh0..mh{k-1}) — minhash components as the min over shingles of
-    32-bit (8-hex-char) slices of seeded md5 digests.
+    affine transforms (A[i]*h + B[i]) % MH_P of the four 32-bit slices of
+    ONE md5(shingle) digest (the standard one-hash + universal-hash-family
+    minhash construction).
 
-    Shape matters twice:
+    Shape matters three times:
     - tokenize+shingle ONCE (codegen path, see shingle_rows), then all k
-      min-aggregates in a single hash-agg pass (one shuffle of k short
-      strings per doc). The naive per-column form (k independent
+      min-aggregates in a single hash-agg pass (one shuffle of k longs per
+      doc). The naive per-column form (k independent
       array_min(transform(...)) expressions) re-tokenizes the document k
       times in interpreted mode — measured 20× slower at sf0.1.
-    - each 128-bit digest funds FOUR 32-bit components, so k=8 costs 2 md5
-      calls per shingle instead of 8; the digests are projected before the
-      agg so they are computed exactly once per shingle row.
-    - components are BIGINTs (hex slice → int), not hex strings: min(long)
-      keeps the aggregate a HashAggregate — min(string) falls back to
-      SortAggregate, which inserts two extra full sorts of the shingle
-      stream (visible in tools/audit_plans.py), and shuffles 4× the bytes."""
-    assert k % 4 == 0, "k must be a multiple of 4 (4 components per digest)"
+    - ONE md5 per shingle funds all k components: the digest is projected
+      in its own select (CollapseProject refuses to inline a non-cheap
+      expression referenced 4×, so it is computed once), the four slices
+      in the next, and the k affine transforms are pure 62-bit-safe
+      integer codegen inside the aggregate. The r5 scheme paid k/4 seeded
+      md5 calls per shingle — both engines were md5-bound (SCALING.md r5
+      note); at k=8 this halves Spark's md5 count and cuts the oracle's
+      8 lambda-side md5 calls to 1 (measured at sf30: 27.9→20.5 s Spark,
+      13.4→11.3 s DuckDB, ratio 2.08→1.81 — the residual is shingling +
+      explode + aggregation, not hashing, on both sides).
+    - components are BIGINTs, not hex strings: min(long) keeps the
+      aggregate a HashAggregate — min(string) falls back to SortAggregate,
+      which inserts two extra full sorts of the shingle stream (visible in
+      tools/audit_plans.py), and shuffles 4× the bytes."""
+    assert k <= len(MH_A), "k exceeds the fixed universal-hash family"
     sh = shingle_rows(df, id_col, text_col)
-    digests = sh.select(
+    digests = sh.select("__id", F.md5("sh").alias("__d"))
+    slices = digests.select(
         "__id",
         *[
-            F.md5(F.concat(F.lit(f"{d}:"), F.col("sh"))).alias(f"__d{d}")
-            for d in range(k // 4)
+            F.conv(F.substring(F.col("__d"), j * 8 + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"__h{j}")
+            for j in range(4)
         ],
     )
     return (
-        digests.groupBy("__id")
+        slices.groupBy("__id")
         .agg(
             *[
                 F.min(
-                    F.conv(
-                        F.substring(F.col(f"__d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
-                    ).cast("bigint")
+                    (F.lit(MH_A[i]) * F.col(f"__h{i % 4}") + F.lit(MH_B[i])) % F.lit(MH_P)
                 ).alias(f"mh{i}")
                 for i in range(k)
             ]
@@ -164,15 +187,27 @@ _MINHASH_ORACLE = """
                     ELSE [array_to_string(toks, ' ')]
                END AS shingles
         FROM toks
+    ),
+    dg AS (
+        SELECT doc_id, list_transform(shingles, s -> md5(s)) AS ds FROM sh
+    ),
+    hs AS (
+        SELECT doc_id,
+               {slice_cols}
+        FROM dg
     )
     SELECT doc_id,
            {cols}
-    FROM sh ORDER BY doc_id
+    FROM hs ORDER BY doc_id
 """.format(
+    slice_cols=",\n               ".join(
+        f"list_transform(ds, d -> CAST('0x' || substr(d, {j * 8 + 1}, 8) AS BIGINT)) AS h{j}"
+        for j in range(4)
+    ),
     cols=",\n           ".join(
-        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8) AS BIGINT))) AS mh{i}"
+        f"list_min(list_transform(h{i % 4}, h -> ({MH_A[i]} * h + {MH_B[i]}) % {MH_P})) AS mh{i}"
         for i in range(N_MINHASH)
-    )
+    ),
 )
 
 
@@ -204,15 +239,26 @@ _LSH_CTE_BODY = """toks AS (
                END AS shingles
         FROM toks
     ),
+    dg AS (
+        SELECT doc_id, list_transform(shingles, s -> md5(s)) AS ds FROM sh
+    ),
+    hs AS (
+        SELECT doc_id, {slice_cols}
+        FROM dg
+    ),
     sig AS (
         SELECT doc_id, {sig_cols}
-        FROM sh
+        FROM hs
     ),
     bands AS (
         {band_union}
     )""".format(
+    slice_cols=", ".join(
+        f"list_transform(ds, d -> CAST('0x' || substr(d, {j * 8 + 1}, 8) AS BIGINT)) AS h{j}"
+        for j in range(4)
+    ),
     sig_cols=", ".join(
-        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8) AS BIGINT))) AS mh{i}"
+        f"list_min(list_transform(h{i % 4}, h -> ({MH_A[i]} * h + {MH_B[i]}) % {MH_P})) AS mh{i}"
         for i in range(N_MINHASH)
     ),
     band_union="\n        UNION ALL\n        ".join(
