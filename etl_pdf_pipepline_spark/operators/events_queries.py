@@ -38,11 +38,22 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event type — the batch twin of the
     streaming job in streaming/events.py (same groupBy, plus watermark).
     One shuffle on (hour, type); partial aggregation makes the map side
-    emit one row per (hour, type) per partition."""
+    emit one row per (hour, type) per partition.
+
+    The group key is the INTEGER hour index `unix_micros(ts) div 3.6e9`,
+    not the truncated timestamp: profiling at sf30 put the whole gap to
+    the 3-column decode floor (0.54 s) in the hash-agg keying — 1.71 s
+    keys-only with a (timestamp, string) key — and the int64 key cuts the
+    full query 2.23→1.63 s (27%). `div` is exact int64 arithmetic (no
+    double quotient), and the hour index is converted back to a rendered
+    timestamp AFTER the agg, on ~3k rows. Timestamps here are post-1970
+    so truncating `div` equals flooring; the same identity DuckDB's
+    date_trunc computes."""
     ev = load_table(spark, sf_dir, "events")
+    hour_us = F.lit(3_600_000_000).cast("bigint")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("ws"),
+            F.expr("unix_micros(ts) div 3600000000").alias("hb"),
             "event_type",
         )
         .agg(
@@ -51,7 +62,9 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_cents("value")).cast("double") / 100 / F.count("*"), 4).alias("avg_value"),
         )
         .select(
-            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(
+                F.timestamp_micros(F.col("hb") * hour_us), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -252,11 +265,19 @@ def events_daily_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     not three scans. Subtotal keys surface as NULL and are coalesced to
     'ALL' identically in both engines."""
     ev = load_table(spark, sf_dir, "events")
+    # Integer day index as the rollup key (same rationale as
+    # events_hourly_rollup: the per-row date_format string key was the
+    # hash-agg cost); rendered back to 'yyyy-MM-dd' on the ~4k result
+    # rows. Post-1970 clocks make truncating `div` equal flooring.
+    day_us = F.lit(86_400_000_000).cast("bigint")
     return (
-        ev.rollup(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"), "event_type")
+        ev.rollup(F.expr("unix_micros(ts) div 86400000000").alias("db"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.coalesce("d", F.lit("ALL")).alias("day"),
+            F.coalesce(
+                F.date_format(F.timestamp_micros(F.col("db") * day_us), "yyyy-MM-dd"),
+                F.lit("ALL"),
+            ).alias("day"),
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             "n_events",
         )
