@@ -221,6 +221,22 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
 
+
+def lsh_band_keys(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band_id, band_key) — one row per document per LSH band; the
+    shared banding step of every minhash-LSH consumer (candidate pairs,
+    CC grouping, keepers, the persisted band index)."""
+    sig = minhash_signature(df, id_col, text_col)
+    bands = None
+    for bi, (a, b) in enumerate(_LSH_BANDS):
+        band = sig.select(
+            id_col,
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    return bands
+
 # Shared CTE chain: documents → shingles → minhash signatures → band keys.
 # Every minhash-family oracle (_LSH_ORACLE, _CC_ORACLE, curation) composes
 # on top of this one body so the two engines' pair generation can never
@@ -284,15 +300,7 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     only same-bucket docs ever meet — this is the O(n²)→O(n) cut that
     makes near-dedup feasible at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text")
-    bands = None
-    for bi, (a, b) in enumerate(_LSH_BANDS):
-        band = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band_id"),
-            F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    bands = lsh_band_keys(docs)
     a_side = bands.alias("a")
     b_side = bands.alias("b")
     return (
@@ -672,15 +680,7 @@ _CC_ORACLE = f"""
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) MinHash-LSH candidate pairs — the banded signature
     equi-join shared by the CC grouping and the keeper selection."""
-    sig = minhash_signature(docs, "doc_id", "text")
-    bands = None
-    for bi, (a, b) in enumerate(_LSH_BANDS):
-        band = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band_id"),
-            F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    bands = lsh_band_keys(docs)
     a_side = bands.alias("a")
     b_side = bands.alias("b")
     return (
@@ -965,4 +965,92 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup check against a persisted LSH band index.
+#
+# The daily-delta economics at 100 TB: re-banding the whole corpus to admit
+# one day of new documents is a full-corpus scan; persisting the corpus's
+# (band_id, band_key, doc_id) rows once means a delta is checked by banding
+# ONLY the delta (its own shingle/minhash cost) and equi-joining the index.
+# The join key space is (band_id, band_key), so the index side is a pruned
+# shuffle of 4 short rows per corpus doc — no text, no signatures. The same
+# build-once-query-many pattern as the bm25/IVF persisted layouts
+# (retrieval/bm25.py, similarity.py); AQE picks broadcast vs shuffle for
+# the delta side (forced-broadcast lesson of r5, VERDICT r5 #2).
+
+
+def lsh_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"lsh_band_index_{tag}")
+
+
+def persist_lsh_band_index(
+    spark: SparkSession, sf_dir: str, exclude_mod: int = 20
+) -> str:
+    """Materialize (band_id, band_key, doc_id) for the corpus EXCLUDING
+    the synthetic delta (doc_id % exclude_mod == 0 plays 'tomorrow's
+    documents' in the gated query). partitionBy(band_id) keeps each
+    band's keys directory-prunable; within a band the rows are the only
+    thing a delta join ever reads."""
+    path = lsh_index_path(sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % exclude_mod != 0
+    )
+    (
+        lsh_band_keys(docs)
+        .repartition(F.col("band_id"))
+        .write.partitionBy("band_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+_INCR_ORACLE = f"""
+    WITH {_LSH_CTE_BODY}
+    SELECT a.doc_id AS doc_id,
+           count(DISTINCT b.doc_id) AS n_dup_candidates,
+           min(b.doc_id) AS min_dup_id
+    FROM (SELECT * FROM bands WHERE doc_id % 20 = 0) a
+    LEFT JOIN (SELECT * FROM bands WHERE doc_id % 20 <> 0) b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+    GROUP BY a.doc_id
+    ORDER BY doc_id
+"""
+
+
+@query("near_dup_incremental", oracle=_INCR_ORACLE)
+def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup check of a document delta against the persisted corpus
+    band index: band the delta live (docs with doc_id % 20 == 0), left-
+    join the index on (band_id, band_key), count distinct corpus docs
+    sharing ≥1 band. Zero-candidate docs surface with n_dup_candidates=0
+    — the admit decision needs explicit negatives.
+
+    The oracle recomputes BOTH sides live from the shared LSH CTE chain,
+    so a green row proves persisted-index ≡ live-banding bit-for-bit
+    (the same equivalence contract as ivf_probe_from_index /
+    bm25_topk_from_index)."""
+    path = persist_lsh_band_index(spark, sf_dir, exclude_mod=20)
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 20 == 0)
+    delta_bands = lsh_band_keys(delta)
+    idx = spark.read.parquet(path).select(
+        "band_id", "band_key", F.col("doc_id").alias("dup_id")
+    )
+    return (
+        delta_bands.join(idx, ["band_id", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("dup_id").alias("n_dup_candidates"),
+            F.min("dup_id").alias("min_dup_id"),
+        )
+        .orderBy("doc_id")
     )

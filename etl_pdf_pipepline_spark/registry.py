@@ -77,10 +77,14 @@ _GATE_PRIORITY = [
     "ivf_probe_from_index",         # round_half_away ulp fix
     "media_decode_filter",          # decode_media codec param
     "media_png_roundtrip",          # NEW r6: real-codec end-to-end gate
-    "dedup_minhash_signatures",     # regex shingler (shared shingle_rows)
-    "dedup_lsh_candidates",         # inherits the shingler
-    "dedup_connected_components",   # inherits the shingler
-    "corpus_curation_stats",        # inherits the shingler
+    "dedup_minhash_signatures",     # one-digest affine minhash (r6)
+    "dedup_lsh_candidates",         # inherits the hash family
+    "dedup_connected_components",   # inherits the hash family
+    "corpus_curation_stats",        # inherits the hash family
+    "near_dup_incremental",         # NEW r6: persisted LSH band index
+    "streaming_near_dup_ingest",    # NEW r6: stream-static admit gate
+    "events_hourly_rollup",         # int-bucket group key (r6)
+    "events_daily_rollup_totals",   # int-bucket rollup key (r6)
     # the 23 r3-latest rows deferred below the r5 cut — 3 rounds old, due
     "incremental_new_docs",
     "doc_lookup_filters",
@@ -105,15 +109,15 @@ _GATE_PRIORITY = [
     "events_funnel_counts",
     "events_retention_cohorts",
     "events_range_join_attribution",
-    # oldest r4-latest rows fill the 50 budget (CORRECTNESS_r04 order)
-    "brand_price_stats",
+    # oldest r4-latest rows fill the 50 budget (CORRECTNESS_r04 order;
+    # the two rollups moved into the r6-touched block above, pushing
+    # brand_price_stats below the cut — it rotates in r7)
     "customer_order_profile",
     "top_orders_by_value",
-    "running_spend_budget",
-    "events_hourly_rollup",
-    "events_daily_rollup_totals",
     # ---- 50-budget cut (driver caps here) ----
     # remaining r4/r5 rows rotate in r7
+    "running_spend_budget",
+    "brand_price_stats",
     "events_sliding_window",
     "events_top_users",
     "events_type_pivot",
@@ -122,7 +126,6 @@ _GATE_PRIORITY = [
     "events_json_props",
     "doc_token_stats",
     "chunk_fixed_window",
-    "dedup_connected_components",
     "bm25_search_title_weighted",
     "ocr_document_text",
     "q8_market_share",
@@ -190,6 +193,7 @@ def _ensure_loaded() -> None:
     from .operators import multimodal  # noqa: F401
     from .sources import ocr  # noqa: F401
     from .streaming import events as streaming_events  # noqa: F401
+    from .streaming import documents as streaming_documents  # noqa: F401
     from .retrieval import queries as retrieval_queries  # noqa: F401
 
     _LOADED = True

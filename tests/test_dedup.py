@@ -198,3 +198,39 @@ def test_connected_components_raises_on_exhaustion(spark):
     # diameter 29 needs ceil(log2(29)) ≈ 5 jumping rounds + 1 stable probe
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_lsh_band_keys_one_row_per_doc_per_band(spark):
+    from etl_pdf_pipepline_spark.operators.dedup import _LSH_BANDS, lsh_band_keys
+
+    df = spark.createDataFrame(
+        [("d1", "a b c d e f"), ("d2", "g h i j k l")], ["id", "t"]
+    )
+    rows = lsh_band_keys(df, "id", "t").collect()
+    assert len(rows) == 2 * len(_LSH_BANDS)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.id, set()).add(r.band_id)
+    assert per_doc == {"d1": set(range(len(_LSH_BANDS))),
+                       "d2": set(range(len(_LSH_BANDS)))}
+
+
+def test_near_dup_incremental_covers_delta_with_explicit_negatives(spark):
+    """Every delta doc (doc_id % 20 == 0) appears exactly once; docs with
+    no banded corpus match report 0 candidates and a null min_dup_id —
+    the admit decision needs explicit negatives, not absent rows."""
+    from etl_pdf_pipepline_spark.operators.dedup import near_dup_incremental
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+    rows = near_dup_incremental(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    expected = sorted(
+        r.doc_id for r in docs.filter("doc_id % 20 = 0").select("doc_id").collect()
+    )
+    assert [r.doc_id for r in rows] == expected
+    for r in rows:
+        assert r.n_dup_candidates >= 0
+        if r.n_dup_candidates == 0:
+            assert r.min_dup_id is None
+        else:
+            assert r.min_dup_id is not None and r.min_dup_id % 20 != 0

@@ -123,3 +123,13 @@ def test_streaming_partitioned_ingest_exactly_once(spark, tmp_path):
     n2 = spark.read.parquet(str(tmp_path / "data")).count()
     expected = load_table(spark, sf, "events").count()
     assert n1 == n2 == expected
+
+
+def test_streaming_near_dup_matches_batch(spark):
+    """Stream-banded admit decisions ≡ the batch near_dup_incremental —
+    the same rows, values, and ordering."""
+    qs = all_queries()
+    stream = [tuple(r) for r in qs["streaming_near_dup_ingest"](spark, SF).collect()]
+    batch = [tuple(r) for r in qs["near_dup_incremental"](spark, SF).collect()]
+    assert stream == batch
+    assert len(stream) > 0
