@@ -210,14 +210,27 @@ def sample_frames(df: DataFrame, frames_per_clip: int = 4) -> DataFrame:
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque binary: byte length + content digest,
     computed scan-side (JVM builtins, no Python). At scale this is the
-    manifest build for a media lake — narrow output, full pushdown."""
-    media = media_table(spark, sf_dir)
+    manifest build for a media lake — narrow output, full pushdown.
+
+    Sort BEFORE the digest projection: orderBy above the sha2 made the
+    RangePartitioner's bound-sampling pass re-execute the hash over every
+    byte (the doc_token_stats r4 lesson), so the corpus was digested
+    twice. Sorting the source first means the sample pass reads only the
+    pruned media_id column and sha2 runs once, after the exchange
+    (measured at sf30: 3.40→2.59 s; localCheckpoint was measured WORSE
+    here, 3.96 s — the 64-hex digest output is wide enough that
+    materializing it costs more than it saves). The trade is the range
+    exchange carrying payload bytes; at cluster scale that is one
+    payload shuffle vs hashing the lake twice — the shuffle wins
+    whenever the digest is the expensive half, which is what the probe
+    shows."""
+    media = media_table(spark, sf_dir).orderBy("media_id")
     return media.select(
         "media_id",
         "media_type",
         F.octet_length("content").alias("n_bytes"),
         F.sha2("content", 256).alias("content_sha"),
-    ).orderBy("media_id")
+    )
 
 
 @query(

@@ -76,6 +76,7 @@ _GATE_PRIORITY = [
     "ivf_probe_topk",               # round_half_away ulp fix
     "ivf_probe_from_index",         # round_half_away ulp fix
     "media_decode_filter",          # decode_media codec param
+    "media_metadata",               # sort-before-digest plan (r6)
     "media_png_roundtrip",          # NEW r6: real-codec end-to-end gate
     "dedup_minhash_signatures",     # one-digest affine minhash (r6)
     "dedup_lsh_candidates",         # inherits the hash family
@@ -113,9 +114,9 @@ _GATE_PRIORITY = [
     # the two rollups moved into the r6-touched block above, pushing
     # brand_price_stats below the cut — it rotates in r7)
     "customer_order_profile",
-    "top_orders_by_value",
     # ---- 50-budget cut (driver caps here) ----
     # remaining r4/r5 rows rotate in r7
+    "top_orders_by_value",
     "running_spend_budget",
     "brand_price_stats",
     "events_sliding_window",
