@@ -458,3 +458,90 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, out_schema).orderBy("media_id")
+
+
+@query(
+    "media_image_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_pixels,
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE round(list_sum(list_transform(string_split(text, ''), c -> ord(c))) * 1.0
+                           / octet_length(encode(text)), 4) END AS mean_pixel,
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE list_min(list_transform(string_split(text, ''), c -> ord(c))) END AS min_pixel,
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE list_max(list_transform(string_split(text, ''), c -> ord(c))) END AS max_pixel
+    FROM documents WHERE doc_id % 3 = 0
+    ORDER BY media_id
+    """,
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over REAL decoded pixels — the feature-extract
+    stage of the image pipeline (brightness statistics per image), run
+    end-to-end through the working codec: each image-typed doc's bytes
+    are packed into a genuine grayscale PNG (all five scanline filters,
+    doc_id % 5), decoded back via functions/png.py, and the per-image
+    stats (count / mean / min / max of the pixel values, pad excluded)
+    are computed with numpy over the DECODED buffer — never the source
+    bytes — so a green row proves the features come out of the codec
+    path. The oracle recomputes them closed-form from the corpus's char
+    codes (ASCII corpus: char code == pixel byte; the roundtrip gate
+    pins decode fidelity, this gates the feature math on top). The mean
+    uses round_half_away — the DuckDB round() contract the Arrow scorers
+    established (functions/vectors.py).
+
+    Scale posture: one mapInPandas stage, codec + ndarray stats stay
+    partition-local, ≤1 narrow feature row leaves Python per image."""
+    import math as _math
+
+    import numpy as _np
+
+    from ..functions.png import decode_png, encode_png
+    from ..functions.vectors import round_half_away
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+            T.StructField("min_pixel", T.IntegerType()),
+            T.StructField("max_pixel", T.IntegerType()),
+        ]
+    )
+    w = PNG_ROUNDTRIP_W
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = len(content)
+                h = max(1, _math.ceil(n / w))
+                padded = content + b"\x00" * (h * w - n)
+                png = encode_png(
+                    [padded[y * w : (y + 1) * w] for y in range(h)],
+                    w,
+                    h,
+                    channels=1,
+                    filter_type=int(mid) % 5,
+                )
+                _, _, _, drows = decode_png(png)
+                px = _np.frombuffer(b"".join(drows)[:n], dtype=_np.uint8)
+                if n == 0:
+                    rows.append((mid, 0, None, None, None))
+                else:
+                    mean = float(
+                        round_half_away(_np.array([px.sum() / float(n)]))[0]
+                    )
+                    rows.append((mid, n, mean, int(px.min()), int(px.max())))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_pixels", "mean_pixel", "min_pixel", "max_pixel"],
+            )
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    return (
+        media.select("media_id", "content")
+        .mapInPandas(batches, out_schema)
+        .orderBy("media_id")
+    )

@@ -78,6 +78,7 @@ _GATE_PRIORITY = [
     "media_decode_filter",          # decode_media codec param
     "media_metadata",               # sort-before-digest plan (r6)
     "media_png_roundtrip",          # NEW r6: real-codec end-to-end gate
+    "media_image_features",         # NEW r6: decoded-pixel feature stats
     "dedup_minhash_signatures",     # one-digest affine minhash (r6)
     "dedup_lsh_candidates",         # inherits the hash family
     "dedup_connected_components",   # inherits the hash family
@@ -113,9 +114,9 @@ _GATE_PRIORITY = [
     # oldest r4-latest rows fill the 50 budget (CORRECTNESS_r04 order;
     # the two rollups moved into the r6-touched block above, pushing
     # brand_price_stats below the cut — it rotates in r7)
-    "customer_order_profile",
     # ---- 50-budget cut (driver caps here) ----
     # remaining r4/r5 rows rotate in r7
+    "customer_order_profile",
     "top_orders_by_value",
     "running_spend_budget",
     "brand_price_stats",

@@ -65,3 +65,29 @@ def test_sample_frames_fanout_and_digest(spark):
         off = (len(content) * fr.frame_index) // 4
         assert fr.offset_bytes == off
         assert fr.frame_digest == hashlib.sha256(content[off : off + 64]).hexdigest()
+
+
+def test_media_image_features_from_decoded_pixels(spark):
+    """Feature stats must come out of the real codec path: decode the
+    same PNG packing by hand for one doc and compare."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    rows = all_queries()["media_image_features"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text").collect()}
+    for r in rows[:5]:
+        raw = docs[r.media_id].encode()
+        assert r.n_pixels == len(raw)
+        if len(raw) == 0:
+            assert r.mean_pixel is None
+        else:
+            px = np.frombuffer(raw, dtype=np.uint8)
+            assert r.min_pixel == int(px.min())
+            assert r.max_pixel == int(px.max())
+            assert abs(r.mean_pixel - px.sum() / len(raw)) < 1e-3
