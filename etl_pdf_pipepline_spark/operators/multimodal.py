@@ -212,25 +212,26 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed scan-side (JVM builtins, no Python). At scale this is the
     manifest build for a media lake — narrow output, full pushdown.
 
-    Sort BEFORE the digest projection: orderBy above the sha2 made the
-    RangePartitioner's bound-sampling pass re-execute the hash over every
-    byte (the doc_token_stats r4 lesson), so the corpus was digested
-    twice. Sorting the source first means the sample pass reads only the
-    pruned media_id column and sha2 runs once, after the exchange
-    (measured at sf30: 3.40→2.59 s; localCheckpoint was measured WORSE
-    here, 3.96 s — the 64-hex digest output is wide enough that
-    materializing it costs more than it saves). The trade is the range
-    exchange carrying payload bytes; at cluster scale that is one
-    payload shuffle vs hashing the lake twice — the shuffle wins
-    whenever the digest is the expensive half, which is what the probe
-    shows."""
-    media = media_table(spark, sf_dir).orderBy("media_id")
+    Digest BEFORE the sort, deliberately: the orderBy's range-sampling
+    pass re-executes the sha2 projection, so the corpus is digested
+    twice — and the r6 probe found sorting the SOURCE first (sample pass
+    reads only the pruned media_id column, sha2 runs once) measured
+    better at sf30 (3.40→2.59 s)… then INVERTED at sf100 (8.6→13.8 s):
+    the range exchange under sort-first carries the full payload bytes,
+    which fits at sf30 and spills at sf100. Double-digest is the
+    scale-safe shape — compute is linear and partition-local, and no
+    payload ever rides an exchange; a payload shuffle's cost grows with
+    the lake while the second digest pass does not change shape.
+    (localCheckpoint, the doc_token_stats fix, also measured worse at
+    sf30 — 3.96 s — because the 64-hex digest output is wide.) Both
+    variants' numbers are in SCALING.md."""
+    media = media_table(spark, sf_dir)
     return media.select(
         "media_id",
         "media_type",
         F.octet_length("content").alias("n_bytes"),
         F.sha2("content", 256).alias("content_sha"),
-    )
+    ).orderBy("media_id")
 
 
 @query(
