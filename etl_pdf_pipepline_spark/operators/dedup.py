@@ -1054,3 +1054,61 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_NOVELTY_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE [array_to_string(toks, ' ')]
+               END AS shingles
+        FROM toks
+    ),
+    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    dfc AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
+    SELECT ds.doc_id,
+           count(*) AS n_shingles,
+           round(avg(CASE WHEN dfc.df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM ds JOIN dfc USING (s)
+    GROUP BY ds.doc_id
+    ORDER BY ds.doc_id
+"""
+
+
+@query("doc_shingle_novelty", oracle=_NOVELTY_ORACLE)
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT word
+    3-shingles that appear in no other document — high for genuinely new
+    text, low for boilerplate/templates/near-copies. The complement of
+    the dedup family's pair view: a per-doc curation SCORE usable as a
+    mixture weight without ever materializing pairs.
+
+    Plan: one distinct over (doc, shingle), then the corpus DF per
+    shingle as a count window over the shingle partition (no self-join —
+    the doc_dup_paragraph_fraction window lesson), then the per-doc
+    rollup; the doc-frequency comparison needs only df==1, which the
+    window provides without a second aggregate pass. Shuffle keys carry
+    the shingle strings; at the 100 TB point the portable-digest int-key
+    trick (doc_dup_paragraph's xxhash64 rewrite) applies if the string
+    shuffle ever dominates — declined here until measured, since the
+    distinct already bounds volume to unique (doc, shingle) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = shingle_rows(docs, "doc_id", "text").distinct()
+    w = Window.partitionBy("sh")
+    return (
+        ds.withColumn("df", F.count("*").over(w))
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 4).alias("novelty"),
+        )
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy("doc_id")
+    )

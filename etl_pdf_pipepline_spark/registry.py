@@ -70,7 +70,6 @@ _GATE_PRIORITY = [
     "revenue_by_nation",            # layout-aware routing
     "shipping_priority_top10",      # layout-aware routing
     "revenue_by_nation_bucketed",   # shares the routed read path
-    "shipping_priority_bucketed",   # shares the routed read path
     "ann_cosine_topk",              # round_half_away ulp fix
     "ann_batch_topk",               # round_half_away ulp fix
     "ivf_probe_topk",               # round_half_away ulp fix
@@ -84,6 +83,7 @@ _GATE_PRIORITY = [
     "dedup_connected_components",   # inherits the hash family
     "corpus_curation_stats",        # inherits the hash family
     "near_dup_incremental",         # NEW r6: persisted LSH band index
+    "doc_shingle_novelty",          # NEW r6: per-doc novelty score
     "streaming_near_dup_ingest",    # NEW r6: stream-static admit gate
     "events_hourly_rollup",         # int-bucket group key (r6)
     "events_daily_rollup_totals",   # int-bucket rollup key (r6)
@@ -111,11 +111,12 @@ _GATE_PRIORITY = [
     "events_funnel_counts",
     "events_retention_cohorts",
     "events_range_join_attribution",
-    # oldest r4-latest rows fill the 50 budget (CORRECTNESS_r04 order;
-    # the two rollups moved into the r6-touched block above, pushing
-    # brand_price_stats below the cut — it rotates in r7)
     # ---- 50-budget cut (driver caps here) ----
-    # remaining r4/r5 rows rotate in r7
+    # The r6-touched/new block + the 23 due r3 rows fill the whole 50
+    # budget; shipping_priority_bucketed sits first below (its bucketed
+    # layout is exercised in-gate by the revenue twin) and ALL r4-latest
+    # fills rotate in r7.
+    "shipping_priority_bucketed",
     "customer_order_profile",
     "top_orders_by_value",
     "running_spend_budget",

@@ -234,3 +234,56 @@ def test_near_dup_incremental_covers_delta_with_explicit_negatives(spark):
             assert r.min_dup_id is None
         else:
             assert r.min_dup_id is not None and r.min_dup_id % 20 != 0
+
+
+def test_shingle_novelty_bounds_and_duplicates(spark):
+    from etl_pdf_pipepline_spark.operators.dedup import doc_shingle_novelty  # noqa: F401
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    rows = all_queries()["doc_shingle_novelty"](spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0 and r.n_shingles >= 1
+
+
+def test_shingle_novelty_copies_score_zero(spark):
+    """Two identical docs share every shingle (df=2 -> novelty 0);
+    a vocabulary-disjoint doc scores 1."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from etl_pdf_pipepline_spark.operators.dedup import shingle_rows
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    ds = shingle_rows(df, "doc_id", "text").distinct()
+    got = {
+        r["__id"]: r["nov"]
+        for r in ds.withColumn("df", F.count("*").over(W.partitionBy("sh")))
+        .groupBy("__id")
+        .agg(F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)).alias("nov"))
+        .collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 1.0
+
+
+def test_minhash_affine_family_properties(spark):
+    """Hypothesis-style sweep: components are always in [0, 2^31-1),
+    identical under whitespace renormalization, and deterministic."""
+    import random
+
+    from etl_pdf_pipepline_spark.operators.dedup import MH_P
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 40))) for _ in range(25)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(100 + i, t.replace(" ", "   ").upper()) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    sig = {r.id: tuple(r[f"mh{i}"] for i in range(N_MINHASH))
+           for r in minhash_signature(df, "id", "t").collect()}
+    for i in range(len(texts)):
+        assert sig[i] == sig[100 + i]  # case/whitespace-normalized identity
+        assert all(0 <= v < MH_P for v in sig[i])
