@@ -1071,12 +1071,14 @@ _NOVELTY_ORACLE = """
                END AS shingles
         FROM toks
     ),
-    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
-    dfc AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
+    ds AS (SELECT DISTINCT doc_id,
+                  CAST('0x' || substr(md5(unnest(shingles)), 1, 15) AS BIGINT) AS h
+           FROM sh),
+    dfc AS (SELECT h, count(*) AS df FROM ds GROUP BY h)
     SELECT ds.doc_id,
            count(*) AS n_shingles,
            round(avg(CASE WHEN dfc.df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
-    FROM ds JOIN dfc USING (s)
+    FROM ds JOIN dfc USING (h)
     GROUP BY ds.doc_id
     ORDER BY ds.doc_id
 """
@@ -1090,25 +1092,44 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family's pair view: a per-doc curation SCORE usable as a
     mixture weight without ever materializing pairs.
 
-    Plan: one distinct over (doc, shingle), then the corpus DF per
-    shingle as a count window over the shingle partition (no self-join —
-    the doc_dup_paragraph_fraction window lesson), then the per-doc
-    rollup; the doc-frequency comparison needs only df==1, which the
-    window provides without a second aggregate pass. Shuffle keys carry
-    the shingle strings; at the 100 TB point the portable-digest int-key
-    trick (doc_dup_paragraph's xxhash64 rewrite) applies if the string
-    shuffle ever dominates — declined here until measured, since the
-    distinct already bounds volume to unique (doc, shingle) rows."""
+    Plan — three probed shapes at sf30, worst to best (SCALING.md):
+    string-keyed count window 40.0 s (WindowExec SORTS its partition
+    key; 80M ~20-byte strings), digest-keyed window 32.7 s, and THIS —
+    sort-free two-level hash aggregation, 26.5 s: distinct over
+    (doc, digest), then per-digest (df, min-owner) in one hash-agg —
+    a df==1 digest's owner IS its only doc — then two doc-level
+    rollups joined at 1.5M-row scale. No wide sort anywhere; every
+    80M-row stage is a partial+final HashAggregate.
+
+    The identity counted is a PORTABLE 60-bit md5 slice
+    (conv(substr(md5(sh),1,15)) — 15 hex chars so the BIGINT never
+    overflows in either engine): both engines count the SAME digests,
+    so collision behavior is identical by construction at any scale —
+    the oracle contract is exact, not approximate."""
     docs = load_table(spark, sf_dir, "documents")
-    ds = shingle_rows(docs, "doc_id", "text").distinct()
-    w = Window.partitionBy("sh")
-    return (
-        ds.withColumn("df", F.count("*").over(w))
-        .groupBy("__id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.round(F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 4).alias("novelty"),
+    ds = (
+        shingle_rows(docs, "doc_id", "text")
+        .select(
+            "__id",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
         )
-        .withColumnRenamed("__id", "doc_id")
+        .distinct()
+    )
+    per_h = ds.groupBy("h").agg(F.count("*").alias("df"), F.min("__id").alias("owner"))
+    uniq = per_h.filter(F.col("df") == 1).groupBy("owner").agg(
+        F.count("*").alias("n_unique")
+    )
+    n_sh = ds.groupBy("__id").agg(F.count("*").alias("n_shingles"))
+    return (
+        n_sh.join(uniq, n_sh["__id"] == uniq["owner"], "left")
+        .select(
+            n_sh["__id"].alias("doc_id"),
+            "n_shingles",
+            F.round(
+                F.coalesce(F.col("n_unique"), F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
         .orderBy("doc_id")
     )
