@@ -104,4 +104,12 @@ def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not os.path.isdir(out):
+        # Empty delta → foreachBatch never fired → no decision log. An
+        # empty typed frame keeps the contract (schema-stable, 0 rows)
+        # instead of a missing-path read error.
+        schema = (
+            "doc_id bigint, n_dup_candidates bigint, min_dup_id bigint"
+        )
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(out).orderBy("doc_id")
