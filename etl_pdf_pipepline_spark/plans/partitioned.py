@@ -94,3 +94,79 @@ def events_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and the ts range select identical rows)."""
     write_partitioned_events(spark, sf_dir)
     return day_rollup_from_partitioned(spark, sf_dir)
+
+
+def fragmented_events_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_by_day_frag_{tag}")
+
+
+def compacted_events_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_by_day_compact_{tag}")
+
+
+FRAGMENT_TASKS = 8  # simulated ingest parallelism: files per day before compaction
+
+
+def write_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
+    """The small-files lake a continuous ingest actually produces: a
+    round-robin repartition(FRAGMENT_TASKS) BEFORE partitionBy means
+    every ingest task holds rows of every day, so each day's directory
+    collects one file PER TASK (×batches, in a real deployment). This is
+    the naive-write file explosion the module docstring warns about,
+    materialized on purpose as the compaction input."""
+    path = fragmented_events_path(sf_dir)
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .repartition(FRAGMENT_TASKS)
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def compact_events_lake(spark: SparkSession, src_path: str, dst_path: str) -> str:
+    """Nightly compaction: rewrite the lake with rows repartitioned ON
+    the partition column, so each day lands in one task → one file per
+    directory. Writes to a SIDE path (production swaps atomically after
+    validation; self-overwrite of a path being read is the classic
+    corruption trap). The rewrite is partition-parallel — one shuffle of
+    the day's bytes, no cross-day coordination — so a cluster compacts
+    years of days concurrently and a 100 TB lake's per-day cost is flat."""
+    (
+        spark.read.parquet(src_path)
+        .repartition(F.col("event_date"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(dst_path)
+    )
+    return dst_path
+
+
+@query("events_lake_compaction", oracle=DAY_ROLLUP_ORACLE)
+def events_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance, end-to-end: build the fragmented lake a
+    naive ingest produces (FRAGMENT_TASKS files per day), compact it to
+    one file per day directory, answer the one-day rollup from the
+    COMPACTED lake. Third face of DAY_ROLLUP_ORACLE (after the
+    batch-written and stream-written layouts): a green row proves the
+    compaction rewrite loses/changes nothing vs the flat-table scan.
+    tests/test_bucketing.py asserts the file counts (>1 before, ==1
+    after) so the demonstration cannot silently degenerate."""
+    frag = write_fragmented_events(spark, sf_dir)
+    compact = compact_events_lake(spark, frag, compacted_events_path(sf_dir))
+    ev = spark.read.parquet(compact)
+    return (
+        ev.filter(F.col("event_date") == F.lit(TARGET_DAY).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

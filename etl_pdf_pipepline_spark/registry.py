@@ -52,12 +52,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver gate budget-caps at ~50 entries and iteration order is part
 # of the contract, so it is explicit. r6 ordering, same invariant since
 # r3 (any query whose plan/oracle changes enters the next gate's top-50):
-# first the 16 queries r6 touched (paragraph-dedup regex chunker, keeper
+# the 27 queries r6 touched or added (one-digest minhash family, keeper
 # broadcast removal, LSH derived-planes restructure, layout routing,
-# round_half_away ulp fix), then the 23 r3-latest rows the r5 budget
-# deferred (now 3 rounds old — the rotation debt this ordering pays
-# off), then the oldest r4-latest rows to fill 50. After this gate no
-# row is older than r4; the r4/r5 rows below the cut rotate in r7.
+# int-key rollups, codec family, persisted LSH band index faces,
+# novelty, compaction, round_half_away ulp fix) plus the 23 r3-latest
+# rows the r5 budget deferred fill the 50 exactly. After this gate no
+# row is older than r4; everything below the cut rotates in r7.
 _GATE_PRIORITY = [
     # touched in r6 — plans or shared scorers changed, need current-code rows
     "doc_dup_paragraph_fraction",   # regex chunker + xxhash64 keys + unrounded keep
@@ -72,7 +72,6 @@ _GATE_PRIORITY = [
     "revenue_by_nation_bucketed",   # shares the routed read path
     "ann_cosine_topk",              # round_half_away ulp fix
     "ann_batch_topk",               # round_half_away ulp fix
-    "ivf_probe_topk",               # round_half_away ulp fix
     "ivf_probe_from_index",         # round_half_away ulp fix
     "media_decode_filter",          # decode_media codec param
     "media_metadata",               # sort-before-digest plan (r6)
@@ -83,6 +82,7 @@ _GATE_PRIORITY = [
     "dedup_connected_components",   # inherits the hash family
     "corpus_curation_stats",        # inherits the hash family
     "near_dup_incremental",         # NEW r6: persisted LSH band index
+    "events_lake_compaction",       # NEW r6: small-files compaction face
     "doc_shingle_novelty",          # NEW r6: per-doc novelty score
     "streaming_near_dup_ingest",    # NEW r6: stream-static admit gate
     "events_hourly_rollup",         # int-bucket group key (r6)
@@ -113,9 +113,11 @@ _GATE_PRIORITY = [
     "events_range_join_attribution",
     # ---- 50-budget cut (driver caps here) ----
     # The r6-touched/new block + the 23 due r3 rows fill the whole 50
-    # budget; shipping_priority_bucketed sits first below (its bucketed
-    # layout is exercised in-gate by the revenue twin) and ALL r4-latest
-    # fills rotate in r7.
+    # budget; first below sit ivf_probe_topk (its r6 ulp fix is
+    # exercised in-gate by ann_cosine/ann_batch/ivf_probe_from_index)
+    # and shipping_priority_bucketed (layout exercised by the revenue
+    # twin); ALL r4-latest fills rotate in r7.
+    "ivf_probe_topk",
     "shipping_priority_bucketed",
     "customer_order_profile",
     "top_orders_by_value",

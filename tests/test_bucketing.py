@@ -171,3 +171,34 @@ def test_unbucketed_join_needs_shuffle(spark):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_lake_compaction_collapses_files_per_day(spark):
+    """The fragmented lake has FRAGMENT_TASKS files per day directory;
+    compaction leaves exactly one — and the gated query already proves
+    the rewrite changes no values."""
+    import glob
+    import os
+
+    from etl_pdf_pipepline_spark.plans.partitioned import (
+        FRAGMENT_TASKS,
+        compacted_events_path,
+        fragmented_events_path,
+    )
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    assert all_queries()["events_lake_compaction"](spark, sf).count() > 0
+
+    def files_per_day(base):
+        days = [d for d in glob.glob(os.path.join(base, "event_date=*")) if os.path.isdir(d)]
+        assert days, f"no day partitions under {base}"
+        return {d: len(glob.glob(os.path.join(d, "*.parquet"))) for d in days}
+
+    frag = files_per_day(fragmented_events_path(sf))
+    comp = files_per_day(compacted_events_path(sf))
+    assert all(n == 1 for n in comp.values()), comp
+    assert max(frag.values()) > 1  # fragmentation was real, not vacuous
+    assert sorted(os.path.basename(d) for d in frag) == sorted(
+        os.path.basename(d) for d in comp
+    )
