@@ -42,6 +42,20 @@ HEADLINE = [
     "media_metadata",
     "media_frame_sample",
     "streaming_hourly_rollup",
+    "near_dup_admission",
+]
+
+# Queries whose timed wall is served from a layout/index built in the
+# untimed prepare phase, while their DuckDB oracle recomputes from raw
+# parquet. Their ratios price the steady-state serving economics (what a
+# lake that maintains the layout actually pays), NOT engine-vs-engine on
+# identical work — so the BENCH JSON flags them and records the
+# scan-path walls alongside (ADVICE r6: keep the layout advantage
+# visible instead of folding it into the engine ratio).
+INDEX_SERVED = [
+    "revenue_by_nation",
+    "shipping_priority_top10",
+    "near_dup_admission",
 ]
 
 
@@ -76,9 +90,14 @@ def main() -> None:
     # break-even: ~2 runs of the two-query family at sf100); the timed
     # numbers below are the steady-state serving latency, matching how a
     # lake that re-runs an orderkey-join workload actually operates.
+    from etl_pdf_pipepline_spark.operators.dedup import ensure_lsh_band_index
     from etl_pdf_pipepline_spark.plans.bucketed import write_bucketed_facts
 
     write_bucketed_facts(spark, sf_dir)
+    # Same lifecycle slot: the persisted LSH band index the steady-state
+    # near-dup admission row (near_dup_admission) serves its delta checks
+    # from. Break-even vs per-call rebuild: ~2 admission runs (SCALING.md).
+    ensure_lsh_band_index(spark, sf_dir)
 
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -114,6 +133,24 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
 
+    # Scan-path counterparts for the layout-routed queries: same logical
+    # query, routing forced off — the honest engine-vs-engine wall, and
+    # the published delta IS the layout's advantage. (near_dup_admission's
+    # counterpart is already a headline-independent gate row,
+    # near_dup_incremental, which pays the full index rebuild.)
+    from etl_pdf_pipepline_spark.plans.bucketed import force_scan_path
+
+    scan_path: dict[str, float] = {}
+    for name in ("revenue_by_nation", "shipping_priority_top10"):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            with force_scan_path():
+                df = qs[name](spark, sf_dir)
+            df.toPandas()
+            best = min(best, time.time() - t0)
+        scan_path[name] = round(best, 3)
+
     # Same-session DuckDB baseline (VERDICT r5 ask #2): cross-round
     # comparisons on this shared machine drift ±20-30% day-to-day, so a
     # Spark wall alone can't distinguish regression from ambient noise
@@ -127,6 +164,8 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "cold_total": round(sum(cold.values()), 3),
+        "index_served": INDEX_SERVED,
+        "scan_path": scan_path,
     }
     if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))

@@ -31,7 +31,8 @@ def round_half_away(sims: "np.ndarray", digits: int = 4) -> "np.ndarray":
     contract; a boundary tie would otherwise change both the emitted
     score and the prune/tie order the scorers claim is order-compatible
     (tested against live DuckDB in test_vectors.py). NaN passes through
-    (floor and the >= comparison both propagate it).
+    via floor alone: NaN >= 0.5 evaluates False (contributes 0), but
+    floor(NaN) is NaN, so the sum — and the final copysign — stay NaN.
 
     The comparison is done on r = |x|·scale directly (floor(r) + (frac >=
     0.5)) rather than floor(r + 0.5): the FP add would round a value one

@@ -410,8 +410,11 @@ def token_jaccard_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # No broadcast hint: `sizes` is per-doc (corpus-sized when callers skip
+        # a pre-filter), so a forced broadcast here would be the same shape as
+        # the r5 keeper-table bug. AQE still picks broadcast at gate scale.
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -1010,7 +1013,46 @@ def persist_lsh_band_index(
         .mode("overwrite")
         .parquet(path)
     )
+    import json
+
+    with open(path + "_meta.json", "w") as fh:
+        json.dump(
+            {"source_signature": _docs_signature(sf_dir), "exclude_mod": exclude_mod},
+            fh,
+        )
     return path
+
+
+def _docs_signature(sf_dir: str) -> str:
+    from ..sources.catalog import table_stat_signature
+
+    return table_stat_signature(sf_dir, ("documents",))
+
+
+def ensure_lsh_band_index(
+    spark: SparkSession, sf_dir: str, exclude_mod: int = 20
+) -> str:
+    """Serve-or-build for the persisted band index: reuse it when its
+    freshness tag (stat-digest of the documents table + the exclude_mod
+    it was built with) matches, rebuild otherwise — the same
+    build-at-ingest / serve-marginal lifecycle as the bucketed fact
+    layout (plans/bucketed.py). Lets a steady-state caller (bench.py's
+    prepare phase, a daily admission job) pay the corpus banding once
+    and check every subsequent delta at O(delta) cost."""
+    import json
+
+    path = lsh_index_path(sf_dir)
+    try:
+        with open(path + "_meta.json") as fh:
+            meta = json.load(fh)
+        if (
+            meta.get("source_signature") == _docs_signature(sf_dir)
+            and meta.get("exclude_mod") == exclude_mod
+        ):
+            return path
+    except (OSError, ValueError):
+        pass
+    return persist_lsh_band_index(spark, sf_dir, exclude_mod=exclude_mod)
 
 
 _INCR_ORACLE = f"""
@@ -1039,6 +1081,14 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same equivalence contract as ivf_probe_from_index /
     bm25_topk_from_index)."""
     path = persist_lsh_band_index(spark, sf_dir, exclude_mod=20)
+    return _delta_admission(spark, sf_dir, path)
+
+
+def _delta_admission(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """The marginal admission plan shared by the full-rebuild gate row and
+    the steady-state serving row: band the delta live, left-join the
+    persisted index on (band_id, band_key), count distinct corpus docs
+    sharing ≥1 band (explicit zero negatives)."""
     docs = load_table(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 20 == 0)
     delta_bands = lsh_band_keys(delta)
@@ -1054,6 +1104,23 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("near_dup_admission", oracle=_INCR_ORACLE)
+def near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STEADY-STATE admission path: serve the marginal delta check
+    from an existing band index, building only when the index is missing
+    or stale (ensure_lsh_band_index — the bucketed-layout lifecycle).
+    Identical result contract to near_dup_incremental (same oracle); the
+    difference is what a run PAYS: this row prices the daily-delta
+    admission a production corpus runs (O(delta) banding + a pruned index
+    join — measured sf30: 8.1 s marginal vs 55.8 s index build vs 30.5 s
+    oracle full recompute, SCALING.md), while near_dup_incremental's gate
+    row re-proves build + read-back + join every run. bench.py builds the
+    index in its untimed prepare phase — the same slot as the bucketed
+    facts and the reference's ingest-time FTS/vector index builds."""
+    path = ensure_lsh_band_index(spark, sf_dir, exclude_mod=20)
+    return _delta_admission(spark, sf_dir, path)
 
 
 _NOVELTY_ORACLE = """

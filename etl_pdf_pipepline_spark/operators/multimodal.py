@@ -463,34 +463,51 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_image_features",
+    # Oracle computes over encode(text) BYTES (hex-sliced), never ord(char)
+    # code points: byte == code point only for pure ASCII, and the Spark
+    # side is byte-correct regardless of corpus — so the oracle must be
+    # too (was an ASCII-only silent-parity hazard, ADVICE r6).
     oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+        SELECT doc_id, n,
+               list_transform(generate_series(1, n),
+                              i -> CAST('0x' || substr(hx, 2 * i - 1, 2) AS INTEGER)) AS bytes
+        FROM b
+    )
     SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_pixels,
-           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
-                ELSE round(list_sum(list_transform(string_split(text, ''), c -> ord(c))) * 1.0
-                           / octet_length(encode(text)), 4) END AS mean_pixel,
-           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
-                ELSE list_min(list_transform(string_split(text, ''), c -> ord(c))) END AS min_pixel,
-           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
-                ELSE list_max(list_transform(string_split(text, ''), c -> ord(c))) END AS max_pixel
-    FROM documents WHERE doc_id % 3 = 0
+           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS color_type,
+           n AS n_pixels,
+           CASE WHEN n = 0 THEN NULL
+                ELSE round(list_sum(bytes) * 1.0 / n, 4) END AS mean_pixel,
+           CASE WHEN n = 0 THEN NULL ELSE list_min(bytes) END AS min_pixel,
+           CASE WHEN n = 0 THEN NULL ELSE list_max(bytes) END AS max_pixel
+    FROM px
     ORDER BY media_id
     """,
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over REAL decoded pixels — the feature-extract
     stage of the image pipeline (brightness statistics per image), run
-    end-to-end through the working codec: each image-typed doc's bytes
-    are packed into a genuine grayscale PNG (all five scanline filters,
-    doc_id % 5), decoded back via functions/png.py, and the per-image
-    stats (count / mean / min / max of the pixel values, pad excluded)
-    are computed with numpy over the DECODED buffer — never the source
-    bytes — so a green row proves the features come out of the codec
-    path. The oracle recomputes them closed-form from the corpus's char
-    codes (ASCII corpus: char code == pixel byte; the roundtrip gate
-    pins decode fidelity, this gates the feature math on top). The mean
-    uses round_half_away — the DuckDB round() contract the Arrow scorers
-    established (functions/vectors.py).
+    end-to-end through the working codec ACROSS TWO COLOR TYPES: each
+    image-typed doc's bytes are packed into a genuine PNG — grayscale
+    (color type 0, 1 byte/px) for even media_ids, truecolor RGB (color
+    type 2, 3 bytes/px) for odd — cycling all five scanline filters
+    (media_id % 5), then decoded back via functions/png.py, and the
+    per-image stats (count / mean / min / max of the samples, pad
+    excluded) are computed with numpy over the DECODED buffer — never
+    the source bytes — so a green row proves the features come out of
+    BOTH codec paths (the per-channel filter arithmetic differs: bpp is
+    1 vs 3, so Sub/Average/Paeth reference different left neighbours).
+    The oracle recomputes the stats closed-form from the corpus's UTF-8
+    bytes (hex-sliced blob, byte-correct for any corpus); the roundtrip
+    gate pins decode fidelity, this gates the feature math on top. The
+    mean uses round_half_away — the DuckDB round() contract the Arrow
+    scorers established (functions/vectors.py).
 
     Scale posture: one mapInPandas stage, codec + ndarray stats stay
     partition-local, ≤1 narrow feature row leaves Python per image."""
@@ -504,6 +521,7 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
+            T.StructField("color_type", T.StringType()),
             T.StructField("n_pixels", T.LongType()),
             T.StructField("mean_pixel", T.DoubleType()),
             T.StructField("min_pixel", T.IntegerType()),
@@ -517,27 +535,34 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 n = len(content)
-                h = max(1, _math.ceil(n / w))
-                padded = content + b"\x00" * (h * w - n)
+                ch = 1 if int(mid) % 2 == 0 else 3
+                ctype = "gray" if ch == 1 else "rgb"
+                stride = w * ch
+                h = max(1, _math.ceil(n / stride))
+                padded = content + b"\x00" * (h * stride - n)
                 png = encode_png(
-                    [padded[y * w : (y + 1) * w] for y in range(h)],
+                    [padded[y * stride : (y + 1) * stride] for y in range(h)],
                     w,
                     h,
-                    channels=1,
+                    channels=ch,
                     filter_type=int(mid) % 5,
                 )
-                _, _, _, drows = decode_png(png)
+                _, _, dch, drows = decode_png(png)
+                assert dch == ch, f"codec channel mismatch: {dch} != {ch}"
                 px = _np.frombuffer(b"".join(drows)[:n], dtype=_np.uint8)
                 if n == 0:
-                    rows.append((mid, 0, None, None, None))
+                    rows.append((mid, ctype, 0, None, None, None))
                 else:
                     mean = float(
                         round_half_away(_np.array([px.sum() / float(n)]))[0]
                     )
-                    rows.append((mid, n, mean, int(px.min()), int(px.max())))
+                    rows.append((mid, ctype, n, mean, int(px.min()), int(px.max())))
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "n_pixels", "mean_pixel", "min_pixel", "max_pixel"],
+                columns=[
+                    "media_id", "color_type", "n_pixels",
+                    "mean_pixel", "min_pixel", "max_pixel",
+                ],
             )
 
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")

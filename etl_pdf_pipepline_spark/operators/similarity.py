@@ -479,9 +479,12 @@ _LSH_TARGET_OCCUPANCY = 32
 def derive_lsh_planes(n_rows: int) -> int:
     """Planes per band sized to the corpus: 2^planes buckets ≈
     n / occupancy. Floor = the static _LSH_PLANES_PER_BAND so gate-scale
-    corpora (≤ ~16k vectors) use exactly the constants the DuckDB oracle
-    CTE is generated from; the derived value only departs where no
-    oracle runs (perf-scale corpora). Each added plane halves occupancy
+    corpora (≤ 2^_LSH_PLANES_PER_BAND × occupancy = 8192 vectors) use
+    exactly the constants the DuckDB oracle CTE is generated from; past
+    8192 rows the derived value departs from the static oracle, so
+    callers with an active oracle comparison must stay under that bound
+    (embedding_lsh_pairs warns loudly when it crosses it — see
+    _warn_if_oracle_diverges). Each added plane halves occupancy
     and multiplies per-band recall for cosine-θ pairs by (1 - θ/π) —
     for the near-identical pairs dedup hunts (cosine ≥ 0.95, θ ≤ 0.32),
     that factor is ≥ 0.9/plane, so candidate volume falls ~2× per plane
@@ -493,6 +496,23 @@ def derive_lsh_planes(n_rows: int) -> int:
         _LSH_PLANES_PER_BAND,
         math.ceil(math.log2(max(1.0, n_rows / _LSH_TARGET_OCCUPANCY))),
     )
+
+
+def _warn_if_oracle_diverges(planes: int, n_rows: int) -> None:
+    """The embedding_lsh_* DuckDB oracles are generated at import time from
+    the static _LSH_PLANES_PER_BAND constants; a corpus past 8192 rows
+    derives more planes and the Spark result legitimately departs from
+    those oracles. Make the divergence loud instead of silent so an
+    oracle-gated run on an oversized corpus fails visibly at the source."""
+    if planes != _LSH_PLANES_PER_BAND:
+        import warnings
+
+        warnings.warn(
+            f"derive_lsh_planes({n_rows}) = {planes} departs from the static "
+            f"{_LSH_PLANES_PER_BAND}-plane DuckDB oracle CTE (valid to 8192 "
+            "rows); do not oracle-compare this run.",
+            stacklevel=3,
+        )
 
 
 def _sign_hyperplanes(n_planes: int, dim: int = _EMB_DIM) -> list[list[float]]:
@@ -596,6 +616,7 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n_rows = emb.count()  # parquet metadata count — no scan
     planes = derive_lsh_planes(n_rows)
+    _warn_if_oracle_diverges(planes, n_rows)
     sig = emb.select("vec_id", as_double("embedding").alias("v"))
 
     cand = None

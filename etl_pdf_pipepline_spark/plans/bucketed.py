@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +70,24 @@ def bucketed_table_names(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     gate runs at different sf dirs)."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     return f"bkt_{tag}_lineitem", f"bkt_{tag}_orders"
+
+
+def _source_signature(sf_dir: str) -> str:
+    """Freshness tag for the layout: stat-digest of the two fact tables it
+    projects. A corpus regenerated in place changes mtimes/sizes, so a
+    layout built before the regeneration stops matching and routing falls
+    back to the scan path instead of serving stale buckets (ADVICE r6)."""
+    from ..sources.catalog import table_stat_signature
+
+    return table_stat_signature(sf_dir, ("lineitem", "orders"))
+
+
+def _meta_path(spark: SparkSession, sf_dir: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    warehouse = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    li_name, _ = bucketed_table_names(spark, sf_dir)
+    return os.path.join(warehouse, f"{li_name}_meta.json")
 
 
 def _drop_stale(spark: SparkSession, *names: str) -> None:
@@ -119,24 +138,66 @@ def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .mode("overwrite")
         .saveAsTable(o_name)
     )
+    # Freshness tag: routing refuses the layout if the source facts have
+    # been rewritten since this build (see _source_signature).
+    import json
+
+    with open(_meta_path(spark, sf_dir), "w") as fh:
+        json.dump({"source_signature": _source_signature(sf_dir)}, fh)
     return li_name, o_name
+
+
+_force_scan = False
+
+
+@contextmanager
+def force_scan_path():
+    """Routing override: inside this context bucketed_layout_exists reports
+    False, so the orderkey-join family constructs its scan-path plan even
+    when the layout is built. Two consumers: the *_scan gate variants
+    (both routing branches oracle-gated every run, independent of session
+    ordering — ADVICE r6) and bench.py's scan-path measurement (so the
+    layout's advantage is published as a visible delta, not silently
+    folded into the engine ratio). Plan construction is eager w.r.t.
+    routing (the branch is taken while building the DataFrame), so
+    wrapping construction alone is sufficient."""
+    global _force_scan
+    _force_scan = True
+    try:
+        yield
+    finally:
+        _force_scan = False
 
 
 def bucketed_layout_exists(spark: SparkSession, sf_dir: str) -> bool:
     """True when this corpus's bucketed fact layout is registered in the
-    session catalog — the routing predicate for the orderkey-join family
+    session catalog AND its freshness tag matches the current source
+    files — the routing predicate for the orderkey-join family
     (revenue_by_nation / shipping_priority_top10 serve from the layout
     when a prior ingest built it, scan path otherwise). Catalog-only by
     design: bucketing metadata lives in the metastore, so a warehouse
     directory without a catalog entry (local in-memory catalog after a
     session restart) is NOT servable — a cluster deployment's persistent
     metastore keeps the entry and routes across sessions. The layout is
-    tied to the corpus by a path-hash name; a lake that mutates facts
-    after ingest must rebuild it (write_bucketed_facts) or the route
-    serves stale data — same invalidation contract as any materialized
-    index (bm25 postings, IVF centroids)."""
+    tied to the corpus by a path-hash name and to the corpus CONTENTS by
+    a stat-signature tag written at build time (_source_signature): facts
+    regenerated in place stop matching and the route falls back to scan
+    instead of serving stale buckets — same invalidation contract as any
+    materialized index (bm25 postings, IVF centroids), now enforced
+    rather than documented."""
+    if _force_scan:
+        return False
     li_name, o_name = bucketed_table_names(spark, sf_dir)
-    return spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name)
+    if not (spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name)):
+        return False
+    import json
+
+    try:
+        with open(_meta_path(spark, sf_dir)) as fh:
+            tag = json.load(fh).get("source_signature")
+    except (OSError, ValueError):
+        return False
+    return tag == _source_signature(sf_dir)
 
 
 def revenue_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,3 +317,26 @@ def shipping_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@query("revenue_by_nation_scan", oracle=_REVENUE_ORACLE)
+def revenue_by_nation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """revenue_by_nation with routing overridden to the SCAN path — gates
+    the cold-corpus plan every run regardless of whether a layout was
+    built earlier in the session (previously an alphabetical gate order
+    could leave the scan branch un-gated whenever *_bucketed ran first;
+    ADVICE r6). Same oracle as all three siblings."""
+    from .relational import revenue_by_nation
+
+    with force_scan_path():
+        return revenue_by_nation(spark, sf_dir)
+
+
+@query("shipping_priority_scan", oracle=_SHIPPING_ORACLE)
+def shipping_priority_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shipping_priority_top10 forced onto the scan path — see
+    revenue_by_nation_scan for the routing-coverage rationale."""
+    from .relational import shipping_priority_top10
+
+    with force_scan_path():
+        return shipping_priority_top10(spark, sf_dir)

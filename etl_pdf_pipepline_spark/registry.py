@@ -50,75 +50,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r6 ordering, same invariant since
+# of the contract, so it is explicit. r7 ordering, same invariant since
 # r3 (any query whose plan/oracle changes enters the next gate's top-50):
-# the 27 queries r6 touched or added (one-digest minhash family, keeper
-# broadcast removal, LSH derived-planes restructure, layout routing,
-# int-key rollups, codec family, persisted LSH band index faces,
-# novelty, compaction, round_half_away ulp fix) plus the 23 r3-latest
-# rows the r5 budget deferred fill the 50 exactly. After this gate no
-# row is older than r4; everything below the cut rotates in r7.
+# the 11 queries r7 touched or added (byte-correct RGB+gray image
+# features, the steady-state admission path, the scan-path routing
+# variants, the routing-freshness predicate, the ngram-jaccard broadcast
+# drop, the LSH plane-divergence guard) plus ALL 36 r4-latest rows (the
+# oldest green rows in the registry — VERDICT r6 ask #2; one of them,
+# dedup_ngram_jaccard, is also r7-touched) plus 4 fills: the sf100
+# adjudication target media_frame_sample (its plan may change with the
+# decomposition; doc_token_stats is already in via the r4 list), two r5
+# rows sharing touched files (dedup_exact; streaming_near_dup_ingest on
+# the refactored index-persist path), and q1_pricing_summary (headline
+# representative). After this gate every latest row is r5 or newer.
 _GATE_PRIORITY = [
-    # touched in r6 — plans or shared scorers changed, need current-code rows
-    "doc_dup_paragraph_fraction",   # regex chunker + xxhash64 keys + unrounded keep
-    "doc_dup_paragraph_removal",    # regex chunker + xxhash64 keys
-    "dedup_keepers",                # forced broadcast dropped
-    "semantic_dedup_keepers",       # forced broadcast dropped
-    "embedding_lsh_pairs",          # derived planes + id-only distinct
-    "embedding_cluster_components", # inherits the lsh restructure
-    "embedding_near_dup_pairs",     # pair scorer rounding moved into UDF
-    "revenue_by_nation",            # layout-aware routing
-    "shipping_priority_top10",      # layout-aware routing
-    "revenue_by_nation_bucketed",   # shares the routed read path
-    "ann_cosine_topk",              # round_half_away ulp fix
-    "ann_batch_topk",               # round_half_away ulp fix
-    "ivf_probe_from_index",         # round_half_away ulp fix
-    "media_decode_filter",          # decode_media codec param
-    "media_metadata",               # sort-before-digest plan (r6)
-    "media_png_roundtrip",          # NEW r6: real-codec end-to-end gate
-    "media_image_features",         # NEW r6: decoded-pixel feature stats
-    "dedup_minhash_signatures",     # one-digest affine minhash (r6)
-    "dedup_lsh_candidates",         # inherits the hash family
-    "dedup_connected_components",   # inherits the hash family
-    "corpus_curation_stats",        # inherits the hash family
-    "near_dup_incremental",         # NEW r6: persisted LSH band index
-    "events_lake_compaction",       # NEW r6: small-files compaction face
-    "doc_shingle_novelty",          # NEW r6: per-doc novelty score
-    "streaming_near_dup_ingest",    # NEW r6: stream-static admit gate
-    "events_hourly_rollup",         # int-bucket group key (r6)
-    "events_daily_rollup_totals",   # int-bucket rollup key (r6)
-    # the 23 r3-latest rows deferred below the r5 cut — 3 rounds old, due
-    "incremental_new_docs",
-    "doc_lookup_filters",
-    "doc_hashes",
-    "doc_titles_from_filenames",
-    "doc_token_estimates",
-    "orders_status_counts",
-    "priority_set_ops",
-    "customer_balance_quartiles",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q18_large_volume_customers",
-    "q17_small_quantity_revenue",
-    "q15_top_supplier",
-    "q10_returned_items",
-    "q7_volume_shipping",
-    "events_user_gaps",
-    "events_anomaly_zscore",
-    "events_funnel_counts",
-    "events_retention_cohorts",
-    "events_range_join_attribution",
-    # ---- 50-budget cut (driver caps here) ----
-    # The r6-touched/new block + the 23 due r3 rows fill the whole 50
-    # budget; first below sit ivf_probe_topk (its r6 ulp fix is
-    # exercised in-gate by ann_cosine/ann_batch/ivf_probe_from_index)
-    # and shipping_priority_bucketed (layout exercised by the revenue
-    # twin); ALL r4-latest fills rotate in r7.
+    # touched/new in r7
+    "media_image_features",         # RGB+gray codec paths, byte-correct oracle (schema changed)
+    "near_dup_admission",           # NEW r7: steady-state marginal admission
+    "revenue_by_nation_scan",       # NEW r7: forced scan-path gate variant
+    "shipping_priority_scan",       # NEW r7: forced scan-path gate variant
+    "near_dup_incremental",         # shared _delta_admission refactor
+    "revenue_by_nation",            # routing predicate now freshness-checked
+    "shipping_priority_top10",      # routing predicate now freshness-checked
+    "revenue_by_nation_bucketed",   # build now writes the freshness tag
+    "shipping_priority_bucketed",   # build now writes the freshness tag (r5 fill)
+    "embedding_lsh_pairs",          # oracle-divergence guard added
+    "dedup_ngram_jaccard",          # per-doc sizes broadcast hint dropped (also r4-latest)
+    # ALL 36 r4-latest rows — oldest green rows, due per the r6 rotation plan
+    "bm25_search",
+    "hybrid_rrf_search",
     "ivf_probe_topk",
-    "shipping_priority_bucketed",
+    "ivf_assignment",
+    "chunk_markdown_hybrid",
+    "chunk_fixed_window",
     "customer_order_profile",
     "top_orders_by_value",
     "running_spend_budget",
@@ -130,8 +94,8 @@ _GATE_PRIORITY = [
     "events_user_rank_dist",
     "events_json_props",
     "doc_token_stats",
-    "chunk_fixed_window",
     "bm25_search_title_weighted",
+    "bm25_search_title_filtered",
     "ocr_document_text",
     "q8_market_share",
     "q22_sales_opportunity",
@@ -144,16 +108,40 @@ _GATE_PRIORITY = [
     "fts_phrase_search",
     "approx_distinct_users",
     "approx_value_quantiles",
-    "bm25_search",
-    "bm25_search_title_filtered",
-    "chunk_markdown_hybrid",
     "context_distinct_sources",
     "customers_with_open_orders",
     "customers_without_orders",
-    "dedup_ngram_jaccard",
     "docs_stats_by_source",
-    "hybrid_rrf_search",
-    "ivf_assignment",
+    # fills to 50: the r7 perf-adjudication targets + same-file r5 row
+    "media_frame_sample",
+    "dedup_exact",
+    "q1_pricing_summary",
+    "streaming_near_dup_ingest",    # shares the refactored index-persist path
+    # ---- 50-budget cut (driver caps here) ----
+    # Below the cut: everything r5/r6-latest and untouched this round.
+    "events_sessionization",
+    "streaming_hourly_rollup",
+    "order_sequence_window",
+    "doc_dup_paragraph_fraction",
+    "doc_dup_paragraph_removal",
+    "dedup_keepers",
+    "semantic_dedup_keepers",
+    "embedding_cluster_components",
+    "embedding_near_dup_pairs",
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "ivf_probe_from_index",
+    "media_decode_filter",
+    "media_metadata",
+    "media_png_roundtrip",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_connected_components",
+    "corpus_curation_stats",
+    "events_lake_compaction",
+    "doc_shingle_novelty",
+    "events_hourly_rollup",
+    "events_daily_rollup_totals",
 ]
 
 

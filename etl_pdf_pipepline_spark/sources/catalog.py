@@ -97,6 +97,28 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def table_stat_signature(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """md5 over (path, mtime_ns, size) of every file backing the named
+    tables — the cheap freshness tag persisted layouts (bucketed facts,
+    LSH band index) store at build time and compare before serving, so a
+    corpus regenerated in place invalidates the layout instead of being
+    served stale. One stat per file, no data read."""
+    import hashlib
+
+    parts: list[str] = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for root, _dirs, files in sorted(os.walk(p)):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    parts.append(f"{root}/{fn}:{st.st_mtime_ns}:{st.st_size}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -1,0 +1,138 @@
+"""Layout/index freshness + routing-override contracts added in r7.
+
+A persisted layout (bucketed facts, LSH band index) is only servable
+while its build-time stat-signature of the source tables still matches:
+a corpus regenerated in place must invalidate the layout instead of
+being served stale (the materialized-index invalidation contract —
+reference parity: the ref rebuilds its FTS/vector indexes at ingest,
+src/services/document_service.py). force_scan_path() is the routing
+override that lets the scan branch be gated/measured even when a layout
+is registered.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_copy(tmp_path_factory):
+    """A writable copy of the sf0.001 tables so tests can mutate mtimes
+    (testdata itself is read-only by contract)."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("corpus")
+    for t in ("lineitem", "orders", "documents", "nation", "customer",
+              "supplier", "region", "part"):
+        shutil.copy(os.path.join(src, f"{t}.parquet"), dst / f"{t}.parquet")
+    return str(dst)
+
+
+def _touch(path: str) -> None:
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+
+
+def test_stat_signature_tracks_file_changes(corpus_copy):
+    from etl_pdf_pipepline_spark.sources.catalog import table_stat_signature
+
+    before = table_stat_signature(corpus_copy, ("lineitem", "orders"))
+    assert before == table_stat_signature(corpus_copy, ("lineitem", "orders"))
+    _touch(os.path.join(corpus_copy, "lineitem.parquet"))
+    assert table_stat_signature(corpus_copy, ("lineitem", "orders")) != before
+    # tables not in the tuple don't affect the tag
+    sig = table_stat_signature(corpus_copy, ("lineitem", "orders"))
+    _touch(os.path.join(corpus_copy, "documents.parquet"))
+    assert table_stat_signature(corpus_copy, ("lineitem", "orders")) == sig
+
+
+def test_bucketed_layout_invalidated_by_source_rewrite(spark, corpus_copy):
+    from etl_pdf_pipepline_spark.plans.bucketed import (
+        bucketed_layout_exists,
+        force_scan_path,
+        write_bucketed_facts,
+    )
+
+    write_bucketed_facts(spark, corpus_copy)
+    assert bucketed_layout_exists(spark, corpus_copy)
+    # routing override wins even while the layout is fresh
+    with force_scan_path():
+        assert not bucketed_layout_exists(spark, corpus_copy)
+    assert bucketed_layout_exists(spark, corpus_copy)
+    # an in-place source rewrite (mtime bump) invalidates the route
+    _touch(os.path.join(corpus_copy, "orders.parquet"))
+    assert not bucketed_layout_exists(spark, corpus_copy)
+    # a rebuild re-tags and restores the route
+    write_bucketed_facts(spark, corpus_copy)
+    assert bucketed_layout_exists(spark, corpus_copy)
+
+
+def test_scan_variants_match_routed_results(spark):
+    """The forced-scan gate variants must return exactly what the routed
+    queries return — routing is a physical-plan choice, never a result
+    change."""
+    from etl_pdf_pipepline_spark.plans.bucketed import (
+        revenue_by_nation_scan,
+        shipping_priority_scan,
+        write_bucketed_facts,
+    )
+    from etl_pdf_pipepline_spark.plans.relational import (
+        revenue_by_nation,
+        shipping_priority_top10,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed_facts(spark, sf)  # ensure the routed path has a layout
+    assert [tuple(r) for r in revenue_by_nation_scan(spark, sf).collect()] == [
+        tuple(r) for r in revenue_by_nation(spark, sf).collect()
+    ]
+    assert [tuple(r) for r in shipping_priority_scan(spark, sf).collect()] == [
+        tuple(r) for r in shipping_priority_top10(spark, sf).collect()
+    ]
+
+
+def test_ensure_lsh_band_index_reuses_until_stale(spark, corpus_copy):
+    from etl_pdf_pipepline_spark.operators.dedup import (
+        ensure_lsh_band_index,
+        lsh_index_path,
+    )
+
+    path = ensure_lsh_band_index(spark, corpus_copy)
+    assert path == lsh_index_path(corpus_copy)
+    meta = path + "_meta.json"
+    built_at = os.stat(meta).st_mtime_ns
+    # fresh source → serve, no rebuild
+    assert ensure_lsh_band_index(spark, corpus_copy) == path
+    assert os.stat(meta).st_mtime_ns == built_at
+    # different exclude_mod → contract mismatch → rebuild
+    ensure_lsh_band_index(spark, corpus_copy, exclude_mod=10)
+    rebuilt_at = os.stat(meta).st_mtime_ns
+    assert rebuilt_at != built_at
+    # stale source → rebuild
+    _touch(os.path.join(corpus_copy, "documents.parquet"))
+    ensure_lsh_band_index(spark, corpus_copy, exclude_mod=10)
+    assert os.stat(meta).st_mtime_ns != rebuilt_at
+
+
+def test_lsh_plane_divergence_warns():
+    """Past 8192 embeddings the derived plane count departs from the
+    static oracle constants; the guard must make that loud (ADVICE r6)."""
+    import warnings
+
+    from etl_pdf_pipepline_spark.operators.similarity import (
+        _LSH_PLANES_PER_BAND,
+        _warn_if_oracle_diverges,
+        derive_lsh_planes,
+    )
+
+    assert derive_lsh_planes(8192) == _LSH_PLANES_PER_BAND
+    big = derive_lsh_planes(8193)
+    assert big > _LSH_PLANES_PER_BAND
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _warn_if_oracle_diverges(_LSH_PLANES_PER_BAND, 8192)
+        assert not caught
+        _warn_if_oracle_diverges(big, 8193)
+        assert len(caught) == 1 and "oracle" in str(caught[0].message)
