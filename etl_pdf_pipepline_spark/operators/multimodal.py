@@ -182,7 +182,12 @@ def sample_frames(df: DataFrame, frames_per_clip: int = 4) -> DataFrame:
             ).alias("frame_digest"),
         )
 
-    frames_arr = F.transform(F.sequence(F.lit(0), F.lit(frames_per_clip - 1)), frame)
+    # frames_per_clip is a plan-time constant, so the per-frame structs are
+    # built as a STATIC array instead of F.transform over F.sequence: the
+    # higher-order function is interpreted per element (it closes whole-stage
+    # codegen), while a literal array of struct expressions stays inside
+    # codegen end-to-end. Measured sf100 (r7): 4.30 → 3.75 s unsorted.
+    frames_arr = F.array(*[frame(F.lit(i)) for i in range(frames_per_clip)])
     return (
         df.select("media_id", n_total.alias("n_total"), "content")
         .select("media_id", F.explode(frames_arr).alias("f"))
@@ -292,9 +297,26 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling (4 frames/clip) over video binaries — the
     fan-out pattern for video pipelines; per-frame digest of the byte
     window stands in for the frame decode. All-JVM since round 5 (see
-    sample_frames): the binary never crosses into Python."""
+    sample_frames): the binary never crosses into Python.
+
+    The localCheckpoint before the sort is the same cure doc_token_stats
+    got in r4: orderBy's RangePartitioner SAMPLES its child to pick
+    bounds, and without the checkpoint that sample pass re-ran the whole
+    scan→encode→sha2 chain a second time. sf100 decomposition (r7,
+    tools/probe_decomp_r7.py, min-of-2): shipped r6 form 6.24 s → nosort
+    4.30 s → checkpointed sort 5.44 s; the static-array rewrite in
+    sample_frames (codegen instead of the interpreted HOF) takes the
+    unsorted floor to 3.75 s and the shipped checkpointed+sorted form to
+    5.19 s (in-session DuckDB 2.44-3.05 s across probes → ~1.8-2.1×);
+    scan floor 0.52 s. The checkpoint materializes only the narrow
+    {media_id, frame_index, offset, digest} rows (~100 B/frame), never
+    the video binary."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
-    return sample_frames(media, 4).orderBy("media_id", "frame_index")
+    return (
+        sample_frames(media, 4)
+        .localCheckpoint(eager=False)
+        .orderBy("media_id", "frame_index")
+    )
 
 
 PNG_ROUNDTRIP_W = 64  # grayscale row width for the codec-gate query

@@ -86,7 +86,18 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       silently changes tokenization on non-ASCII whitespace (Python
       splits on Unicode space; Java/RE2 '\\s' is ASCII) — wrong trade
       for an engine whose doctrine is JVM-side text ops; the remaining
-      ratio is regex-tokenization cost both engines pay."""
+      ratio is regex-tokenization cost both engines pay.
+
+    r7 sf100 adjudication (tools/probe_decomp_r7.py, min-of-2,
+    in-session DuckDB): full 10.37 s vs DuckDB 5.75 s = 1.80× (the r6
+    BENCH "2.26×" divided by a faster same-day DuckDB wall — ambient,
+    not a plan change); unsorted floor 8.13 s, scan floor 0.58 s. The
+    7.5 s residual is the tokenize+array_distinct class itself: the
+    fold-replaced-by-second-regex-pass variant re-measured WORSE
+    (11.87 s), confirming the r4 decision. Named floor: per-doc regex
+    split + distinct over ~4.5 GB of text, embarrassingly parallel —
+    a cluster divides it per executor; no shuffle is involved until
+    the 5-column checkpoint rows."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens("text").alias("toks"))
     stats = staged.select(
