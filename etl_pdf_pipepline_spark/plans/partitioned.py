@@ -148,6 +148,166 @@ def compact_events_lake(spark: SparkSession, src_path: str, dst_path: str) -> st
     return dst_path
 
 
+# ---------------------------------------------------------------------------
+# CDC MERGE into the partitioned lake (copy-on-write, partition-scoped)
+# ---------------------------------------------------------------------------
+
+MERGE_INS_OFFSET = 10_000_000_000
+
+
+def merge_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_by_day_merge_{tag}")
+
+
+def _merge_cdc_batch(ev: DataFrame):
+    """Deterministic CDC batch over TARGET_DAY, the three MERGE verbs:
+    updates (user_id%7: value+10), inserts (user_id%11: new ids offset by
+    MERGE_INS_OFFSET, shifted one day forward — an insert into a
+    DIFFERENT existing partition), deletes (user_id%13). `ev` carries
+    event_date; all three outputs do too (a real CDC feed ships the
+    partition value with each change row — that is what lets the merge
+    prune)."""
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    upserts = ev.filter(day & (F.col("user_id") % 7 == 0)).withColumn(
+        "value", F.col("value") + 10.0
+    )
+    inserts = (
+        ev.filter(day & (F.col("user_id") % 11 == 0))
+        .withColumn("event_id", F.col("event_id") + F.lit(MERGE_INS_OFFSET))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("event_type", F.lit("merged"))
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    deletes = ev.filter(day & (F.col("user_id") % 13 == 0)).select("event_id", "event_date")
+    return upserts, inserts, deletes
+
+
+def merge_cdc_into_lake(
+    spark: SparkSession,
+    lake_path: str,
+    upserts: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+) -> list[str]:
+    """Apply a CDC batch to a date-partitioned lake, rewriting ONLY the
+    touched partitions (Delta/Iceberg MERGE semantics, hand-rolled
+    copy-on-write):
+
+    1. changed days = distinct partition values across the batch —
+       driver-collected, bounded by the calendar, the thing that makes
+       the whole operation O(touched days), never O(lake);
+    2. read just those partitions (the isin filter binds to the
+       partition column, so the file index prunes every other day before
+       any I/O);
+    3. delete-wins merge: anti-join out updated+deleted keys, union the
+       surviving updates, union the inserts — the standard
+       anti-join+union rewrite (upsert() above) scoped to the slice.
+       No broadcast hint on the key tables: CDC batches are delta-sized
+       today but nothing bounds them structurally, and AQE broadcasts
+       small ones on its own (the r5 keeper-table lesson);
+    4. commit via merge_partitions' per-partition directory swap.
+    """
+    changed = [
+        r[0]
+        for r in upserts.select("event_date")
+        .unionByName(inserts.select("event_date"))
+        .unionByName(deletes.select("event_date"))
+        .distinct()
+        .collect()
+    ]
+    lake = spark.read.parquet(lake_path)
+    slice_ = lake.filter(F.col("event_date").isin(changed))
+    dead_keys = (
+        upserts.select("event_id").unionByName(deletes.select("event_id")).distinct()
+    )
+    merged = (
+        slice_.join(dead_keys, "event_id", "left_anti")
+        .unionByName(upserts.join(deletes.select("event_id"), "event_id", "left_anti"))
+        .unionByName(inserts)
+    )
+    from ..sources.sinks import merge_partitions
+
+    return merge_partitions(merged, lake_path, "event_date")
+
+
+MERGE_ORACLE = f"""
+    WITH day AS (
+        SELECT * FROM events
+        WHERE ts >= TIMESTAMP '{TARGET_DAY} 00:00:00'
+          AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 1 DAY
+    ),
+    upd AS (
+        SELECT event_id, ts, user_id, event_type, value + 10 AS value, props
+        FROM day WHERE user_id % 7 = 0
+    ),
+    ins AS (
+        SELECT event_id + {MERGE_INS_OFFSET} AS event_id,
+               ts + INTERVAL 1 DAY AS ts, user_id,
+               'merged' AS event_type, value, props
+        FROM day WHERE user_id % 11 = 0
+    ),
+    del AS (SELECT event_id FROM day WHERE user_id % 13 = 0),
+    merged AS (
+        SELECT * FROM events
+        WHERE event_id NOT IN (SELECT event_id FROM upd)
+          AND event_id NOT IN (SELECT event_id FROM del)
+        UNION ALL
+        SELECT * FROM upd WHERE event_id NOT IN (SELECT event_id FROM del)
+        UNION ALL
+        SELECT * FROM ins
+    )
+    SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM merged
+    WHERE ts >= TIMESTAMP '{TARGET_DAY} 00:00:00' - INTERVAL 1 DAY
+      AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 2 DAY
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("events_partitioned_merge", oracle=MERGE_ORACLE)
+def events_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE end-to-end: build the date-partitioned lake, apply a
+    deterministic update/insert/delete batch over TARGET_DAY via the
+    partition-scoped copy-on-write merge (only the two touched day
+    directories are rewritten — tests/test_merge.py asserts the other
+    days' files are PHYSICALLY untouched, inode for inode), then answer
+    a three-day per-type rollup from the merged lake. The window
+    includes the day before TARGET_DAY — an untouched partition — so a
+    green row proves the swap left the rest of the lake readable and
+    bit-equal, while the oracle applies the same CDC semantics to the
+    flat table in SQL (delete-wins, inserts shifted one day forward)."""
+    path = merge_lake_path(sf_dir)
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .repartition(F.col("event_date"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    upserts, inserts, deletes = _merge_cdc_batch(ev)
+    merge_cdc_into_lake(spark, path, upserts, inserts, deletes)
+    lake = spark.read.parquet(path)
+    lo = F.lit(TARGET_DAY).cast("date")
+    return (
+        lake.filter(
+            (F.col("event_date") >= F.date_sub(lo, 1))
+            & (F.col("event_date") < F.date_add(lo, 2))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
 @query("events_lake_compaction", oracle=DAY_ROLLUP_ORACLE)
 def events_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files maintenance, end-to-end: build the fragmented lake a

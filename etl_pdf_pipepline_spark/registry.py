@@ -65,6 +65,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # representative). After this gate every latest row is r5 or newer.
 _GATE_PRIORITY = [
     # touched/new in r7
+    "events_partitioned_merge",     # NEW r7: partition-scoped CDC MERGE (copy-on-write)
+    "bm25_incremental_index",       # NEW r7: O(delta) FTS index extension
     "media_image_features",         # RGB+gray codec paths, byte-correct oracle (schema changed)
     "near_dup_admission",           # NEW r7: steady-state marginal admission
     "revenue_by_nation_scan",       # NEW r7: forced scan-path gate variant

@@ -181,10 +181,86 @@ def persist_index(docs: DataFrame, id_col: str, text_col: str, path: str, n_buck
     )
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     (
-        doc_stats.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
+        doc_stats.agg(
+            F.avg("dl").alias("avgdl"),
+            F.count("*").alias("n"),
+            # Exact integer total kept beside the derived average so
+            # extend_index can merge the scalars exactly instead of
+            # reconstructing the sum from a rounded double (avgdl*n).
+            F.sum("dl").alias("total_dl"),
+        )
         .write.mode("overwrite")
         .parquet(f"{path}/corpus")
     )
+
+
+def extend_index(
+    new_docs: DataFrame, id_col: str, text_col: str, path: str, n_buckets: int = 16
+) -> None:
+    """O(delta) extension of a persisted index with NEW documents — the
+    FTS twin of the near-dup admission index (operators/dedup.py
+    ensure_lsh_band_index): a daily ingest tokenizes only its delta
+    instead of re-tokenizing the corpus, the same once-per-ingest-batch
+    lifecycle the reference's Tantivy index has
+    (/root/reference/src/load/lancedb_store.py:104-112) but with the
+    rebuild replaced by an append.
+
+    Contract: delta ids are NEW (the admission pipeline guarantees it
+    upstream, exactly as near_dup_incremental assumes) — re-sending an
+    existing id would double its postings; callers updating documents go
+    through a delete-rebuild or a full persist_index.
+
+    Why the extended index scores identically to a full rebuild (every
+    per-(doc,term) component bit-equal; the final per-doc sum can part
+    in the last ulp because double summation order follows file layout
+    — under the round(4) serving contract the results are equal, and
+    tests/test_bm25_incremental.py asserts both bounds):
+    (a) df is derived at query time from the postings themselves
+        (bm25_scores_from_index groupBy(term) over matched rows), so
+        appended posting lists update df with no stored statistic to
+        go stale;
+    (b) dl is per-doc and denormalized into each appended row, same as
+        the build path;
+    (c) the corpus scalars merge EXACTLY: the stored integer total_dl
+        accumulates the delta's token count and avgdl is re-derived as
+        total_dl/n — double accumulation of integers is exact below
+        2^53, so this is the same division the full build performs.
+
+    Scale posture: the appended files are hash-partitioned by term and
+    sorted within partitions like the base files, so the In(term)
+    pushdown and row-group pruning that carry the query path keep
+    working; each extend adds n_buckets files (periodic compaction —
+    sinks.compact — folds them back, the standard lake-maintenance
+    pass). Corpus-scalar ordering is crash-safe in the useful direction:
+    postings/doc_stats append first, scalars commit last, so a crash
+    mid-extend leaves scores slightly UNDER-counting avgdl/n on the new
+    rows rather than referencing postings that don't exist."""
+    spark = new_docs.sparkSession
+    delta_postings = build_postings(new_docs, id_col, text_col)
+    delta_stats = build_doc_stats(delta_postings).cache()
+    try:
+        (
+            delta_postings.join(delta_stats, "doc_key")
+            .repartition(n_buckets, "term")
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .parquet(f"{path}/postings")
+        )
+        delta_stats.write.mode("append").parquet(f"{path}/doc_stats")
+        d = delta_stats.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
+        old = spark.read.parquet(f"{path}/corpus").collect()[0]
+        total = int(old["total_dl"]) + int(d["s"] or 0)
+        n = int(old["n"]) + int(d["c"])
+        merged = spark.createDataFrame(
+            [(float(total) / n if n else 0.0, n, total)],
+            schema="avgdl double, n bigint, total_dl bigint",
+        )
+        # Safe to overwrite in place: `merged` is driver-side literals
+        # (the old row was collect()ed above), so nothing lazily reads
+        # the directory being replaced.
+        merged.write.mode("overwrite").parquet(f"{path}/corpus")
+    finally:
+        delta_stats.unpersist()
 
 
 def bm25_scores_from_index(

@@ -53,6 +53,53 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
     )
 
 
+def merge_partitions(merged_slice: DataFrame, lake_path: str, partition_col: str) -> list[str]:
+    """Copy-on-write MERGE commit: given the full NEW contents of every
+    touched partition, stage them to a sibling dir (one file per
+    partition via repartition on the partition column), then swap each
+    touched partition directory into the lake. Untouched partitions are
+    never listed, read, or rewritten — the property that makes MERGE
+    affordable on a 100 TB date-partitioned lake where a CDC batch
+    touches a handful of recent days.
+
+    The staging write completes BEFORE any live directory moves, so a
+    crash never loses data; each partition's swap is two renames (live →
+    __old, staged → live), atomic per partition but not across
+    partitions — a reader racing the loop can see day A new and day B
+    old. That cross-partition atomicity is exactly what table-format
+    manifests (Delta/Iceberg MERGE) add; on a manifest-less parquet lake
+    this is the honest contract, same as compact()'s documented window."""
+    import os
+    import shutil
+
+    staging = lake_path.rstrip("/") + "__merge_staging"
+    (
+        merged_slice.repartition(F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    swapped = []
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith(partition_col + "="):
+            continue
+        live = os.path.join(lake_path, entry)
+        old = live + "__old"
+        if os.path.exists(live):
+            os.rename(live, old)
+        try:
+            os.rename(os.path.join(staging, entry), live)
+        except Exception:
+            if os.path.exists(old):
+                os.rename(old, live)  # roll this partition back
+            raise
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        swapped.append(entry)
+    shutil.rmtree(staging)
+    return swapped
+
+
 def compact(spark, path: str, target_partitions: int) -> None:
     """Small-files compaction: rewrite a table directory into
     `target_partitions` files. Long-running ingest (especially streaming
