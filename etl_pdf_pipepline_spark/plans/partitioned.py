@@ -308,6 +308,69 @@ def events_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def versioned_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_versioned_{tag}")
+
+
+@query("events_versioned_merge", oracle=MERGE_ORACLE)
+def events_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CDC MERGE run through the manifest-committed snapshot
+    layer (sources/manifest.py): v1 = the full events lake, v2 = v1 with
+    the update/insert/delete batch applied — new files only, one atomic
+    manifest publication as the commit point — and the three-day rollup
+    answered from the v2 SNAPSHOT READ (explicit manifest-resolved file
+    list, not a directory listing). Shares MERGE_ORACLE with
+    events_partitioned_merge, so a green pair proves swap-committed and
+    manifest-committed MERGE agree with each other and with the
+    flat-table CDC semantics. What the manifest adds — cross-partition
+    commit atomicity, v1 readability after the merge (time travel), CAS
+    on concurrent commits, vacuum retention — is asserted in
+    tests/test_manifest.py, where multiple snapshots can be compared."""
+    from ..sources.manifest import init_versioned_lake, merge_commit, read_snapshot
+
+    root = versioned_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+
+    upserts, inserts, deletes = _merge_cdc_batch(ev)
+    changed = [
+        r[0]
+        for r in upserts.select("event_date")
+        .unionByName(inserts.select("event_date"))
+        .unionByName(deletes.select("event_date"))
+        .distinct()
+        .collect()
+    ]
+    lake = read_snapshot(spark, root)
+    slice_ = lake.filter(F.col("event_date").isin(changed))
+    dead_keys = (
+        upserts.select("event_id").unionByName(deletes.select("event_id")).distinct()
+    )
+    merged = (
+        slice_.join(dead_keys, "event_id", "left_anti")
+        .unionByName(upserts.join(deletes.select("event_id"), "event_id", "left_anti"))
+        .unionByName(inserts)
+    )
+    merge_commit(merged, root, "event_date")
+
+    snap = read_snapshot(spark, root)
+    lo = F.lit(TARGET_DAY).cast("date")
+    return (
+        snap.filter(
+            (F.col("event_date") >= F.date_sub(lo, 1))
+            & (F.col("event_date") < F.date_add(lo, 2))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
 @query("events_lake_compaction", oracle=DAY_ROLLUP_ORACLE)
 def events_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files maintenance, end-to-end: build the fragmented lake a

@@ -1,0 +1,206 @@
+"""Manifest-committed snapshots over a partitioned parquet lake — the
+minimal slice of a table format (Delta/Iceberg) that upgrades
+sinks.merge_partitions' per-partition swaps to ATOMIC cross-partition
+commits and buys time travel and vacuum for free.
+
+Why this exists: merge_partitions (sources/sinks.py) documents its honest
+limit — directory swaps are atomic per partition, so a reader racing a
+multi-partition MERGE can see day A new and day B old. The fix every
+table format uses is indirection: data files are immutable and
+write-once, and the set of live files is named by a single manifest
+whose publication is one atomic filesystem operation. Readers resolve
+the manifest first, so they see either the whole commit or none of it.
+
+Mechanics here (stdlib-only, single-writer-per-lake documented):
+
+- `_manifests/v{N:08d}.json` maps partition value → relative data-file
+  paths. Publication is write-temp + `os.link(tmp, final)` — link(2)
+  FAILS if the target exists, which is the compare-and-swap that makes
+  two racing writers impossible to both succeed (os.rename would
+  silently clobber). Real formats run the same CAS against an object
+  store's conditional-put.
+- MERGE writes NEW files beside the old ones (version-prefixed names,
+  never overwriting), then publishes a manifest that points touched
+  partitions at the new files and carries the untouched partitions'
+  entries forward. Old snapshots stay fully readable — time travel —
+  until `vacuum` deletes files no kept manifest references.
+- Reads go through `read_snapshot`: resolve manifest → explicit file
+  list → `spark.read.option("basePath", root).parquet(*files)` (basePath
+  keeps partition-column recovery from the directory names). Listing
+  cost is O(manifest), not O(directory walk) — at 100 TB this is also
+  why manifests beat file-system listing for planning, the same
+  motivation as Iceberg's.
+
+Concurrency contract: one writer per lake at a time commits wins; a
+loser's `os.link` raises FileExistsError and its data files are garbage
+for the next vacuum. Readers never lock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def latest_version(root: str) -> int:
+    """Highest committed manifest version, 0 if none."""
+    d = _manifest_dir(root)
+    if not os.path.isdir(d):
+        return 0
+    vs = [
+        int(f[1:9])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(vs, default=0)
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(root), f"v{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(root: str, manifest: dict) -> int:
+    """Atomically publish `manifest` as the next version. Write-temp +
+    link(2): link fails with FileExistsError if another writer claimed
+    the version first — compare-and-swap, not clobber."""
+    d = _manifest_dir(root)
+    os.makedirs(d, exist_ok=True)
+    version = latest_version(root) + 1
+    manifest = {**manifest, "version": version}
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = os.path.join(d, f"v{version:08d}.json")
+    try:
+        os.link(tmp, final)
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def _list_partition_files(root: str, partition_col: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith(partition_col + "="):
+            continue
+        files = sorted(
+            os.path.join(entry, f)
+            for f in os.listdir(os.path.join(root, entry))
+            if f.endswith(".parquet")
+        )
+        out[entry] = files
+    return out
+
+
+def init_versioned_lake(
+    df: DataFrame, root: str, partition_col: str
+) -> int:
+    """v1 bootstrap: write the partitioned lake, commit a manifest
+    naming every file. Overwrites any prior lake at `root`."""
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    (
+        df.repartition(F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(root)
+    )
+    files = _list_partition_files(root, partition_col)
+    return _commit_manifest(root, {"partition_col": partition_col, "files": files})
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """The lake as of `version` (default: latest). Resolves the manifest
+    to an explicit file list — planning is O(manifest); no directory
+    walk; files unreferenced by this version (newer data, vacuum
+    stragglers) are invisible by construction."""
+    manifest = _read_manifest(root, version or latest_version(root))
+    paths = [
+        os.path.join(root, rel)
+        for rels in manifest["files"].values()
+        for rel in rels
+    ]
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def merge_commit(
+    merged_slice: DataFrame, root: str, partition_col: str
+) -> int:
+    """Versioned MERGE: stage the new contents of every touched
+    partition, HARD-LINK the staged files into the live partition dirs
+    under collision-free version-prefixed names (old files untouched —
+    immutability is what keeps prior snapshots readable), then publish
+    one manifest carrying untouched partitions forward. The publication
+    is the commit point: a reader sees all touched partitions flip
+    together or not at all — the cross-partition atomicity
+    sinks.merge_partitions documents as its limit."""
+    staging = root.rstrip("/") + "__version_staging"
+    (
+        merged_slice.repartition(F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    base = _read_manifest(root, latest_version(root))
+    next_v = latest_version(root) + 1
+    files = dict(base["files"])
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith(partition_col + "="):
+            continue
+        live_dir = os.path.join(root, entry)
+        os.makedirs(live_dir, exist_ok=True)
+        new_rels = []
+        for f in sorted(os.listdir(os.path.join(staging, entry))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"v{next_v:08d}-{f}"
+            os.link(os.path.join(staging, entry, f), os.path.join(live_dir, name))
+            new_rels.append(os.path.join(entry, name))
+        files[entry] = new_rels
+    shutil.rmtree(staging)
+    return _commit_manifest(
+        root, {"partition_col": partition_col, "files": files}
+    )
+
+
+def vacuum(root: str, keep_versions: int = 2) -> list[str]:
+    """Delete data files referenced by NO kept manifest (and the expired
+    manifests themselves). keep_versions=2 keeps the current and one
+    prior snapshot — the retention window during which concurrent
+    readers of the old version must finish, same contract as
+    `VACUUM ... RETAIN`. Returns the deleted relative paths."""
+    latest = latest_version(root)
+    keep = {v for v in range(max(1, latest - keep_versions + 1), latest + 1)}
+    live: set[str] = set()
+    part_col = None
+    for v in keep:
+        m = _read_manifest(root, v)
+        part_col = m["partition_col"]
+        for rels in m["files"].values():
+            live.update(rels)
+    deleted = []
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith(f"{part_col}="):
+            continue
+        for f in sorted(os.listdir(os.path.join(root, entry))):
+            rel = os.path.join(entry, f)
+            if f.endswith(".parquet") and rel not in live:
+                os.unlink(os.path.join(root, rel))
+                deleted.append(rel)
+    d = _manifest_dir(root)
+    for f in sorted(os.listdir(d)):
+        if f.startswith("v") and f.endswith(".json") and int(f[1:9]) not in keep:
+            os.unlink(os.path.join(d, f))
+    return deleted
