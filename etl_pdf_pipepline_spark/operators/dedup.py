@@ -1013,13 +1013,12 @@ def persist_lsh_band_index(
         .mode("overwrite")
         .parquet(path)
     )
-    import json
+    from ..sources.manifest import commit_meta
 
-    with open(path + "_meta.json", "w") as fh:
-        json.dump(
-            {"source_signature": _docs_signature(sf_dir), "exclude_mod": exclude_mod},
-            fh,
-        )
+    commit_meta(
+        path,
+        {"source_signature": _docs_signature(sf_dir), "exclude_mod": exclude_mod},
+    )
     return path
 
 
@@ -1038,20 +1037,20 @@ def ensure_lsh_band_index(
     build-at-ingest / serve-marginal lifecycle as the bucketed fact
     layout (plans/bucketed.py). Lets a steady-state caller (bench.py's
     prepare phase, a daily admission job) pay the corpus banding once
-    and check every subsequent delta at O(delta) cost."""
-    import json
+    and check every subsequent delta at O(delta) cost. The freshness
+    record is published via the manifest CAS (sources/manifest.py
+    commit_meta) — the repo's one artifact-publication protocol — so
+    concurrent builders race on the version slot instead of clobbering
+    a JSON side-file."""
+    from ..sources.manifest import read_meta
 
     path = lsh_index_path(sf_dir)
-    try:
-        with open(path + "_meta.json") as fh:
-            meta = json.load(fh)
-        if (
-            meta.get("source_signature") == _docs_signature(sf_dir)
-            and meta.get("exclude_mod") == exclude_mod
-        ):
-            return path
-    except (OSError, ValueError):
-        pass
+    meta = read_meta(path) or {}
+    if (
+        meta.get("source_signature") == _docs_signature(sf_dir)
+        and meta.get("exclude_mod") == exclude_mod
+    ):
+        return path
     return persist_lsh_band_index(spark, sf_dir, exclude_mod=exclude_mod)
 
 

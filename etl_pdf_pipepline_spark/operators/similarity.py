@@ -356,26 +356,13 @@ def ivf_index_path(sf_dir: str) -> str:
     return os.path.join(repo_root, "spark-warehouse", f"ivf_index_{tag}")
 
 
-def persist_ivf_index(spark: SparkSession, sf_dir: str, exclude_vec_id: int | None = None) -> str:
-    """Materialize the IVF layout the probe path assumes: trained
-    centroids as a k-row parquet, vectors written partitionBy(centroid_id)
-    — one directory per cell, so a probe of nprobe cells is DIRECTORY
-    pruning, not a filtered full scan. The embedding rides along as its
-    float array; repartition on the partition column gives one file per
-    cell (the compacted layout, same rationale as
-    plans/partitioned.py:write_partitioned_events)."""
-    path = ivf_index_path(sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    if exclude_vec_id is not None:
-        emb = emb.filter(F.col("vec_id") != exclude_vec_id)
-    d = emb.select("vec_id", "embedding", as_double("embedding").alias("v"))
-    c = kmeans_centroids(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", as_double("embedding").alias("v")
-        )
-    )
-    c.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned = (
+def _assign_to_centroids(d: DataFrame, c: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, embedding): nearest centroid per vector,
+    the rounded-cosine + smallest-id tie-break the oracle uses. The ONE
+    copy of the assignment plan, shared by the full build and the
+    O(delta) extension — sharing it is what makes 'extension ≡ rebuild'
+    an identity of plans, not a hope."""
+    return (
         d.crossJoin(F.broadcast(c))
         .select(
             "vec_id", "embedding", "centroid_id",
@@ -387,13 +374,84 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, exclude_vec_id: int | No
             F.first("embedding").alias("embedding"),
         )
     )
+
+
+def persist_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    exclude_vec_id: int | None = None,
+    base_filter=None,
+) -> str:
+    """Materialize the IVF layout the probe path assumes: trained
+    centroids as a k-row parquet, vectors written partitionBy(centroid_id)
+    — one directory per cell, so a probe of nprobe cells is DIRECTORY
+    pruning, not a filtered full scan. The embedding rides along as its
+    float array; repartition on the partition column gives one file per
+    cell (the compacted layout, same rationale as
+    plans/partitioned.py:write_partitioned_events).
+
+    `base_filter` (a boolean Column) restricts which vectors are
+    MATERIALIZED without changing the centroid training set — the
+    incremental gate uses it to build a base index whose missing slice
+    arrives later through extend_ivf_index."""
+    path = ivf_index_path(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if exclude_vec_id is not None:
+        emb = emb.filter(F.col("vec_id") != exclude_vec_id)
+    if base_filter is not None:
+        emb = emb.filter(base_filter)
+    d = emb.select("vec_id", "embedding", as_double("embedding").alias("v"))
+    c = kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    c.write.mode("overwrite").parquet(f"{path}/centroids")
     (
-        assigned.repartition(F.col("centroid_id"))
+        _assign_to_centroids(d, c)
+        .repartition(F.col("centroid_id"))
         .write.partitionBy("centroid_id")
         .mode("overwrite")
         .parquet(f"{path}/vectors")
     )
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import commit_meta
+
+    commit_meta(
+        path, {"source_signature": table_stat_signature(sf_dir, ("embeddings",))}
+    )
     return path
+
+
+def extend_ivf_index(spark: SparkSession, delta: DataFrame, path: str) -> None:
+    """O(delta) extension of a persisted IVF index with NEW vectors —
+    the vector-side twin of bm25.extend_index and the LSH band-index
+    admission (the third and last index family completing the
+    build-once / serve-marginal lifecycle, VERDICT r7 ask #4). A daily
+    embedding ingest assigns only its delta against the EXISTING k-row
+    centroid table (delta × k broadcast scoring — no corpus rescan, no
+    retraining) and appends into the centroid-partitioned layout, so
+    directory-level probe pruning keeps working and each extend adds at
+    most one file per touched cell (periodic compaction folds them
+    back, the standard lake-maintenance pass).
+
+    Contract (same as extend_index): delta vec_ids are NEW; centroids
+    are intentionally STALE — IVF maintenance everywhere (FAISS,
+    Milvus) assigns to the last trained centroids and retrains on a
+    slow cadence, because retraining moves cell boundaries and forces a
+    full re-partition of the lake. Extension ≡ rebuild-given-the-same-
+    centroids exactly, because assignment is the same shared plan
+    (_assign_to_centroids) both paths run — gated against the full
+    ivf_probe_topk oracle by ivf_incremental_index."""
+    c = spark.read.parquet(f"{path}/centroids")
+    d = delta.select("vec_id", "embedding", as_double("embedding").alias("v"))
+    (
+        _assign_to_centroids(d, c)
+        .repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("append")
+        .parquet(f"{path}/vectors")
+    )
 
 
 @query("ivf_probe_from_index", oracle=_IVF_PROBE_ORACLE)
@@ -424,6 +482,14 @@ def ivf_probe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scorer the probe's advantage is what it should be: brute ×
     nprobe/nlist + the k-row centroid fetch."""
     path = persist_ivf_index(spark, sf_dir, exclude_vec_id=4)
+    return _probe_persisted_index(spark, sf_dir, path)
+
+
+def _probe_persisted_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """The file-serving probe tail shared by ivf_probe_from_index and
+    ivf_incremental_index: rank the k-row centroid parquet against the
+    query, directory-prune to the nprobe=2 cells, Arrow-BLAS exact-score
+    the candidates, top-10."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
@@ -450,6 +516,30 @@ def ivf_probe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.lit(0).cast("int"))
     )
     return cosine_topk_arrow(vecs, qvec, 10).select("vec_id", "score")
+
+
+@query("ivf_incremental_index", oracle=_IVF_PROBE_ORACLE)
+def ivf_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) IVF index maintenance, end-to-end and oracle-gated: build
+    the centroid-partitioned layout over the BASE corpus only
+    (vec_id % 20 != 0 — the same synthetic 'yesterday's lake' split the
+    LSH and BM25 incremental gates use), extend it with the remaining 5%
+    via extend_ivf_index (delta assigned against the persisted k-row
+    centroids, appended into the cell directories — no corpus rescan, no
+    retraining), then serve the standard probe from the EXTENDED files.
+    The oracle is the full-corpus IVF probe (_IVF_PROBE_ORACLE, shared
+    with ivf_probe_topk / ivf_probe_from_index), so a green row proves
+    base-build + delta-extension ≡ one full build, completing the
+    build-once/serve-marginal lifecycle for the third index family
+    (near-dup LSH: dedup.py ensure_lsh_band_index; FTS: bm25.extend_index;
+    vectors: here)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = persist_ivf_index(
+        spark, sf_dir, exclude_vec_id=4, base_filter=F.col("vec_id") % 20 != 0
+    )
+    delta = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") != 4))
+    extend_ivf_index(spark, delta, path)
+    return _probe_persisted_index(spark, sf_dir, path)
 
 
 # --------------------------------------------------------------------------

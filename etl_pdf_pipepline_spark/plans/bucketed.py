@@ -82,12 +82,15 @@ def _source_signature(sf_dir: str) -> str:
     return table_stat_signature(sf_dir, ("lineitem", "orders"))
 
 
-def _meta_path(spark: SparkSession, sf_dir: str) -> str:
+def _meta_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root for the layout's CAS-committed freshness record
+    (sources/manifest.py commit_meta — the repo's one artifact
+    publication protocol; replaces the hand-rolled JSON side-file)."""
     from urllib.parse import unquote, urlparse
 
     warehouse = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     li_name, _ = bucketed_table_names(spark, sf_dir)
-    return os.path.join(warehouse, f"{li_name}_meta.json")
+    return os.path.join(warehouse, f"{li_name}_meta")
 
 
 def _drop_stale(spark: SparkSession, *names: str) -> None:
@@ -139,11 +142,12 @@ def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .saveAsTable(o_name)
     )
     # Freshness tag: routing refuses the layout if the source facts have
-    # been rewritten since this build (see _source_signature).
-    import json
+    # been rewritten since this build (see _source_signature). Published
+    # through the manifest CAS so concurrent builders are race-safe and
+    # readers always see one complete record.
+    from ..sources.manifest import commit_meta
 
-    with open(_meta_path(spark, sf_dir), "w") as fh:
-        json.dump({"source_signature": _source_signature(sf_dir)}, fh)
+    commit_meta(_meta_root(spark, sf_dir), {"source_signature": _source_signature(sf_dir)})
     return li_name, o_name
 
 
@@ -190,14 +194,10 @@ def bucketed_layout_exists(spark: SparkSession, sf_dir: str) -> bool:
     li_name, o_name = bucketed_table_names(spark, sf_dir)
     if not (spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name)):
         return False
-    import json
+    from ..sources.manifest import read_meta
 
-    try:
-        with open(_meta_path(spark, sf_dir)) as fh:
-            tag = json.load(fh).get("source_signature")
-    except (OSError, ValueError):
-        return False
-    return tag == _source_signature(sf_dir)
+    meta = read_meta(_meta_root(spark, sf_dir)) or {}
+    return meta.get("source_signature") == _source_signature(sf_dir)
 
 
 def revenue_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

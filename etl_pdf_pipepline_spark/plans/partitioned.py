@@ -207,7 +207,10 @@ def merge_cdc_into_lake(
        No broadcast hint on the key tables: CDC batches are delta-sized
        today but nothing bounds them structurally, and AQE broadcasts
        small ones on its own (the r5 keeper-table lesson);
-    4. commit via merge_partitions' per-partition directory swap.
+    4. commit via merge_partitions' per-partition directory swap,
+       passing the changed-day set explicitly so a day whose rows were
+       ALL deleted (no staging output) has its directory removed rather
+       than silently surviving (ADVICE r7).
     """
     changed = [
         r[0]
@@ -229,7 +232,7 @@ def merge_cdc_into_lake(
     )
     from ..sources.sinks import merge_partitions
 
-    return merge_partitions(merged, lake_path, "event_date")
+    return merge_partitions(merged, lake_path, "event_date", changed_partitions=changed)
 
 
 MERGE_ORACLE = f"""
@@ -353,7 +356,7 @@ def events_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(upserts.join(deletes.select("event_id"), "event_id", "left_anti"))
         .unionByName(inserts)
     )
-    merge_commit(merged, root, "event_date")
+    merge_commit(merged, root, "event_date", changed_partitions=changed)
 
     snap = read_snapshot(spark, root)
     lo = F.lit(TARGET_DAY).cast("date")

@@ -180,17 +180,57 @@ def persist_index(docs: DataFrame, id_col: str, text_col: str, path: str, n_buck
         .parquet(f"{path}/postings")
     )
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-    (
-        doc_stats.agg(
-            F.avg("dl").alias("avgdl"),
-            F.count("*").alias("n"),
-            # Exact integer total kept beside the derived average so
-            # extend_index can merge the scalars exactly instead of
-            # reconstructing the sum from a rounded double (avgdl*n).
-            F.sum("dl").alias("total_dl"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{path}/corpus")
+    # Corpus scalars (N, total token count; avgdl derives) are published
+    # through the manifest CAS (sources/manifest.py commit_meta) — the
+    # repo's one artifact-publication protocol. The commit is atomic, so
+    # a reader never sees a half-replaced record (the crash window a
+    # mode('overwrite') parquet rewrite of the old {path}/corpus dir
+    # had), and the exact integer total lets extend_index merge scalars
+    # exactly instead of reconstructing the sum from a rounded double.
+    row = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    from ..sources.manifest import commit_meta
+
+    commit_meta(
+        path, {"n": int(row["n"]), "total_dl": int(row["total_dl"] or 0)}
+    )
+
+
+def corpus_scalars(spark, path: str) -> tuple[int, int]:
+    """(n, total_dl) for a persisted index, wherever this index's
+    vintage stored them:
+
+    1. the CAS-committed meta record (r8+, the one commit path);
+    2. the legacy one-row {path}/corpus parquet (pre-r8 indexes keep
+       working — migration is transparent, the next extend_index
+       re-publishes through the CAS);
+    3. a legacy corpus row WITHOUT total_dl (pre-r7): reconstructed
+       exactly as sum(dl) over doc_stats — one aggregate over the
+       per-doc table, the fallback ADVICE r7 asked for instead of a
+       bare KeyError.
+    """
+    import os
+
+    from ..sources.manifest import read_meta
+
+    meta = read_meta(path)
+    if meta is not None and "n" in meta and "total_dl" in meta:
+        return int(meta["n"]), int(meta["total_dl"])
+    corpus_dir = f"{path}/corpus"
+    if os.path.isdir(corpus_dir):
+        row = spark.read.parquet(corpus_dir).collect()[0]
+        n = int(row["n"])
+        if "total_dl" in row.asDict():
+            return n, int(row["total_dl"])
+        total = spark.read.parquet(f"{path}/doc_stats").agg(
+            F.sum("dl").alias("s")
+        ).collect()[0]["s"]
+        return n, int(total or 0)
+    raise FileNotFoundError(
+        f"no corpus scalars at {path}: neither a committed meta record "
+        "(_manifests) nor a legacy corpus/ parquet exists — run "
+        "persist_index to (re)build this index"
     )
 
 
@@ -232,10 +272,16 @@ def extend_index(
     working; each extend adds n_buckets files (periodic compaction —
     sinks.compact — folds them back, the standard lake-maintenance
     pass). Corpus-scalar ordering is crash-safe in the useful direction:
-    postings/doc_stats append first, scalars commit last, so a crash
-    mid-extend leaves scores slightly UNDER-counting avgdl/n on the new
-    rows rather than referencing postings that don't exist."""
+    postings/doc_stats append first, the scalar record commits last
+    (atomically, via the manifest CAS — a reader always sees one
+    complete record), so a crash mid-extend leaves scores slightly
+    UNDER-counting avgdl/n on the new rows rather than referencing
+    postings that don't exist."""
     spark = new_docs.sparkSession
+    # Read the base scalars BEFORE any append: the legacy-layout
+    # fallback reconstructs total_dl from doc_stats, which must not yet
+    # contain this delta (reading after the append double-counts it).
+    old_n, old_total = corpus_scalars(spark, path)
     delta_postings = build_postings(new_docs, id_col, text_col)
     delta_stats = build_doc_stats(delta_postings).cache()
     try:
@@ -248,17 +294,12 @@ def extend_index(
         )
         delta_stats.write.mode("append").parquet(f"{path}/doc_stats")
         d = delta_stats.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
-        old = spark.read.parquet(f"{path}/corpus").collect()[0]
-        total = int(old["total_dl"]) + int(d["s"] or 0)
-        n = int(old["n"]) + int(d["c"])
-        merged = spark.createDataFrame(
-            [(float(total) / n if n else 0.0, n, total)],
-            schema="avgdl double, n bigint, total_dl bigint",
+        from ..sources.manifest import commit_meta
+
+        commit_meta(
+            path,
+            {"n": old_n + int(d["c"]), "total_dl": old_total + int(d["s"] or 0)},
         )
-        # Safe to overwrite in place: `merged` is driver-side literals
-        # (the old row was collect()ed above), so nothing lazily reads
-        # the directory being replaced.
-        merged.write.mode("overwrite").parquet(f"{path}/corpus")
     finally:
         delta_stats.unpersist()
 
@@ -285,25 +326,33 @@ def bm25_scores_from_index(
       so scoring is matched-rows algebra + one groupBy(doc_key) — the
       1.5M-doc doc_stats join the live path needs is gone.
 
+    The corpus scalars enter the plan as LITERALS (one driver-side meta
+    read — corpus_scalars — instead of the old one-row parquet
+    crossJoin): constants fold into the whole-stage-codegen score
+    expression, and the plan is one scan + one broadcast join + one
+    aggregate.
+
     Same scores as the live path (same dl, same scalars): proven by the
     shared oracle row and the round-trip test."""
     matched = spark.read.parquet(f"{path}/postings").filter(
         F.col("term").isin(list(set(query_terms)))
     )
-    corpus = spark.read.parquet(f"{path}/corpus")
     if not query_terms:
         return (
             matched.select(F.col("doc_key"), F.lit(0.0).alias("score")).limit(0)
         )
+    n, total_dl = corpus_scalars(spark, path)
+    # Same division the live path's aggregate performs: exact integer
+    # total over exact integer count, in double.
+    avgdl = float(total_dl) / n if n else 0.0
     df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
     return (
         matched.join(F.broadcast(df_counts), "term")
-        .crossJoin(F.broadcast(corpus))
         .withColumn(
             "term_score",
-            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
         )
         .groupBy("doc_key")
         .agg(F.sum("term_score").alias("score"))

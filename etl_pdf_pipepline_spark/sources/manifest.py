@@ -15,10 +15,14 @@ Mechanics here (stdlib-only, single-writer-per-lake documented):
 
 - `_manifests/v{N:08d}.json` maps partition value → relative data-file
   paths. Publication is write-temp + `os.link(tmp, final)` — link(2)
-  FAILS if the target exists, which is the compare-and-swap that makes
-  two racing writers impossible to both succeed (os.rename would
-  silently clobber). Real formats run the same CAS against an object
-  store's conditional-put.
+  FAILS if the target exists, which is the compare-and-swap that keeps
+  two racing writers from BOTH publishing the same version (os.rename
+  would silently clobber). Commits additionally PIN their base version:
+  a writer that read version B publishes at exactly B+1, so a commit
+  interleaved between its read and its publish makes the link fail
+  (ConcurrentCommitError) instead of silently dropping the interleaved
+  writer's changes — the optimistic-concurrency retry loop real formats
+  run against an object store's conditional-put.
 - MERGE writes NEW files beside the old ones (version-prefixed names,
   never overwriting), then publishes a manifest that points touched
   partitions at the new files and carries the untouched partitions'
@@ -31,9 +35,18 @@ Mechanics here (stdlib-only, single-writer-per-lake documented):
   why manifests beat file-system listing for planning, the same
   motivation as Iceberg's.
 
-Concurrency contract: one writer per lake at a time commits wins; a
-loser's `os.link` raises FileExistsError and its data files are garbage
-for the next vacuum. Readers never lock.
+Concurrency contract: concurrent commits race on the version slot; the
+loser's `os.link` raises ConcurrentCommitError (its staged data files
+are garbage for the next vacuum) and may retry from the new latest.
+Readers never lock.
+
+The same CAS is the repo's ONE artifact-publication protocol: persisted
+layouts and indexes (bucketed facts, LSH band index, BM25 corpus
+scalars) publish their freshness tags / scalar state through
+`commit_meta`/`read_meta` below instead of each hand-rolling a JSON
+side-file, so every serve-or-build decision reads an atomically
+committed record and concurrent builders are race-safe by construction
+(tests/test_manifest.py proves the link(2) CAS).
 """
 
 from __future__ import annotations
@@ -69,13 +82,24 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _commit_manifest(root: str, manifest: dict) -> int:
-    """Atomically publish `manifest` as the next version. Write-temp +
-    link(2): link fails with FileExistsError if another writer claimed
-    the version first — compare-and-swap, not clobber."""
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this writer was publishing.
+    The caller's view of the table is stale; re-read and retry."""
+
+
+def _commit_manifest(root: str, manifest: dict, base_version: int | None = None) -> int:
+    """Atomically publish `manifest` as version base_version+1. Write-temp
+    + link(2): link fails if another writer claimed the version first —
+    compare-and-swap, not clobber. `base_version` defaults to the latest
+    version on disk, but writers that READ table state before composing
+    their manifest must pass the version they read (merge_commit does):
+    linking at exactly base+1 turns an interleaved commit into a loud
+    ConcurrentCommitError instead of a silent lost update."""
     d = _manifest_dir(root)
     os.makedirs(d, exist_ok=True)
-    version = latest_version(root) + 1
+    if base_version is None:
+        base_version = latest_version(root)
+    version = base_version + 1
     manifest = {**manifest, "version": version}
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -85,6 +109,11 @@ def _commit_manifest(root: str, manifest: dict) -> int:
     final = os.path.join(d, f"v{version:08d}.json")
     try:
         os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} at {root} was committed by another writer "
+            f"after this one read version {base_version}; re-read and retry"
+        ) from None
     finally:
         os.unlink(tmp)
     return version
@@ -136,7 +165,10 @@ def read_snapshot(spark: SparkSession, root: str, version: int | None = None) ->
 
 
 def merge_commit(
-    merged_slice: DataFrame, root: str, partition_col: str
+    merged_slice: DataFrame,
+    root: str,
+    partition_col: str,
+    changed_partitions: list | None = None,
 ) -> int:
     """Versioned MERGE: stage the new contents of every touched
     partition, HARD-LINK the staged files into the live partition dirs
@@ -145,7 +177,24 @@ def merge_commit(
     one manifest carrying untouched partitions forward. The publication
     is the commit point: a reader sees all touched partitions flip
     together or not at all — the cross-partition atomicity
-    sinks.merge_partitions documents as its limit."""
+    sinks.merge_partitions documents as its limit.
+
+    `changed_partitions` (the explicit partition VALUES this CDC batch
+    touches, as computed by the merge planner) closes the delete-only
+    hole: a batch that deletes EVERY row of a partition produces no
+    staging dir for it, so staging-derived discovery would carry the old
+    files forward and silently resurrect the deleted rows. Changed
+    partitions absent from staging have their manifest entry DROPPED —
+    the new snapshot sees them empty while older snapshots still read
+    the pre-delete files (time travel preserved; vacuum reclaims them).
+
+    The base version is pinned BEFORE staging reads begin and the
+    manifest is linked at exactly base+1, so a commit interleaved
+    between this writer's read and its publish raises
+    ConcurrentCommitError instead of being silently overwritten."""
+    base_v = latest_version(root)
+    base = _read_manifest(root, base_v)
+    next_v = base_v + 1
     staging = root.rstrip("/") + "__version_staging"
     (
         merged_slice.repartition(F.col(partition_col))
@@ -153,12 +202,12 @@ def merge_commit(
         .mode("overwrite")
         .parquet(staging)
     )
-    base = _read_manifest(root, latest_version(root))
-    next_v = latest_version(root) + 1
     files = dict(base["files"])
+    staged_entries = set()
     for entry in sorted(os.listdir(staging)):
         if not entry.startswith(partition_col + "="):
             continue
+        staged_entries.add(entry)
         live_dir = os.path.join(root, entry)
         os.makedirs(live_dir, exist_ok=True)
         new_rels = []
@@ -170,9 +219,56 @@ def merge_commit(
             new_rels.append(os.path.join(entry, name))
         files[entry] = new_rels
     shutil.rmtree(staging)
+    for value in changed_partitions or []:
+        entry = f"{partition_col}={value}"
+        if entry not in staged_entries:
+            files.pop(entry, None)  # fully-deleted partition: drop, don't carry
     return _commit_manifest(
-        root, {"partition_col": partition_col, "files": files}
+        root,
+        {"partition_col": partition_col, "files": files},
+        base_version=base_v,
     )
+
+
+def commit_meta(root: str, payload: dict) -> int:
+    """Publish an artifact's metadata record (freshness tag, corpus
+    scalars, build parameters) as the next CAS-committed version under
+    `root/_manifests` — the ONE publication protocol every persisted
+    artifact in the repo uses (bucketed fact layout, LSH band index,
+    BM25 corpus scalars). Compared to the JSON side-files these
+    artifacts used to hand-roll, the link(2) CAS makes concurrent
+    builders race-safe (one wins the version slot, the loser gets
+    ConcurrentCommitError and can re-read) and readers always see one
+    complete record — there is no moment where the meta is deleted but
+    not yet rewritten, which is exactly the crash window a
+    mode('overwrite') rewrite of a side-file has.
+
+    Meta records are derived state (recomputable from the sources), so
+    unlike table commits the right conflict policy is last-writer-wins:
+    on a lost race this retries at the new head instead of surfacing
+    ConcurrentCommitError to the builder.
+
+    `root` may be (inside) a parquet data directory: Spark's file
+    listing skips underscore-prefixed entries, so `_manifests` is
+    invisible to scans."""
+    while True:
+        try:
+            return _commit_manifest(root, {"payload": payload})
+        except ConcurrentCommitError:
+            continue
+
+
+def read_meta(root: str) -> dict | None:
+    """Latest committed metadata payload for the artifact at `root`, or
+    None if nothing was ever committed. Reads are lock-free: the CAS
+    publication means any version file that exists is complete."""
+    v = latest_version(root)
+    if v == 0:
+        return None
+    try:
+        return _read_manifest(root, v).get("payload")
+    except (OSError, ValueError):
+        return None
 
 
 def vacuum(root: str, keep_versions: int = 2) -> list[str]:

@@ -53,7 +53,12 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
     )
 
 
-def merge_partitions(merged_slice: DataFrame, lake_path: str, partition_col: str) -> list[str]:
+def merge_partitions(
+    merged_slice: DataFrame,
+    lake_path: str,
+    partition_col: str,
+    changed_partitions: list | None = None,
+) -> list[str]:
     """Copy-on-write MERGE commit: given the full NEW contents of every
     touched partition, stage them to a sibling dir (one file per
     partition via repartition on the partition column), then swap each
@@ -62,13 +67,22 @@ def merge_partitions(merged_slice: DataFrame, lake_path: str, partition_col: str
     affordable on a 100 TB date-partitioned lake where a CDC batch
     touches a handful of recent days.
 
+    `changed_partitions` is the explicit set of partition VALUES the
+    batch touches (the merge planner already knows it). It closes the
+    delete-only hole: a batch that deletes EVERY surviving row of a
+    partition writes no staging dir for it, so staging-derived discovery
+    alone would leave the old directory in place and silently resurrect
+    the deleted rows. Changed partitions absent from staging get their
+    live directory REMOVED.
+
     The staging write completes BEFORE any live directory moves, so a
     crash never loses data; each partition's swap is two renames (live →
     __old, staged → live), atomic per partition but not across
     partitions — a reader racing the loop can see day A new and day B
     old. That cross-partition atomicity is exactly what table-format
-    manifests (Delta/Iceberg MERGE) add; on a manifest-less parquet lake
-    this is the honest contract, same as compact()'s documented window."""
+    manifests (Delta/Iceberg MERGE, sources/manifest.py here) add; on a
+    manifest-less parquet lake this is the honest contract, same as
+    compact()'s documented window."""
     import os
     import shutil
 
@@ -80,9 +94,11 @@ def merge_partitions(merged_slice: DataFrame, lake_path: str, partition_col: str
         .parquet(staging)
     )
     swapped = []
+    staged_entries = set()
     for entry in sorted(os.listdir(staging)):
         if not entry.startswith(partition_col + "="):
             continue
+        staged_entries.add(entry)
         live = os.path.join(lake_path, entry)
         old = live + "__old"
         if os.path.exists(live):
@@ -97,6 +113,12 @@ def merge_partitions(merged_slice: DataFrame, lake_path: str, partition_col: str
             shutil.rmtree(old)
         swapped.append(entry)
     shutil.rmtree(staging)
+    for value in changed_partitions or []:
+        entry = f"{partition_col}={value}"
+        live = os.path.join(lake_path, entry)
+        if entry not in staged_entries and os.path.exists(live):
+            shutil.rmtree(live)  # fully-deleted partition: no survivors staged
+            swapped.append(entry)
     return swapped
 
 

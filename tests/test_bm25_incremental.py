@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from etl_pdf_pipepline_spark.retrieval.bm25 import (
     bm25_scores_from_index,
+    corpus_scalars,
     extend_index,
     persist_index,
 )
@@ -30,11 +31,9 @@ def test_extend_equals_full_rebuild(spark, tmp_path):
     persist_index(base, "doc_id", "text", incr_path)
     extend_index(delta, "doc_id", "text", incr_path)
 
-    full_corpus = spark.read.parquet(f"{full_path}/corpus").collect()[0]
-    incr_corpus = spark.read.parquet(f"{incr_path}/corpus").collect()[0]
-    assert incr_corpus["n"] == full_corpus["n"]
-    assert incr_corpus["total_dl"] == full_corpus["total_dl"]
-    assert incr_corpus["avgdl"] == full_corpus["avgdl"]  # exact: int total / n
+    # scalars live in the CAS-committed meta record (r8); the exact
+    # integer merge means the extended index's stats equal the rebuild's
+    assert corpus_scalars(spark, incr_path) == corpus_scalars(spark, full_path)
 
     full = dict(bm25_scores_from_index(spark, full_path, TERMS).collect())
     incr = dict(bm25_scores_from_index(spark, incr_path, TERMS).collect())
@@ -53,7 +52,42 @@ def test_extend_empty_delta_is_noop(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     path = str(tmp_path / "idx")
     persist_index(docs, "doc_id", "text", path)
-    before = spark.read.parquet(f"{path}/corpus").collect()[0]
+    before = corpus_scalars(spark, path)
     extend_index(docs.filter(F.lit(False)), "doc_id", "text", path)
-    after = spark.read.parquet(f"{path}/corpus").collect()[0]
-    assert tuple(before) == tuple(after)
+    assert corpus_scalars(spark, path) == before
+
+
+def test_extend_migrates_legacy_corpus_layouts(spark, tmp_path):
+    """Pre-r8 indexes stored scalars as a one-row {path}/corpus parquet;
+    pre-r7 ones lacked total_dl entirely. extend_index must accept both
+    (ADVICE r7: fall back to reconstructing total_dl from doc_stats)
+    and re-publish through the CAS meta, scoring identically to a full
+    rebuild afterward."""
+    import shutil
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+
+    for drop_total_dl in (False, True):
+        path = str(tmp_path / f"legacy_{drop_total_dl}")
+        persist_index(base, "doc_id", "text", path)
+        n, total = corpus_scalars(spark, path)
+        # devolve to the legacy layout: corpus parquet, no meta record
+        cols = [F.lit(n).cast("long").alias("n")]
+        if not drop_total_dl:
+            cols.append(F.lit(total).cast("long").alias("total_dl"))
+        cols.insert(0, F.lit(float(total) / n).alias("avgdl"))
+        spark.range(1).select(*cols).write.parquet(f"{path}/corpus")
+        shutil.rmtree(f"{path}/_manifests")
+        assert corpus_scalars(spark, path) == (n, total)
+
+        extend_index(delta, "doc_id", "text", path)
+        full_path = str(tmp_path / f"full_{drop_total_dl}")
+        persist_index(docs, "doc_id", "text", full_path)
+        assert corpus_scalars(spark, path) == corpus_scalars(spark, full_path)
+        incr = dict(bm25_scores_from_index(spark, path, TERMS).collect())
+        full = dict(bm25_scores_from_index(spark, full_path, TERMS).collect())
+        assert set(incr) == set(full)
+        for k in full:
+            assert round(full[k], 4) == round(incr[k], 4), k

@@ -1,0 +1,79 @@
+"""extend_ivf_index ≡ full rebuild given the same centroids
+(operators/similarity.py): the O(delta) IVF extension must (a) produce
+the identical (vec_id → centroid_id) assignment the full build would,
+(b) leave every base data file physically untouched (append-only into
+the cell directories), and (c) serve identical probe results. The
+probe-result equivalence is also oracle-gated every round by
+ivf_incremental_index; these tests pin the file-level mechanics the
+gate can't see."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_pdf_pipepline_spark.operators.similarity import (
+    _probe_persisted_index,
+    extend_ivf_index,
+    ivf_index_path,
+    persist_ivf_index,
+)
+from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vector_files(path: str) -> dict[str, tuple]:
+    out = {}
+    root = f"{path}/vectors"
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if not (entry.startswith("centroid_id=") and os.path.isdir(p)):
+            continue
+        for f in sorted(os.listdir(p)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(p, f))
+                out[os.path.join(entry, f)] = (st.st_size, st.st_mtime_ns, st.st_ino)
+    return out
+
+
+def test_extend_matches_full_build_and_touches_no_base_file(spark):
+    emb = load_table(spark, SF, "embeddings")
+
+    # full build over everything except the query vector
+    full_path = persist_ivf_index(spark, SF, exclude_vec_id=4)
+    full_assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(f"{full_path}/vectors").select(
+            "vec_id", "centroid_id"
+        ).collect()
+    }
+    full_probe = [tuple(r) for r in _probe_persisted_index(spark, SF, full_path).collect()]
+
+    # base build + delta extension at the same path (rebuilt by the call)
+    path = persist_ivf_index(
+        spark, SF, exclude_vec_id=4, base_filter=F.col("vec_id") % 20 != 0
+    )
+    assert path == ivf_index_path(SF) == full_path
+    base_files = _vector_files(path)
+    delta = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") != 4))
+    n_delta = delta.count()
+    assert n_delta > 0
+    extend_ivf_index(spark, delta, path)
+
+    after_files = _vector_files(path)
+    # append-only: every base file still present, inode-for-inode
+    for rel, ident in base_files.items():
+        assert after_files.get(rel) == ident, f"{rel} was rewritten by the extension"
+    assert len(after_files) > len(base_files), "extension appended no files"
+
+    ext_assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(f"{path}/vectors").select(
+            "vec_id", "centroid_id"
+        ).collect()
+    }
+    assert ext_assign == full_assign
+    ext_probe = [tuple(r) for r in _probe_persisted_index(spark, SF, path).collect()]
+    assert ext_probe == full_probe

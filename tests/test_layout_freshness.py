@@ -99,21 +99,26 @@ def test_ensure_lsh_band_index_reuses_until_stale(spark, corpus_copy):
         lsh_index_path,
     )
 
+    from etl_pdf_pipepline_spark.sources.manifest import read_meta
+
     path = ensure_lsh_band_index(spark, corpus_copy)
     assert path == lsh_index_path(corpus_copy)
-    meta = path + "_meta.json"
-    built_at = os.stat(meta).st_mtime_ns
-    # fresh source → serve, no rebuild
+    # freshness record is a CAS-committed manifest payload (r8: the
+    # hand-rolled _meta.json side-files are gone — one commit path)
+    meta = read_meta(path)
+    assert meta is not None and meta["exclude_mod"] == 20
+    # fresh source → serve, no rebuild (payload object unchanged)
     assert ensure_lsh_band_index(spark, corpus_copy) == path
-    assert os.stat(meta).st_mtime_ns == built_at
+    assert read_meta(path) == meta
     # different exclude_mod → contract mismatch → rebuild
     ensure_lsh_band_index(spark, corpus_copy, exclude_mod=10)
-    rebuilt_at = os.stat(meta).st_mtime_ns
-    assert rebuilt_at != built_at
-    # stale source → rebuild
+    meta2 = read_meta(path)
+    assert meta2 is not None and meta2["exclude_mod"] == 10
+    # stale source → rebuild (signature re-tagged)
     _touch(os.path.join(corpus_copy, "documents.parquet"))
     ensure_lsh_band_index(spark, corpus_copy, exclude_mod=10)
-    assert os.stat(meta).st_mtime_ns != rebuilt_at
+    meta3 = read_meta(path)
+    assert meta3 is not None and meta3["source_signature"] != meta2["source_signature"]
 
 
 def test_lsh_plane_divergence_warns():

@@ -117,6 +117,57 @@ def test_commit_is_compare_and_swap(lake):
         os.link(tmp, tmp)  # the exact primitive _commit_manifest relies on
 
 
+def test_commit_pins_base_version(lake):
+    """ADVICE r7 lost-update: a writer that read table state at version B
+    must publish at exactly B+1; if another commit landed in between,
+    the publish raises ConcurrentCommitError instead of silently
+    committing on top of (and hiding) the interleaved changes."""
+    from etl_pdf_pipepline_spark.sources.manifest import ConcurrentCommitError
+
+    root, _ = lake
+    base = latest_version(root)  # writer A reads state here
+    # writer B commits in between
+    _commit_manifest(root, {"partition_col": "event_date", "files": {}})
+    # writer A publishes against its stale base → loud failure
+    with pytest.raises(ConcurrentCommitError):
+        _commit_manifest(
+            root,
+            {"partition_col": "event_date", "files": {}},
+            base_version=base,
+        )
+
+
+def test_merge_commit_drops_fully_deleted_partition(spark, lake):
+    """A versioned MERGE whose batch deletes EVERY row of a partition
+    must drop that partition's manifest entry (no staging output exists
+    to overwrite it) — while the prior snapshot still reads the
+    pre-delete rows (time travel)."""
+    root, _ = lake
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    v1 = read_snapshot(spark, root, 1)
+    n_day_v1 = v1.filter(day).count()
+    assert n_day_v1 > 0
+
+    import datetime
+
+    kill_day = datetime.date.fromisoformat(TARGET_DAY)
+    # merged slice: the other touched day unchanged, kill_day fully deleted
+    other = datetime.date(2024, 1, 16)
+    merged = v1.filter(F.col("event_date") == F.lit(other))
+    assert merge_commit(
+        merged, root, "event_date", changed_partitions=[kill_day, other]
+    ) == 2
+
+    v2 = read_snapshot(spark, root, 2)
+    assert v2.filter(day).count() == 0
+    # time travel: v1 still sees the deleted day
+    assert read_snapshot(spark, root, 1).filter(day).count() == n_day_v1
+    # and the manifest entry is gone, not pointing at empty dirs
+    from etl_pdf_pipepline_spark.sources.manifest import _read_manifest
+
+    assert f"event_date={kill_day}" not in _read_manifest(root, 2)["files"]
+
+
 def test_vacuum_retention(spark, lake):
     root, ev = lake
     _apply_merge(spark, root, ev)  # v2

@@ -102,3 +102,51 @@ def test_merge_applies_cdc_semantics(spark):
     assert ins_rows.count() == len(ins_src)
     assert ins_rows.filter(F.col("event_date") != F.lit("2024-01-16").cast("date")).count() == 0
     assert ins_rows.filter(F.col("event_type") != "merged").count() == 0
+
+
+def test_merge_drops_fully_deleted_partition(spark, tmp_path):
+    """ADVICE r7: a CDC batch that deletes EVERY row of a partition
+    produces no staging dir for it; with the explicit changed-partition
+    set the swap must REMOVE the live directory instead of silently
+    resurrecting the deleted rows."""
+    import datetime
+
+    from etl_pdf_pipepline_spark.sources.sinks import merge_partitions
+
+    path = str(tmp_path / "lake")
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    (
+        ev.repartition(F.col("event_date"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    kill_day = datetime.date.fromisoformat(TARGET_DAY)
+    keep_day = datetime.date(2024, 1, 16)
+    n_keep_before = spark.read.parquet(path).filter(
+        F.col("event_date") == F.lit(keep_day)
+    ).count()
+    assert n_keep_before > 0
+
+    # batch semantics: delete ALL of kill_day, rewrite keep_day minus one row
+    keep_slice = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == F.lit(keep_day))
+        .orderBy("event_id")
+        .limit(n_keep_before - 1)
+    )
+    before = _file_idents(path)
+    swapped = merge_partitions(
+        keep_slice, path, "event_date", changed_partitions=[kill_day, keep_day]
+    )
+    assert set(swapped) == {f"event_date={kill_day}", f"event_date={keep_day}"}
+    # the fully-deleted partition's directory is gone
+    assert not os.path.exists(os.path.join(path, f"event_date={kill_day}"))
+    lake = spark.read.parquet(path)
+    assert lake.filter(F.col("event_date") == F.lit(kill_day)).count() == 0
+    assert lake.filter(F.col("event_date") == F.lit(keep_day)).count() == n_keep_before - 1
+    # untouched partitions stayed inode-for-inode identical
+    after = _file_idents(path)
+    for part, ident in before.items():
+        if part not in (f"event_date={kill_day}", f"event_date={keep_day}"):
+            assert after[part] == ident, f"{part} was rewritten but not touched"
