@@ -181,7 +181,18 @@ def main() -> None:
             for n in per_query
             if duck.get(n)
         }
-    print(json.dumps(out))
+    # The one-line summary JSON grows with the query count and the
+    # driver's tail capture truncated its FRONT in r7 (BENCH_r07
+    # parsed: null). Two defenses: tee the full summary to a committed
+    # file the snapshot picks up, and print it LAST with separators
+    # stripped so the line is as short as it can be.
+    line = json.dumps(out, separators=(",", ":"))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

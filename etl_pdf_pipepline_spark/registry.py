@@ -50,107 +50,94 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r7 ordering, same invariant since
+# of the contract, so it is explicit. r8 ordering, same invariant since
 # r3 (any query whose plan/oracle changes enters the next gate's top-50):
-# the 11 queries r7 touched or added (byte-correct RGB+gray image
-# features, the steady-state admission path, the scan-path routing
-# variants, the routing-freshness predicate, the ngram-jaccard broadcast
-# drop, the LSH plane-divergence guard) plus ALL 36 r4-latest rows (the
-# oldest green rows in the registry — VERDICT r6 ask #2; one of them,
-# dedup_ngram_jaccard, is also r7-touched) plus 4 fills: the sf100
-# adjudication target media_frame_sample (its plan may change with the
-# decomposition; doc_token_stats is already in via the r4 list), two r5
-# rows sharing touched files (dedup_exact; streaming_near_dup_ingest on
-# the refactored index-persist path), and q1_pricing_summary (headline
-# representative). After this gate every latest row is r5 or newer.
+# the 18 queries r8 touched or added (the new O(delta) IVF extension and
+# its refactored serving tail; the frame-sample sort drop — plan AND
+# oracle changed; every consumer of the CAS-unified artifact commits:
+# the BM25 persisted-index family on the new scalar-literal serving
+# plan, the CDC merge pair on the delete-contract + pinned-base commit,
+# the LSH-index family on the CAS meta, the bucketed-routing family on
+# the CAS freshness record) plus ALL 31 remaining r5-latest rows — the
+# oldest green rows in the registry, due per VERDICT r7 ask #6 (three
+# more r5 rows, bm25_topk_from_index / hybrid_rrf_from_index /
+# routed_search, are already in via the touched list). After this gate
+# every latest row is r6 or newer.
 _GATE_PRIORITY = [
-    # touched/new in r7
-    "events_partitioned_merge",     # NEW r7: partition-scoped CDC MERGE (copy-on-write)
-    "events_versioned_merge",       # NEW r7: manifest-committed MERGE (atomic, time travel)
-    "bm25_incremental_index",       # NEW r7: O(delta) FTS index extension
-    "media_image_features",         # RGB+gray codec paths, byte-correct oracle (schema changed)
-    "near_dup_admission",           # NEW r7: steady-state marginal admission
-    "revenue_by_nation_scan",       # NEW r7: forced scan-path gate variant
-    "shipping_priority_scan",       # NEW r7: forced scan-path gate variant
-    "near_dup_incremental",         # shared _delta_admission refactor
-    "revenue_by_nation",            # routing predicate now freshness-checked
-    "shipping_priority_top10",      # routing predicate now freshness-checked
-    "revenue_by_nation_bucketed",   # build now writes the freshness tag
-    "shipping_priority_bucketed",   # build now writes the freshness tag (r5 fill)
-    "embedding_lsh_pairs",          # oracle-divergence guard added
-    "dedup_ngram_jaccard",          # per-doc sizes broadcast hint dropped (also r4-latest)
-    # ALL 36 r4-latest rows — oldest green rows, due per the r6 rotation plan
+    # touched/new in r8
+    "ivf_incremental_index",        # NEW r8: O(delta) IVF extension (third index family)
+    "media_frame_sample",           # sort dropped both engine sides (plan + oracle changed)
+    "ivf_probe_from_index",         # serving tail refactored; build commits CAS meta
+    "bm25_incremental_index",       # extend_index: CAS scalars, legacy fallback, pre-append read
+    "bm25_topk_from_index",         # index serving plan changed (scalar literals); r5-latest
+    "hybrid_rrf_from_index",        # shares the changed index serving plan; r5-latest
+    "routed_search",                # shares the changed index serving plan; r5-latest
+    "events_partitioned_merge",     # merge_partitions delete-contract (changed partitions explicit)
+    "events_versioned_merge",       # merge_commit: pinned base version + delete contract
+    "near_dup_admission",           # ensure_lsh_band_index meta on the manifest CAS
+    "near_dup_incremental",         # persist_lsh_band_index meta on the manifest CAS
+    "streaming_near_dup_ingest",    # serves from the CAS-tagged band index; r6-latest
+    "revenue_by_nation",            # routing freshness record read via CAS meta
+    "shipping_priority_top10",      # routing freshness record read via CAS meta
+    "revenue_by_nation_bucketed",   # build publishes the tag via CAS meta
+    "shipping_priority_bucketed",   # build publishes the tag via CAS meta
+    "revenue_by_nation_scan",       # scan-variant of a touched routing pair
+    "shipping_priority_scan",       # scan-variant of a touched routing pair
+    # ALL remaining r5-latest rows — oldest green rows (r7 ask #6)
+    "context_assembly",
+    "corpus_contamination_probe",
+    "corpus_mixture_sample",
+    "corpus_profile",
+    "corpus_top_terms_per_lang",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_stratified_sample",
+    "docs_after_source_purge",
+    "events_asof_purchase_click",
+    "events_partition_pruned_day",
+    "events_sessionization",
+    "label_centroids",
+    "lineitem_after_order_purge",
+    "order_sequence_window",
+    "q12_shipmode_priority",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "salted_skew_join",
+    "segment_acctbal_stats",
+    "streaming_click_purchase_join",
+    "streaming_dedup_counts",
+    "streaming_hourly_rollup",
+    "streaming_partitioned_ingest",
+    "streaming_session_counts",
+    # ---- 49 entries; driver caps at ~50 ----
+    # Below the cut: everything r6/r7-latest and untouched this round.
+    "media_image_features",
+    "embedding_lsh_pairs",
+    "dedup_ngram_jaccard",
     "bm25_search",
     "hybrid_rrf_search",
     "ivf_probe_topk",
     "ivf_assignment",
     "chunk_markdown_hybrid",
     "chunk_fixed_window",
-    "customer_order_profile",
-    "top_orders_by_value",
-    "running_spend_budget",
-    "brand_price_stats",
-    "events_sliding_window",
-    "events_top_users",
-    "events_type_pivot",
-    "events_cube_day_type",
-    "events_user_rank_dist",
-    "events_json_props",
     "doc_token_stats",
-    "bm25_search_title_weighted",
-    "bm25_search_title_filtered",
-    "ocr_document_text",
-    "q8_market_share",
-    "q22_sales_opportunity",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "media_resize",
-    "doc_quality_classifier",
-    "doc_unigram_logprob",
-    "dedup_winnowing_pairs",
-    "fts_phrase_search",
-    "approx_distinct_users",
-    "approx_value_quantiles",
-    "context_distinct_sources",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "docs_stats_by_source",
-    # last slot to 50: the r7 perf-adjudication target (its plan changed
-    # in the frame-sample rework, so it must re-gate). The former fills
-    # (dedup_exact, q1_pricing_summary, streaming_near_dup_ingest)
-    # yielded their slots to the three NEW r7 queries at the top; all
-    # three stay r5/r6-green and their code paths are oracle-covered by
-    # the rows above (near_dup_admission shares the refactored
-    # index-persist path streaming_near_dup_ingest serves from).
-    "media_frame_sample",
-    # ---- 50-budget cut (driver caps here) ----
-    # Below the cut: everything r5/r6-latest and untouched this round.
-    "streaming_near_dup_ingest",
-    "dedup_exact",
-    "q1_pricing_summary",
-    "events_sessionization",
-    "streaming_hourly_rollup",
-    "order_sequence_window",
+    "media_metadata",
+    "ann_cosine_topk",
     "doc_dup_paragraph_fraction",
     "doc_dup_paragraph_removal",
     "dedup_keepers",
-    "semantic_dedup_keepers",
-    "embedding_cluster_components",
-    "embedding_near_dup_pairs",
-    "ann_cosine_topk",
-    "ann_batch_topk",
-    "ivf_probe_from_index",
-    "media_decode_filter",
-    "media_metadata",
-    "media_png_roundtrip",
     "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_connected_components",
-    "corpus_curation_stats",
-    "events_lake_compaction",
-    "doc_shingle_novelty",
     "events_hourly_rollup",
-    "events_daily_rollup_totals",
+    "events_lake_compaction",
+    "media_decode_filter",
+    "media_png_roundtrip",
+    "corpus_curation_stats",
 ]
 
 
