@@ -454,6 +454,45 @@ def extend_ivf_index(spark: SparkSession, delta: DataFrame, path: str) -> None:
     )
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    """Fold an extended IVF layout back to one file per cell: each
+    extend_ivf_index appends a file into every touched centroid
+    directory, and a year of daily ingests turns the nprobe directory
+    reads into hundreds-of-small-files reads. Rewrite =
+    repartition(centroid_id) + partitionBy(centroid_id) into a sibling
+    dir, then the two-rename swap (complete copy on disk at every
+    instant; serialize with readers for the rename window, or adopt the
+    manifest layer). Assignments are untouched — compaction moves
+    bytes, never cell membership. Returns the total data-file count
+    after. Equivalence proven by tests/test_ivf_incremental.py."""
+    import os
+    import shutil
+
+    live = f"{path}/vectors"
+    tmp = live + "__compacting"
+    old = live + "__old"
+    (
+        spark.read.parquet(live)
+        .repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(live, old)
+    try:
+        os.rename(tmp, live)
+    except Exception:
+        os.rename(old, live)  # roll back: restore the original directory
+        raise
+    shutil.rmtree(old)
+    n = 0
+    for entry in os.listdir(live):
+        p = os.path.join(live, entry)
+        if entry.startswith("centroid_id=") and os.path.isdir(p):
+            n += sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    return n
+
+
 @query("ivf_probe_from_index", oracle=_IVF_PROBE_ORACLE)
 def ivf_probe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-IVF search path (the vector-side twin of

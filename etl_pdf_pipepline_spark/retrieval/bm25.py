@@ -304,6 +304,46 @@ def extend_index(
         delta_stats.unpersist()
 
 
+def compact_index(spark, path: str, n_buckets: int = 16) -> dict[str, int]:
+    """Lake-maintenance pass for an extended index: every extend_index
+    call appends up to n_buckets postings files (plus doc_stats files),
+    and the accumulation eventually poisons scan parallelism and listing
+    cost — the standard small-files disease. This folds both tables back
+    to the build-time layout (postings hash-partitioned by term, sorted
+    within partitions, so In(term) pushdown and row-group pruning keep
+    their build-time effectiveness) with the same two-rename swap as
+    sinks.compact: the rewrite lands complete in a sibling dir before
+    any rename, so data is never lost; serialize with readers (or adopt
+    the manifest layer) for the sub-millisecond rename window. Scalars
+    are untouched — compaction moves bytes, never statistics. Returns
+    {table: file_count_after}. Equivalence proven by
+    tests/test_bm25_incremental.py::test_compact_preserves_scores."""
+    import os
+    import shutil
+
+    out = {}
+    for sub, writer in (
+        (
+            "postings",
+            lambda df: df.repartition(n_buckets, "term").sortWithinPartitions("term"),
+        ),
+        ("doc_stats", lambda df: df.repartition(max(1, n_buckets // 4))),
+    ):
+        live = f"{path}/{sub}"
+        tmp = live + "__compacting"
+        old = live + "__old"
+        writer(spark.read.parquet(live)).write.mode("overwrite").parquet(tmp)
+        os.rename(live, old)
+        try:
+            os.rename(tmp, live)
+        except Exception:
+            os.rename(old, live)  # roll back: restore the original directory
+            raise
+        shutil.rmtree(old)
+        out[sub] = sum(1 for f in os.listdir(live) if f.endswith(".parquet"))
+    return out
+
+
 def bm25_scores_from_index(
     spark,
     path: str,

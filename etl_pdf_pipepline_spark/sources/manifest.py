@@ -35,9 +35,12 @@ Mechanics here (stdlib-only, single-writer-per-lake documented):
   why manifests beat file-system listing for planning, the same
   motivation as Iceberg's.
 
-Concurrency contract: concurrent commits race on the version slot; the
-loser's `os.link` raises ConcurrentCommitError (its staged data files
-are garbage for the next vacuum) and may retry from the new latest.
+Concurrency contract: concurrent commits race on the version slot. The
+loser of the CAS rebases automatically when the interleaved commits
+touched only DISJOINT partitions (both merges land — data files need no
+re-staging, only the manifest pointer moves), and raises
+MergeConflictError when a commit touched one of its own partitions
+(the merged slice is stale; the caller must re-read and re-merge).
 Readers never lock.
 
 The same CAS is the repo's ONE artifact-publication protocol: persisted
@@ -164,11 +167,19 @@ def read_snapshot(spark: SparkSession, root: str, version: int | None = None) ->
     return spark.read.option("basePath", root).parquet(*paths)
 
 
+class MergeConflictError(RuntimeError):
+    """A concurrent commit modified one of THIS merge's partitions
+    between read and publish. The merged slice was computed from a stale
+    snapshot of those partitions — re-read and re-merge; blind retry
+    would silently drop the other writer's rows."""
+
+
 def merge_commit(
     merged_slice: DataFrame,
     root: str,
     partition_col: str,
     changed_partitions: list | None = None,
+    max_retries: int = 3,
 ) -> int:
     """Versioned MERGE: stage the new contents of every touched
     partition, HARD-LINK the staged files into the live partition dirs
@@ -189,9 +200,18 @@ def merge_commit(
     the pre-delete files (time travel preserved; vacuum reclaims them).
 
     The base version is pinned BEFORE staging reads begin and the
-    manifest is linked at exactly base+1, so a commit interleaved
-    between this writer's read and its publish raises
-    ConcurrentCommitError instead of being silently overwritten."""
+    manifest is linked at exactly base+1. A commit interleaved between
+    this writer's read and its publish loses the version-slot CAS —
+    and is then handled by the same optimistic-concurrency rule every
+    table format runs: if the interleaved commit touched a DISJOINT set
+    of partitions, rebase this writer's partition entries onto the new
+    head and retry (both merges succeed — the common case for e.g.
+    per-day backfill jobs landing on different days); if it touched one
+    of THIS merge's partitions, the merged slice is stale and the retry
+    would drop the other writer's rows, so raise MergeConflictError for
+    the caller to re-read and re-merge. Data files need no re-staging
+    on rebase: they are already linked under collision-free names, and
+    only the manifest pointer moves."""
     base_v = latest_version(root)
     base = _read_manifest(root, base_v)
     next_v = base_v + 1
@@ -202,31 +222,78 @@ def merge_commit(
         .mode("overwrite")
         .parquet(staging)
     )
-    files = dict(base["files"])
-    staged_entries = set()
+    new_entries: dict[str, list[str]] = {}
     for entry in sorted(os.listdir(staging)):
         if not entry.startswith(partition_col + "="):
             continue
-        staged_entries.add(entry)
         live_dir = os.path.join(root, entry)
         os.makedirs(live_dir, exist_ok=True)
         new_rels = []
         for f in sorted(os.listdir(os.path.join(staging, entry))):
             if not f.endswith(".parquet"):
                 continue
+            # The version prefix is cosmetic provenance; uniqueness comes
+            # from the staged part-file's UUID. A rebase keeps the name.
             name = f"v{next_v:08d}-{f}"
             os.link(os.path.join(staging, entry, f), os.path.join(live_dir, name))
             new_rels.append(os.path.join(entry, name))
-        files[entry] = new_rels
+        new_entries[entry] = new_rels
     shutil.rmtree(staging)
-    for value in changed_partitions or []:
-        entry = f"{partition_col}={value}"
-        if entry not in staged_entries:
-            files.pop(entry, None)  # fully-deleted partition: drop, don't carry
-    return _commit_manifest(
-        root,
-        {"partition_col": partition_col, "files": files},
-        base_version=base_v,
+    dropped = {
+        f"{partition_col}={value}"
+        for value in changed_partitions or []
+        if f"{partition_col}={value}" not in new_entries
+    }  # fully-deleted partitions: drop the entry, don't carry it forward
+
+    return _publish_merge(
+        root, partition_col, base_v, base, new_entries, dropped, max_retries
+    )
+
+
+def _publish_merge(
+    root: str,
+    partition_col: str,
+    base_v: int,
+    base: dict,
+    new_entries: dict[str, list[str]],
+    dropped: set[str],
+    max_retries: int,
+) -> int:
+    """The optimistic-concurrency publish loop (separated from the
+    staging/linking so the interleaving can be tested directly): commit
+    this merge's partition changes on top of `base_v`; on a lost CAS,
+    rebase onto the new head when the interleaved commits touched only
+    DISJOINT partitions, raise MergeConflictError when one touched ours."""
+    touched = set(new_entries) | dropped
+    for _ in range(max_retries + 1):
+        files = dict(base["files"])
+        files.update(new_entries)
+        for entry in dropped:
+            files.pop(entry, None)
+        try:
+            return _commit_manifest(
+                root,
+                {"partition_col": partition_col, "files": files},
+                base_version=base_v,
+            )
+        except ConcurrentCommitError:
+            new_head = latest_version(root)
+            head = _read_manifest(root, new_head)
+            conflicting = [
+                e
+                for e in touched
+                if head["files"].get(e) != base["files"].get(e)
+            ]
+            if conflicting:
+                raise MergeConflictError(
+                    f"concurrent commit at {root} modified partition(s) "
+                    f"{sorted(conflicting)} this merge also changes; "
+                    "re-read the table and re-merge"
+                ) from None
+            base_v, base = new_head, head  # disjoint: rebase and retry
+    raise ConcurrentCommitError(
+        f"gave up after {max_retries} rebases at {root}: the version slot "
+        "kept being claimed by other writers"
     )
 
 

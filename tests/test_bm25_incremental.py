@@ -57,6 +57,39 @@ def test_extend_empty_delta_is_noop(spark, tmp_path):
     assert corpus_scalars(spark, path) == before
 
 
+def test_compact_preserves_scores_and_folds_files(spark, tmp_path):
+    """compact_index must fold the per-extend file accumulation back to
+    the build-time layout without changing a single score — compaction
+    moves bytes, never statistics or postings content."""
+    import os
+
+    from etl_pdf_pipepline_spark.retrieval.bm25 import compact_index
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "idx")
+    n_buckets = 8
+    persist_index(docs.filter(F.col("doc_id") % 5 == 1), "doc_id", "text", path, n_buckets)
+    for m in (2, 3, 4, 0):  # four daily extends
+        extend_index(docs.filter(F.col("doc_id") % 5 == m), "doc_id", "text", path, n_buckets)
+
+    def n_files(sub):
+        return sum(1 for f in os.listdir(f"{path}/{sub}") if f.endswith(".parquet"))
+
+    assert n_files("postings") > n_buckets  # the accumulation is real
+    before_scores = dict(bm25_scores_from_index(spark, path, TERMS).collect())
+    before_scalars = corpus_scalars(spark, path)
+
+    counts = compact_index(spark, path, n_buckets)
+    assert counts["postings"] == n_buckets == n_files("postings")
+    assert corpus_scalars(spark, path) == before_scalars
+    after_scores = dict(bm25_scores_from_index(spark, path, TERMS).collect())
+    assert set(after_scores) == set(before_scores)
+    for k, v in before_scores.items():
+        # same per-component algebra; per-doc double fold order may move
+        # with the file layout — the serving tier's round(4) contract
+        assert round(v, 4) == round(after_scores[k], 4), k
+
+
 def test_extend_migrates_legacy_corpus_layouts(spark, tmp_path):
     """Pre-r8 indexes stored scalars as a one-row {path}/corpus parquet;
     pre-r7 ones lacked total_dl entirely. extend_index must accept both

@@ -77,3 +77,25 @@ def test_extend_matches_full_build_and_touches_no_base_file(spark):
     assert ext_assign == full_assign
     ext_probe = [tuple(r) for r in _probe_persisted_index(spark, SF, path).collect()]
     assert ext_probe == full_probe
+
+    # compaction folds the appended files to one per cell and changes
+    # neither assignments nor probe results
+    from etl_pdf_pipepline_spark.operators.similarity import compact_ivf_index
+
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    assert len(_vector_files(path)) > n_cells  # extension left extra files
+    assert compact_ivf_index(spark, path) == len(_vector_files(path))
+    per_cell = {}
+    for rel in _vector_files(path):
+        cell = rel.split(os.sep)[0]
+        per_cell[cell] = per_cell.get(cell, 0) + 1
+    assert all(v == 1 for v in per_cell.values()), per_cell
+    assert {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(f"{path}/vectors").select(
+            "vec_id", "centroid_id"
+        ).collect()
+    } == full_assign
+    assert [
+        tuple(r) for r in _probe_persisted_index(spark, SF, path).collect()
+    ] == full_probe

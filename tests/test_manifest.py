@@ -168,6 +168,71 @@ def test_merge_commit_drops_fully_deleted_partition(spark, lake):
     assert f"event_date={kill_day}" not in _read_manifest(root, 2)["files"]
 
 
+def test_disjoint_concurrent_merges_both_succeed(lake):
+    """Optimistic concurrency: two merges touching DIFFERENT partitions
+    that race on the version slot must BOTH land — the loser rebases its
+    partition entries onto the winner's head instead of failing or
+    clobbering. Simulated at the _publish_merge seam: writer A reads at
+    v1; writer B commits v2 changing day-16 while A is staging; A then
+    publishes a day-15 change against its stale base."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        _publish_merge,
+        _read_manifest,
+    )
+
+    root, _ = lake
+    base = _read_manifest(root, 1)
+    day15 = f"event_date={TARGET_DAY}"
+    day16 = "event_date=2024-01-16"
+    assert day15 in base["files"] and day16 in base["files"]
+
+    # writer B lands first: day-16 rewritten
+    b_files = dict(base["files"])
+    b_files[day16] = [os.path.join(day16, "v00000002-b.parquet")]
+    _commit_manifest(root, {"partition_col": "event_date", "files": b_files})
+
+    # writer A publishes its day-15 change against stale base_v=1 → rebases
+    a_entry = [os.path.join(day15, "v00000002-a.parquet")]
+    v = _publish_merge(
+        root, "event_date", 1, base, {day15: a_entry}, set(), max_retries=3
+    )
+    assert v == 3
+    head = _read_manifest(root, 3)
+    # both changes present: B's day-16 AND A's day-15
+    assert head["files"][day16] == b_files[day16]
+    assert head["files"][day15] == a_entry
+
+
+def test_overlapping_concurrent_merges_conflict(lake):
+    """If the interleaved commit touched one of THIS merge's partitions,
+    the merged slice is stale — rebasing would drop the other writer's
+    rows, so the publish must raise MergeConflictError."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        MergeConflictError,
+        _publish_merge,
+        _read_manifest,
+    )
+
+    root, _ = lake
+    base = _read_manifest(root, 1)
+    day15 = f"event_date={TARGET_DAY}"
+
+    b_files = dict(base["files"])
+    b_files[day15] = [os.path.join(day15, "v00000002-b.parquet")]
+    _commit_manifest(root, {"partition_col": "event_date", "files": b_files})
+
+    with pytest.raises(MergeConflictError):
+        _publish_merge(
+            root,
+            "event_date",
+            1,
+            base,
+            {day15: [os.path.join(day15, "v00000002-a.parquet")]},
+            set(),
+            max_retries=3,
+        )
+
+
 def test_vacuum_retention(spark, lake):
     root, ev = lake
     _apply_merge(spark, root, ev)  # v2
