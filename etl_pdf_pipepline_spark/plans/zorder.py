@@ -1,0 +1,171 @@
+"""Z-order (Morton-curve) clustering for multi-dimensional pruning —
+the third ingest-time layout beside bucketing (plans/bucketed.py) and
+date partitioning (plans/partitioned.py).
+
+The gap it closes: a date-partitioned events lake prunes time-range
+predicates at directory level, but a query that ALSO bounds user_id
+still reads every file of the selected days — min/max stats on user_id
+are useless when each file contains the full user range. Sorting by
+(ts, user_id) doesn't help either: the secondary column's stats are
+only selective within one value of the primary. Z-ordering interleaves
+the bits of both dimensions into one clustering key, so files laid out
+by z-ranges are tight rectangles in (time × user) space and parquet
+min/max stats become selective on BOTH columns at once — the same
+technique as Delta's OPTIMIZE ZORDER BY and the classic UB-tree. No
+extra read-path machinery is needed: Spark's scan already does
+file/row-group skipping from pushed filters; the layout just makes the
+stats tight.
+
+Construction is pure JVM column algebra inside whole-stage codegen:
+each dimension is scaled to an 8-bit cell index with `width_bucket`
+(equal-width cells over the driver-fetched min/max — two 1-row
+aggregates, the engine's query-parameter convention), and the 16-bit
+Morton code is a constant-folded sum of masked shifts. The write is
+`repartitionByRange(z)` + `sortWithinPartitions(z)` — one range
+exchange at ingest, amortized over every 2-D query after it.
+
+Scale posture (100 TB): the z-value is computed scan-side and never
+shuffled except as the range key; file count derives from the input
+size (same rule as bucket count); the curve order (8 bits/dim = 256
+cells/dim) bounds the tail of each file's min/max box — deeper
+interleaving sharpens boxes but shrinks runs of identical z (65536
+cells is the standard depth for two dims). A real deployment z-orders
+WITHIN each date partition (the maintenance pass compaction already
+does); here the whole table is one z-space so the file-skipping effect
+is measurable on both columns.
+
+Reference seam: the reference has no analytic layouts at all (SQLite +
+LanceDB row stores, /root/reference/src/load/); this module is part of
+the beyond-reference lake layer SURVEY.md §2.11+ claims.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents as _cents
+from ..registry import query
+from ..sources.catalog import load_table
+
+Z_BITS_PER_DIM = 8  # 256 cells per dimension, 16-bit Morton code
+
+
+def morton_interleave(a: Column, b: Column, bits: int = Z_BITS_PER_DIM) -> Column:
+    """Bit-interleave two `bits`-wide non-negative int columns into one
+    Morton code: z = ...b1 a1 b0 a0 (a in the odd positions). Built as a
+    literal sum of masked shifts — `bits` is a plan-time constant, so
+    the whole expression stays inside codegen (no higher-order
+    functions, the media_frame_sample lesson)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def _cell(col: Column, lo, hi, bits: int = Z_BITS_PER_DIM) -> Column:
+    """Equal-width cell index 0..2^bits-1 of `col` over [lo, hi]."""
+    n = 1 << bits
+    # width_bucket returns 1..n inside the range, 0/n+1 outside; clamp
+    # keeps boundary values (hi itself lands in n+1) in the last cell.
+    return F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.width_bucket(col, F.lit(lo), F.lit(hi), F.lit(n)) - 1),
+    ).cast("long")
+
+
+def zorder_events_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_zorder_{tag}")
+
+
+def write_zorder_events(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> str:
+    """Ingest-time z-ordered layout of events, clustered on (ts,
+    user_id): scale both dimensions to 8-bit cells over their observed
+    min/max (two 1-row driver fetches), range-partition + sort on the
+    Morton code, write plain parquet. The z column itself is dropped —
+    it exists to place rows; queries filter on the natural columns and
+    parquet stats do the pruning."""
+    from ..session import derive_shuffle_partitions
+
+    ev = load_table(spark, sf_dir, "events")
+    lo_hi = ev.agg(
+        F.min(F.col("ts").cast("double")).alias("tlo"),
+        F.max(F.col("ts").cast("double")).alias("thi"),
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+    ).collect()[0]
+    z = morton_interleave(
+        _cell(F.col("ts").cast("double"), lo_hi["tlo"], lo_hi["thi"]),
+        _cell(F.col("user_id"), lo_hi["ulo"], lo_hi["uhi"]),
+    )
+    path = zorder_events_path(sf_dir)
+    n = n_files or derive_shuffle_partitions(sf_dir)
+    (
+        ev.withColumn("z", z)
+        .repartitionByRange(n, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+# The 2-D predicate: a 3-day window AND the bottom decile of users.
+# The user bound is relative (10% of max) so selectivity holds at every
+# sf; both engines derive it with the same floor(max*0.1) arithmetic.
+Z_DAY_LO = "2024-01-10"
+Z_DAY_HI = "2024-01-13"
+
+_ZORDER_ORACLE = f"""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{Z_DAY_LO} 00:00:00'
+      AND ts <  TIMESTAMP '{Z_DAY_HI} 00:00:00'
+      AND user_id <= (SELECT CAST(floor(max(user_id) * 0.1) AS BIGINT) FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("events_zorder_pruned", oracle=_ZORDER_ORACLE)
+def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the z-ordered layout, answer a two-dimensional slice (3-day
+    time window AND bottom-decile users) from it. The oracle runs the
+    identical predicate over the flat table, so a green row proves the
+    z-order rewrite (cell scaling, Morton interleave, range partition,
+    z drop) loses and changes nothing. The pruning MECHANICS — that the
+    layout's per-file (ts, user_id) min/max boxes let this predicate
+    skip most files, while a time-only-sorted layout skips only on time
+    — are asserted file-by-file from the parquet footers in
+    tests/test_zorder.py, where two layouts can be compared."""
+    path = write_zorder_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    max_u = ev.agg(F.max("user_id")).collect()[0][0]
+    u_hi = int(max_u * 0.1)
+    z = spark.read.parquet(path)
+    return (
+        z.filter(
+            (F.col("ts") >= F.lit(f"{Z_DAY_LO} 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit(f"{Z_DAY_HI} 00:00:00").cast("timestamp"))
+            & (F.col("user_id") <= u_hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -65,6 +65,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # every latest row is r6 or newer.
 _GATE_PRIORITY = [
     # touched/new in r8
+    "events_zorder_pruned",         # NEW r8: z-order clustered layout (2-D pruning)
     "ivf_incremental_index",        # NEW r8: O(delta) IVF extension (third index family)
     "media_frame_sample",           # sort dropped both engine sides (plan + oracle changed)
     "ivf_probe_from_index",         # serving tail refactored; build commits CAS meta
@@ -171,6 +172,7 @@ def _ensure_loaded() -> None:
     from .plans import relational_tpch_ext2  # noqa: F401
     from .plans import bucketed  # noqa: F401
     from .plans import partitioned  # noqa: F401
+    from .plans import zorder  # noqa: F401
     from .plans import lifecycle  # noqa: F401
     from .operators import chunker_queries  # noqa: F401
     from .operators import dedup  # noqa: F401

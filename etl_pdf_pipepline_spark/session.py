@@ -92,6 +92,14 @@ def get_spark(
         # whole-bench speedup at sf0.1, and at cluster scale it sizes
         # cached-index partitions to data volume instead of a static conf).
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, which
+        # silently disables every timestamp row-group/file skip on
+        # tables this engine writes (found by the z-order layout's
+        # footer assertions, tests/test_zorder.py — a time-range
+        # predicate could prune nothing on an INT96 ts). Micros is also
+        # what Spark reads back natively and what DuckDB/Arrow expect.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
