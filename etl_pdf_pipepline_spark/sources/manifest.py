@@ -297,6 +297,9 @@ def _publish_merge(
     )
 
 
+META_KEEP_VERSIONS = 16
+
+
 def commit_meta(root: str, payload: dict) -> int:
     """Publish an artifact's metadata record (freshness tag, corpus
     scalars, build parameters) as the next CAS-committed version under
@@ -317,12 +320,30 @@ def commit_meta(root: str, payload: dict) -> int:
 
     `root` may be (inside) a parquet data directory: Spark's file
     listing skips underscore-prefixed entries, so `_manifests` is
-    invisible to scans."""
+    invisible to scans.
+
+    Retention: meta records reference no data files, so old versions
+    are pure history; everything older than the last META_KEEP_VERSIONS
+    is deleted inline (unlinking a version other writers never link at
+    again is safe — the CAS only ever claims latest+1)."""
     while True:
         try:
-            return _commit_manifest(root, {"payload": payload})
+            v = _commit_manifest(root, {"payload": payload})
+            break
         except ConcurrentCommitError:
             continue
+    d = _manifest_dir(root)
+    for f in os.listdir(d):
+        if (
+            f.startswith("v")
+            and f.endswith(".json")
+            and int(f[1:9]) <= v - META_KEEP_VERSIONS
+        ):
+            try:
+                os.unlink(os.path.join(d, f))
+            except OSError:
+                pass  # a concurrent committer already pruned it
+    return v
 
 
 def read_meta(root: str) -> dict | None:

@@ -168,6 +168,25 @@ def test_merge_commit_drops_fully_deleted_partition(spark, lake):
     assert f"event_date={kill_day}" not in _read_manifest(root, 2)["files"]
 
 
+def test_commit_meta_retention(tmp_path):
+    """Meta commits keep only the last META_KEEP_VERSIONS records —
+    they reference no data files, so older ones are pure history."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        META_KEEP_VERSIONS,
+        commit_meta,
+        read_meta,
+    )
+
+    root = str(tmp_path / "artifact")
+    n = META_KEEP_VERSIONS + 5
+    for i in range(n):
+        assert commit_meta(root, {"build": i}) == i + 1
+    assert read_meta(root) == {"build": n - 1}
+    kept = sorted(os.listdir(os.path.join(root, "_manifests")))
+    assert len(kept) == META_KEEP_VERSIONS
+    assert kept[0] == f"v{n - META_KEEP_VERSIONS + 1:08d}.json"
+
+
 def test_disjoint_concurrent_merges_both_succeed(lake):
     """Optimistic concurrency: two merges touching DIFFERENT partitions
     that race on the version slot must BOTH land — the loser rebases its
