@@ -119,7 +119,40 @@ def write_zorder_events(
         .write.mode("overwrite")
         .parquet(path)
     )
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import commit_meta
+
+    commit_meta(
+        path,
+        {
+            "source_signature": table_stat_signature(sf_dir, ("events",)),
+            "n_files": n,
+        },
+    )
     return path
+
+
+def ensure_zorder_events(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> str:
+    """Serve-or-build for the z-ordered layout: reuse when the
+    CAS-committed freshness record (manifest commit_meta — the repo's
+    one artifact protocol) matches the current events files and file
+    count, rebuild otherwise — the same lifecycle every maintained
+    artifact here has (bucketed facts, LSH bands, BM25/IVF indexes)."""
+    from ..session import derive_shuffle_partitions
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import read_meta
+
+    path = zorder_events_path(sf_dir)
+    n = n_files or derive_shuffle_partitions(sf_dir)
+    meta = read_meta(path) or {}
+    if (
+        meta.get("source_signature") == table_stat_signature(sf_dir, ("events",))
+        and meta.get("n_files") == n
+    ):
+        return path
+    return write_zorder_events(spark, sf_dir, n_files=n)
 
 
 # The 2-D predicate: a 3-day window AND the bottom decile of users.
@@ -140,18 +173,9 @@ _ZORDER_ORACLE = f"""
     """
 
 
-@query("events_zorder_pruned", oracle=_ZORDER_ORACLE)
-def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the z-ordered layout, answer a two-dimensional slice (3-day
-    time window AND bottom-decile users) from it. The oracle runs the
-    identical predicate over the flat table, so a green row proves the
-    z-order rewrite (cell scaling, Morton interleave, range partition,
-    z drop) loses and changes nothing. The pruning MECHANICS — that the
-    layout's per-file (ts, user_id) min/max boxes let this predicate
-    skip most files, while a time-only-sorted layout skips only on time
-    — are asserted file-by-file from the parquet footers in
-    tests/test_zorder.py, where two layouts can be compared."""
-    path = write_zorder_events(spark, sf_dir)
+def _two_dim_slice(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """The 2-D rollup both gate rows share: 3-day time window AND
+    bottom-decile users, answered from the layout at `path`."""
     ev = load_table(spark, sf_dir, "events")
     max_u = ev.agg(F.max("user_id")).collect()[0][0]
     u_hi = int(max_u * 0.1)
@@ -169,3 +193,35 @@ def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("events_zorder_pruned", oracle=_ZORDER_ORACLE)
+def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the z-ordered layout, answer a two-dimensional slice (3-day
+    time window AND bottom-decile users) from it. The oracle runs the
+    identical predicate over the flat table, so a green row proves the
+    z-order rewrite (cell scaling, Morton interleave, range partition,
+    z drop) loses and changes nothing — this row intentionally re-proves
+    build + read-back every run, like revenue_by_nation_bucketed. The
+    pruning MECHANICS — that the layout's per-file (ts, user_id) min/max
+    boxes let this predicate skip most files, while a time-only-sorted
+    layout skips only on time — are asserted file-by-file from the
+    parquet footers in tests/test_zorder.py, where two layouts can be
+    compared."""
+    path = write_zorder_events(spark, sf_dir)
+    return _two_dim_slice(spark, sf_dir, path)
+
+
+@query("events_zorder_served", oracle=_ZORDER_ORACLE)
+def events_zorder_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STEADY-STATE face of the same query (the both-branches-gated
+    pattern every serve-or-build artifact here follows): serve the 2-D
+    slice from an existing z-layout, building only when the CAS
+    freshness record is missing or stale (ensure_zorder_events). Same
+    oracle as events_zorder_pruned, so both routing branches are proven
+    every round; what differs is what a run PAYS — this row prices the
+    recurring 2-D query against a maintained layout (file-skipping
+    scan, no rewrite), which is the actual economics of z-ordering a
+    lake: one range-exchange at ingest, amortized over every query."""
+    path = ensure_zorder_events(spark, sf_dir)
+    return _two_dim_slice(spark, sf_dir, path)

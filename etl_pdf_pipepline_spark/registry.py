@@ -66,6 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _GATE_PRIORITY = [
     # touched/new in r8
     "events_zorder_pruned",         # NEW r8: z-order clustered layout (2-D pruning)
+    "events_zorder_served",         # NEW r8: steady-state face of the z-order pair
     "ivf_incremental_index",        # NEW r8: O(delta) IVF extension (third index family)
     "media_frame_sample",           # sort dropped both engine sides (plan + oracle changed)
     "ivf_probe_from_index",         # serving tail refactored; build commits CAS meta

@@ -121,6 +121,37 @@ def test_ensure_lsh_band_index_reuses_until_stale(spark, corpus_copy):
     assert meta3 is not None and meta3["source_signature"] != meta2["source_signature"]
 
 
+def test_ensure_zorder_events_reuses_until_stale(spark, corpus_copy):
+    import shutil as _shutil
+
+    from etl_pdf_pipepline_spark.plans.zorder import (
+        ensure_zorder_events,
+        zorder_events_path,
+    )
+    from etl_pdf_pipepline_spark.sources.manifest import read_meta
+
+    _shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(corpus_copy, "events.parquet"),
+    )
+    path = ensure_zorder_events(spark, corpus_copy)
+    assert path == zorder_events_path(corpus_copy)
+    meta = read_meta(path)
+    assert meta is not None
+    # fresh source → serve (payload object unchanged)
+    assert ensure_zorder_events(spark, corpus_copy) == path
+    assert read_meta(path) == meta
+    # different file count → contract mismatch → rebuild
+    ensure_zorder_events(spark, corpus_copy, n_files=meta["n_files"] + 1)
+    meta2 = read_meta(path)
+    assert meta2 is not None and meta2["n_files"] == meta["n_files"] + 1
+    # stale source → rebuild (signature re-tagged)
+    _touch(os.path.join(corpus_copy, "events.parquet"))
+    ensure_zorder_events(spark, corpus_copy, n_files=meta2["n_files"])
+    meta3 = read_meta(path)
+    assert meta3 is not None and meta3["source_signature"] != meta2["source_signature"]
+
+
 def test_lsh_plane_divergence_warns():
     """Past 8192 embeddings the derived plane count departs from the
     static oracle constants; the guard must make that loud (ADVICE r6)."""
