@@ -466,11 +466,11 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     bytes, never cell membership. Returns the total data-file count
     after. Equivalence proven by tests/test_ivf_incremental.py."""
     import os
-    import shutil
+
+    from ..sources.sinks import swap_directory
 
     live = f"{path}/vectors"
     tmp = live + "__compacting"
-    old = live + "__old"
     (
         spark.read.parquet(live)
         .repartition(F.col("centroid_id"))
@@ -478,13 +478,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
         .mode("overwrite")
         .parquet(tmp)
     )
-    os.rename(live, old)
-    try:
-        os.rename(tmp, live)
-    except Exception:
-        os.rename(old, live)  # roll back: restore the original directory
-        raise
-    shutil.rmtree(old)
+    swap_directory(live, tmp)
     n = 0
     for entry in os.listdir(live):
         p = os.path.join(live, entry)

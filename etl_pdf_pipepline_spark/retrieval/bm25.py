@@ -319,7 +319,8 @@ def compact_index(spark, path: str, n_buckets: int = 16) -> dict[str, int]:
     {table: file_count_after}. Equivalence proven by
     tests/test_bm25_incremental.py::test_compact_preserves_scores."""
     import os
-    import shutil
+
+    from ..sources.sinks import swap_directory
 
     out = {}
     for sub, writer in (
@@ -331,15 +332,8 @@ def compact_index(spark, path: str, n_buckets: int = 16) -> dict[str, int]:
     ):
         live = f"{path}/{sub}"
         tmp = live + "__compacting"
-        old = live + "__old"
         writer(spark.read.parquet(live)).write.mode("overwrite").parquet(tmp)
-        os.rename(live, old)
-        try:
-            os.rename(tmp, live)
-        except Exception:
-            os.rename(old, live)  # roll back: restore the original directory
-            raise
-        shutil.rmtree(old)
+        swap_directory(live, tmp)
         out[sub] = sum(1 for f in os.listdir(live) if f.endswith(".parquet"))
     return out
 

@@ -122,6 +122,28 @@ def merge_partitions(
     return swapped
 
 
+def swap_directory(live: str, tmp: str) -> None:
+    """The two-rename directory swap every rewrite-style maintenance pass
+    here uses (compact, compact_index, compact_ivf_index): `tmp` must be
+    a COMPLETE replacement already on disk. Data is never lost — a full
+    copy exists at every instant — but POSIX has no atomic directory
+    exchange, so there IS a sub-millisecond window between the renames
+    where `live` is absent; serialize with readers, or use the manifest
+    layer whose pointer swap is atomic. A failure after the first rename
+    rolls the original back."""
+    import os
+    import shutil
+
+    old = live.rstrip("/") + "__old"
+    os.rename(live, old)
+    try:
+        os.rename(tmp, live)
+    except Exception:
+        os.rename(old, live)  # roll back: restore the original directory
+        raise
+    shutil.rmtree(old)
+
+
 def compact(spark, path: str, target_partitions: int) -> None:
     """Small-files compaction: rewrite a table directory into
     `target_partitions` files. Long-running ingest (especially streaming
@@ -130,26 +152,11 @@ def compact(spark, path: str, target_partitions: int) -> None:
     lake-maintenance pass. Uses repartition (full shuffle) rather than
     coalesce so output files are size-balanced, not input-lineage-skewed.
 
-    Swap: the rewrite lands in a sibling temp dir, then two atomic
-    renames put it live (old -> __old, tmp -> path). Data is never lost —
-    a complete copy exists on disk at every instant — but POSIX has no
-    atomic directory exchange, so there IS a sub-millisecond window
-    between the renames where the live path is absent; a concurrent
-    reader can hit it and a crash inside it needs the documented manual
-    step (rename the __old dir back). Serialize compaction with readers,
-    or use a table format whose manifest swap is atomic (Delta OPTIMIZE)
-    — which is also the right tool beyond local filesystems."""
-    import os
-    import shutil
-
+    Swap contract: see swap_directory (rewrite lands complete in a
+    sibling dir first; serialize with readers for the rename window, or
+    use a table format whose manifest swap is atomic — Delta OPTIMIZE —
+    which is also the right tool beyond local filesystems)."""
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
-    old = path.rstrip("/") + "__old"
     df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except Exception:
-        os.rename(old, path)  # roll back: restore the original directory
-        raise
-    shutil.rmtree(old)
+    swap_directory(path, tmp)
