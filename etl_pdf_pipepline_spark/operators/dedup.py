@@ -1039,9 +1039,11 @@ def ensure_lsh_band_index(
     prepare phase, a daily admission job) pay the corpus banding once
     and check every subsequent delta at O(delta) cost. The freshness
     record is published via the manifest CAS (sources/manifest.py
-    commit_meta) — the repo's one artifact-publication protocol — so
-    concurrent builders race on the version slot instead of clobbering
-    a JSON side-file."""
+    commit_meta) — the repo's one artifact-publication protocol — so a
+    reader never sees a torn record. Rebuilds themselves keep the
+    standard single-builder contract (the data write is a Spark
+    overwrite that clobbers the whole path, meta included); serialize
+    concurrent REBUILDS of the same corpus externally."""
     from ..sources.manifest import read_meta
 
     path = lsh_index_path(sf_dir)

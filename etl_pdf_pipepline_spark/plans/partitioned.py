@@ -331,11 +331,20 @@ def events_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit atomicity, v1 readability after the merge (time travel), CAS
     on concurrent commits, vacuum retention — is asserted in
     tests/test_manifest.py, where multiple snapshots can be compared."""
-    from ..sources.manifest import init_versioned_lake, merge_commit, read_snapshot
+    from ..sources.manifest import (
+        init_versioned_lake,
+        latest_version,
+        merge_commit,
+        read_snapshot,
+    )
 
     root = versioned_lake_path(sf_dir)
     ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     init_versioned_lake(ev, root, "event_date")
+    # Pin the version this merge's snapshot read resolves, BEFORE the
+    # read — merge_commit links at exactly this+1, so any commit
+    # interleaved after the read is detected, not silently absorbed.
+    base_v = latest_version(root)
 
     upserts, inserts, deletes = _merge_cdc_batch(ev)
     changed = [
@@ -356,7 +365,9 @@ def events_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(upserts.join(deletes.select("event_id"), "event_id", "left_anti"))
         .unionByName(inserts)
     )
-    merge_commit(merged, root, "event_date", changed_partitions=changed)
+    merge_commit(
+        merged, root, "event_date", changed_partitions=changed, base_version=base_v
+    )
 
     snap = read_snapshot(spark, root)
     lo = F.lit(TARGET_DAY).cast("date")

@@ -56,7 +56,9 @@ Z_BITS_PER_DIM = 8  # 256 cells per dimension, 16-bit Morton code
 
 def morton_interleave(a: Column, b: Column, bits: int = Z_BITS_PER_DIM) -> Column:
     """Bit-interleave two `bits`-wide non-negative int columns into one
-    Morton code: z = ...b1 a1 b0 a0 (a in the odd positions). Built as a
+    Morton code: z = ...a1 b1 a0 b0 (a-bits at the odd positions, so
+    bit 0 is b0 and `a` carries the higher weight at every level —
+    tests/test_zorder.py pins this algebra). Built as a
     literal sum of masked shifts — `bits` is a plan-time constant, so
     the whole expression stays inside codegen (no higher-order
     functions, the media_frame_sample lesson)."""

@@ -281,7 +281,12 @@ def extend_index(
     # Read the base scalars BEFORE any append: the legacy-layout
     # fallback reconstructs total_dl from doc_stats, which must not yet
     # contain this delta (reading after the append double-counts it).
-    old_n, old_total = corpus_scalars(spark, path)
+    # These pre-read values are only the RACE-FREE fallback seed — the
+    # commit itself goes through update_meta's pinned-version CAS, which
+    # re-adds THIS delta to whatever payload actually won any concurrent
+    # race (two concurrent extends both land; last-writer-wins would
+    # silently drop one delta's counts from the scalars forever).
+    legacy_n, legacy_total = corpus_scalars(spark, path)
     delta_postings = build_postings(new_docs, id_col, text_col)
     delta_stats = build_doc_stats(delta_postings).cache()
     try:
@@ -294,12 +299,15 @@ def extend_index(
         )
         delta_stats.write.mode("append").parquet(f"{path}/doc_stats")
         d = delta_stats.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
-        from ..sources.manifest import commit_meta
+        dn, dtotal = int(d["c"]), int(d["s"] or 0)
+        from ..sources.manifest import update_meta
 
-        commit_meta(
-            path,
-            {"n": old_n + int(d["c"]), "total_dl": old_total + int(d["s"] or 0)},
-        )
+        def add_delta(current: dict | None) -> dict:
+            base_n = int(current["n"]) if current else legacy_n
+            base_total = int(current["total_dl"]) if current else legacy_total
+            return {"n": base_n + dn, "total_dl": base_total + dtotal}
+
+        update_meta(path, add_delta)
     finally:
         delta_stats.unpersist()
 

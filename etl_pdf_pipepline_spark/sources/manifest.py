@@ -48,8 +48,12 @@ layouts and indexes (bucketed facts, LSH band index, BM25 corpus
 scalars) publish their freshness tags / scalar state through
 `commit_meta`/`read_meta` below instead of each hand-rolling a JSON
 side-file, so every serve-or-build decision reads an atomically
-committed record and concurrent builders are race-safe by construction
-(tests/test_manifest.py proves the link(2) CAS).
+committed, never-torn record (tests/test_manifest.py proves the
+link(2) CAS). Honest scope: the CAS serializes record publication;
+full artifact REBUILDS (Spark overwrite of the data path, which
+clobbers data and meta together) keep the standard one-builder-per-
+artifact contract, and accumulator payloads use `update_meta`'s
+pinned-version read-modify-write rather than last-writer-wins.
 """
 
 from __future__ import annotations
@@ -95,9 +99,11 @@ def _commit_manifest(root: str, manifest: dict, base_version: int | None = None)
     + link(2): link fails if another writer claimed the version first —
     compare-and-swap, not clobber. `base_version` defaults to the latest
     version on disk, but writers that READ table state before composing
-    their manifest must pass the version they read (merge_commit does):
-    linking at exactly base+1 turns an interleaved commit into a loud
-    ConcurrentCommitError instead of a silent lost update."""
+    their manifest must pass the version they read (merge_commit exposes
+    this as its own base_version param; the CDC path pins it before its
+    read_snapshot): linking at exactly base+1 turns an interleaved
+    commit into a loud ConcurrentCommitError instead of a silent lost
+    update."""
     d = _manifest_dir(root)
     os.makedirs(d, exist_ok=True)
     if base_version is None:
@@ -180,6 +186,7 @@ def merge_commit(
     partition_col: str,
     changed_partitions: list | None = None,
     max_retries: int = 3,
+    base_version: int | None = None,
 ) -> int:
     """Versioned MERGE: stage the new contents of every touched
     partition, HARD-LINK the staged files into the live partition dirs
@@ -199,23 +206,31 @@ def merge_commit(
     the new snapshot sees them empty while older snapshots still read
     the pre-delete files (time travel preserved; vacuum reclaims them).
 
-    The base version is pinned BEFORE staging reads begin and the
-    manifest is linked at exactly base+1. A commit interleaved between
-    this writer's read and its publish loses the version-slot CAS —
-    and is then handled by the same optimistic-concurrency rule every
-    table format runs: if the interleaved commit touched a DISJOINT set
-    of partitions, rebase this writer's partition entries onto the new
-    head and retry (both merges succeed — the common case for e.g.
-    per-day backfill jobs landing on different days); if it touched one
-    of THIS merge's partitions, the merged slice is stale and the retry
-    would drop the other writer's rows, so raise MergeConflictError for
-    the caller to re-read and re-merge. Data files need no re-staging
-    on rebase: they are already linked under collision-free names, and
-    only the manifest pointer moves."""
-    base_v = latest_version(root)
+    `base_version` is the version the caller's read_snapshot resolved —
+    pass it whenever the merged slice was computed from a snapshot (the
+    CDC path does), so a commit interleaved between that READ and this
+    publish is detected. Omitted, the pin falls back to the latest
+    version at entry, which only detects commits interleaved after this
+    function starts — a narrower window that silently absorbs anything
+    earlier (the r8 review's lost-update finding).
+
+    The manifest is linked at exactly base+1. A commit interleaved after
+    the pin loses the version-slot CAS and is handled by the same
+    optimistic-concurrency rule every table format runs: if the
+    interleaved commit touched a DISJOINT set of partitions, rebase this
+    writer's partition entries onto the new head and retry (both merges
+    succeed — the common case for e.g. per-day backfill jobs landing on
+    different days); if it touched one of THIS merge's partitions, the
+    merged slice is stale and the retry would drop the other writer's
+    rows, so raise MergeConflictError for the caller to re-read and
+    re-merge. Data files need no re-staging on rebase: they are already
+    linked under collision-free names, and only the manifest pointer
+    moves. Staging itself is per-writer (uuid dir), so concurrent
+    disjoint merges never touch each other's staging output."""
+    base_v = latest_version(root) if base_version is None else base_version
     base = _read_manifest(root, base_v)
     next_v = base_v + 1
-    staging = root.rstrip("/") + "__version_staging"
+    staging = f"{root.rstrip('/')}__version_staging-{uuid.uuid4().hex}"
     (
         merged_slice.repartition(F.col(partition_col))
         .write.partitionBy(partition_col)
@@ -239,15 +254,29 @@ def merge_commit(
             new_rels.append(os.path.join(entry, name))
         new_entries[entry] = new_rels
     shutil.rmtree(staging)
+    # Fully-deleted partitions: drop the entry, don't carry it forward.
+    # Matching unescapes the directory names (Spark %XX-escapes special
+    # chars in partition values), so a value like 'us east' still matches
+    # its 'us%20east' entry instead of silently surviving deletion.
+    staged_values = {_entry_value(e) for e in new_entries}
     dropped = {
-        f"{partition_col}={value}"
-        for value in changed_partitions or []
-        if f"{partition_col}={value}" not in new_entries
-    }  # fully-deleted partitions: drop the entry, don't carry it forward
+        e
+        for e in base["files"]
+        if _entry_value(e) in {str(v) for v in changed_partitions or []}
+        and _entry_value(e) not in staged_values
+    }
 
     return _publish_merge(
         root, partition_col, base_v, base, new_entries, dropped, max_retries
     )
+
+
+def _entry_value(entry: str) -> str:
+    """The raw partition VALUE encoded in a 'col=value' directory name,
+    reversing Spark's %XX path escaping."""
+    from urllib.parse import unquote
+
+    return unquote(entry.split("=", 1)[1])
 
 
 def _publish_merge(
@@ -306,17 +335,20 @@ def commit_meta(root: str, payload: dict) -> int:
     `root/_manifests` — the ONE publication protocol every persisted
     artifact in the repo uses (bucketed fact layout, LSH band index,
     BM25 corpus scalars). Compared to the JSON side-files these
-    artifacts used to hand-roll, the link(2) CAS makes concurrent
-    builders race-safe (one wins the version slot, the loser gets
-    ConcurrentCommitError and can re-read) and readers always see one
-    complete record — there is no moment where the meta is deleted but
-    not yet rewritten, which is exactly the crash window a
-    mode('overwrite') rewrite of a side-file has.
+    artifacts used to hand-roll, the link(2) CAS serializes record
+    publication and readers always see one complete record — there is
+    no moment where the meta is deleted but not yet rewritten, which is
+    exactly the crash window a mode('overwrite') rewrite of a side-file
+    has. (It does NOT make concurrent full REBUILDS of the same
+    artifact safe: a Spark overwrite of the data path clobbers data and
+    meta together — one builder per artifact, serialized externally.)
 
-    Meta records are derived state (recomputable from the sources), so
-    unlike table commits the right conflict policy is last-writer-wins:
-    on a lost race this retries at the new head instead of surfacing
-    ConcurrentCommitError to the builder.
+    This variant is last-writer-wins: on a lost race it retries at the
+    new head. That is correct ONLY for payloads fully recomputable from
+    the sources (freshness tags — racing builders of the same source
+    produce identical payloads). Payloads carrying running totals must
+    use `update_meta` instead, whose pinned-version read-modify-write
+    re-applies the delta to the race winner's record.
 
     `root` may be (inside) a parquet data directory: Spark's file
     listing skips underscore-prefixed entries, so `_manifests` is
@@ -332,18 +364,50 @@ def commit_meta(root: str, payload: dict) -> int:
             break
         except ConcurrentCommitError:
             continue
+    _prune_meta(root, v)
+    return v
+
+
+def update_meta(root: str, fn) -> dict:
+    """Read-modify-write a meta record under true CAS: `fn(current)` is
+    called with the latest committed payload (None if none) and returns
+    the new payload; the commit is PINNED at the version that was read,
+    so a concurrent update makes the link fail and `fn` is re-run
+    against the winner's payload. This is the accumulator-safe variant
+    of commit_meta — last-writer-wins is wrong for payloads that carry
+    running totals (BM25's n/total_dl), where losing a race must re-add
+    this writer's delta to the other writer's result, not overwrite it.
+    Returns the committed payload."""
+    while True:
+        v = latest_version(root)
+        current = None
+        if v > 0:
+            try:
+                current = _read_manifest(root, v).get("payload")
+            except (OSError, ValueError):
+                current = None
+        payload = fn(current)
+        try:
+            _commit_manifest(root, {"payload": payload}, base_version=v)
+            break
+        except ConcurrentCommitError:
+            continue
+    _prune_meta(root, v + 1)
+    return payload
+
+
+def _prune_meta(root: str, latest: int) -> None:
     d = _manifest_dir(root)
     for f in os.listdir(d):
         if (
             f.startswith("v")
             and f.endswith(".json")
-            and int(f[1:9]) <= v - META_KEEP_VERSIONS
+            and int(f[1:9]) <= latest - META_KEEP_VERSIONS
         ):
             try:
                 os.unlink(os.path.join(d, f))
             except OSError:
                 pass  # a concurrent committer already pruned it
-    return v
 
 
 def read_meta(root: str) -> dict | None:

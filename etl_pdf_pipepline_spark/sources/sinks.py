@@ -85,8 +85,9 @@ def merge_partitions(
     compact()'s documented window."""
     import os
     import shutil
+    import uuid
 
-    staging = lake_path.rstrip("/") + "__merge_staging"
+    staging = f"{lake_path.rstrip('/')}__merge_staging-{uuid.uuid4().hex}"
     (
         merged_slice.repartition(F.col(partition_col))
         .write.partitionBy(partition_col)
@@ -113,11 +114,19 @@ def merge_partitions(
             shutil.rmtree(old)
         swapped.append(entry)
     shutil.rmtree(staging)
-    for value in changed_partitions or []:
-        entry = f"{partition_col}={value}"
-        live = os.path.join(lake_path, entry)
-        if entry not in staged_entries and os.path.exists(live):
-            shutil.rmtree(live)  # fully-deleted partition: no survivors staged
+    # Fully-deleted partitions: remove the live directory. Matching goes
+    # through the VALUE (unescaping Spark's %XX path escaping) rather
+    # than a raw f'{col}={value}' string, so values with escapable chars
+    # ('us east' → 'us%20east') still match instead of resurrecting.
+    from urllib.parse import unquote
+
+    staged_values = {unquote(e.split("=", 1)[1]) for e in staged_entries}
+    changed_values = {str(v) for v in changed_partitions or []}
+    for entry in sorted(os.listdir(lake_path)):
+        if not entry.startswith(partition_col + "="):
+            continue
+        if unquote(entry.split("=", 1)[1]) in changed_values - staged_values:
+            shutil.rmtree(os.path.join(lake_path, entry))
             swapped.append(entry)
     return swapped
 

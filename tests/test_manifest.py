@@ -168,6 +168,35 @@ def test_merge_commit_drops_fully_deleted_partition(spark, lake):
     assert f"event_date={kill_day}" not in _read_manifest(root, 2)["files"]
 
 
+def test_update_meta_accumulates_under_real_races(tmp_path):
+    """update_meta is the accumulator-safe RMW: N threads each adding
+    their delta concurrently must ALL land (the r8 review's BM25-scalar
+    finding — last-writer-wins commit_meta would drop deltas)."""
+    import threading
+
+    from etl_pdf_pipepline_spark.sources.manifest import read_meta, update_meta
+
+    root = str(tmp_path / "acc")
+    update_meta(root, lambda cur: {"n": 0})
+    n_threads, n_iters = 8, 20
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(n_iters):
+                update_meta(root, lambda cur: {"n": int(cur["n"]) + 1})
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert read_meta(root) == {"n": n_threads * n_iters}
+
+
 def test_commit_meta_retention(tmp_path):
     """Meta commits keep only the last META_KEEP_VERSIONS records —
     they reference no data files, so older ones are pure history."""

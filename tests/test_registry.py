@@ -1,0 +1,61 @@
+"""Registry invariants the driver contract depends on: every query has
+an oracle entry with matching keys, the explicit gate ordering contains
+no stale/duplicate names, and — the r8 review finding — the
+above-the-cut priority block actually fits the driver's ~50-entry gate
+budget, so the rotation plan written in the comments is the rotation
+that runs."""
+
+from __future__ import annotations
+
+import re
+
+from etl_pdf_pipepline_spark.registry import (
+    _GATE_PRIORITY,
+    _REGISTRY,
+    all_oracles,
+    all_queries,
+)
+
+GATE_BUDGET = 50
+
+
+def _entries_above_cut() -> list[str]:
+    import inspect
+
+    import etl_pdf_pipepline_spark.registry as reg
+
+    src = inspect.getsource(reg)
+    block = src.split("_GATE_PRIORITY = [")[1].split("# ---- ")[0]
+    return re.findall(r'"([a-z0-9_]+)"', block)
+
+
+def test_every_query_has_matching_oracle():
+    q, o = all_queries(), all_oracles()
+    assert set(o) <= set(q)
+    # iteration order identical where both exist (driver zips them)
+    both = [n for n in q if n in o]
+    assert both == list(o)
+
+
+def test_gate_priority_names_are_registered_and_unique():
+    assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY))
+    missing = [n for n in _GATE_PRIORITY if n not in _REGISTRY]
+    assert not missing, f"stale gate-priority names: {missing}"
+
+
+def test_priority_rows_fit_the_gate_budget():
+    above = _entries_above_cut()
+    assert len(above) <= GATE_BUDGET, (
+        f"{len(above)} priority entries above the cut exceed the driver's "
+        f"~{GATE_BUDGET}-entry gate budget — the overflow rows silently "
+        "miss the gate and the rotation invariant breaks"
+    )
+    # the cut marker must reflect reality (comments are part of the
+    # contract here — a wrong count caused the r8 review finding)
+    assert above == _GATE_PRIORITY[: len(above)]
+
+
+def test_gate_order_puts_priority_first():
+    names = list(all_queries())
+    above = _entries_above_cut()
+    assert names[: len(above)] == above
