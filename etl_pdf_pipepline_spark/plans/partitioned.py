@@ -407,3 +407,86 @@ def events_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+SNAP_DAY_LO = "2024-01-05"
+SNAP_DAY_HI = "2024-01-07"  # inclusive: [LO 00:00, HI+1 00:00)
+
+_SNAPSHOT_PRUNED_ORACLE = f"""
+    SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{SNAP_DAY_LO}' AND DATE '{SNAP_DAY_HI}'
+      AND user_id <= (SELECT CAST(floor(max(user_id) * 0.1) AS BIGINT) FROM events)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def stats_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_stats_lake_{tag}")
+
+
+@query("events_snapshot_pruned", oracle=_SNAPSHOT_PRUNED_ORACLE)
+def events_snapshot_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping (sources/manifest.py snapshot_files)
+    — the read-side payoff of the versioned lake's per-file stats: build
+    a day-partitioned, user-clustered lake whose manifest commits
+    per-file user_id min/max (footer reads over exactly the files the
+    commit wrote), then answer a 2-D slice (3-day window AND
+    bottom-decile users) through `read_snapshot(bounds=...)`, which
+    prunes partitions by directory value and files by committed stats
+    BEFORE Spark lists or opens anything. The oracle runs the identical
+    predicate over the flat table, so a green row proves pruning is a
+    safe superset — the exact filter still applies and no row is lost.
+    The pruning MECHANICS (bounded entry/file counts vs the full
+    manifest) are asserted manifest-in-hand in tests/test_manifest.py.
+
+    Scale posture (100 TB): this is Iceberg's manifest-stats model —
+    plan-time skipping costs O(manifest), not O(files); parquet footer
+    row-group skipping still applies WITHIN every file that survives.
+    Clustering note: per-file user_id stats are only selective because
+    ingest range-clusters users within each day (cluster_col), the same
+    reason z-order exists for the interleaved 2-D case (plans/zorder.py
+    — z-order bounds BOTH dims per file; here the partition value
+    bounds time and the cluster key bounds users)."""
+    from ..sources.manifest import init_versioned_lake, read_snapshot
+
+    root = stats_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    # One 2-row-output pass: the query parameter (decile bound) and the
+    # day count that sizes the range write — within-partition file
+    # splits need more range tasks than partitions (4 files/day here;
+    # at lake scale the multiplier comes from target file size).
+    params = ev.agg(
+        F.max("user_id").alias("mu"), F.countDistinct("event_date").alias("nd")
+    ).collect()[0]
+    u_hi = int(params["mu"] * 0.1)
+    init_versioned_lake(
+        ev,
+        root,
+        "event_date",
+        stats_cols=("user_id",),
+        cluster_col="user_id",
+        cluster_files=int(params["nd"]) * 4,
+    )
+    snap = read_snapshot(
+        spark,
+        root,
+        bounds={"event_date": (SNAP_DAY_LO, SNAP_DAY_HI), "user_id": (None, u_hi)},
+    )
+    return (
+        snap.filter(
+            (F.col("event_date") >= F.lit(SNAP_DAY_LO).cast("date"))
+            & (F.col("event_date") <= F.lit(SNAP_DAY_HI).cast("date"))
+            & (F.col("user_id") <= u_hi)
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -52,23 +52,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver gate budget-caps at ~50 entries and iteration order is part
 # of the contract, so it is explicit. r8 ordering, same invariant since
 # r3 (any query whose plan/oracle changes enters the next gate's top-50):
-# the 18 queries r8 touched or added (the new z-order pair and O(delta)
-# IVF extension with its refactored serving tail; the frame-sample sort
-# drop — plan AND oracle changed; every consumer of the CAS-unified
-# artifact commits: the BM25 persisted-index family on the new
-# scalar-literal serving plan, the CDC merge pair on the
-# delete-contract + pinned-base commit, the LSH-index family on the CAS
-# meta, the bucketed-routing family on the CAS freshness record) plus
-# ALL 31 remaining r5-latest rows — the oldest green rows in the
-# registry, due per VERDICT r7 ask #6 (three more r5 rows,
-# bm25_topk_from_index / hybrid_rrf_from_index / routed_search, are
-# already in via the touched list). 18 + 31 = 49 ≤ the ~50 cap, counted
-# by test_registry's gate-budget assertion. After this gate every
-# latest row is r6 or newer.
+# the 19 queries r8 touched or added (the new z-order pair, the
+# manifest-stats pruned snapshot read, and the O(delta) IVF extension
+# with its refactored serving tail; the frame-sample sort drop — plan
+# AND oracle changed; every consumer of the CAS-unified artifact
+# commits: the BM25 persisted-index family on the new scalar-literal
+# serving plan, the CDC merge pair on the delete-contract + pinned-base
+# commit, the LSH-index family on the CAS meta, the bucketed-routing
+# family on the CAS freshness record) plus ALL 31 remaining r5-latest
+# rows — the oldest green rows in the registry, due per VERDICT r7 ask
+# #6 (three more r5 rows, bm25_topk_from_index / hybrid_rrf_from_index
+# / routed_search, are already in via the touched list). 19 + 31 = 50 ≤
+# the ~50 cap, counted by test_registry's gate-budget assertion. After
+# this gate every latest row is r6 or newer.
 _GATE_PRIORITY = [
     # touched/new in r8
     "events_zorder_pruned",         # NEW r8: z-order clustered layout (2-D pruning)
     "events_zorder_served",         # NEW r8: steady-state face of the z-order pair
+    "events_snapshot_pruned",       # NEW r8: manifest file-stats data skipping
     "ivf_incremental_index",        # NEW r8: O(delta) IVF extension (third index family)
     "media_frame_sample",           # sort dropped both engine sides (plan + oracle changed)
     "ivf_probe_from_index",         # serving tail refactored; build commits CAS meta

@@ -34,6 +34,16 @@ Mechanics here (stdlib-only, single-writer-per-lake documented):
   cost is O(manifest), not O(directory walk) — at 100 TB this is also
   why manifests beat file-system listing for planning, the same
   motivation as Iceberg's.
+- Manifests optionally carry per-FILE column min/max (`stats_cols` at
+  commit time, read from the parquet footers of exactly the files this
+  commit wrote — O(new files), never a table scan). `read_snapshot`
+  accepts `bounds` and prunes at PLAN time: partition entries by their
+  directory value, data files by their committed stats, before Spark
+  ever lists or opens anything — Iceberg-style data skipping, one level
+  above the row-group skipping parquet footers already give the scan.
+  Pruning is a safe superset (files lacking a stat are kept; callers
+  still apply the real filter); at lake scale this is the difference
+  between planning over a manifest and opening 10^6 footers.
 
 Concurrency contract: concurrent commits race on the version slot. The
 loser of the CAS rebases automatically when the interleaved commits
@@ -142,35 +152,195 @@ def _list_partition_files(root: str, partition_col: str) -> dict[str, list[str]]
     return out
 
 
+def _json_stat(v):
+    """A footer statistic as a JSON-safe, order-preserving value: ints,
+    floats and strs pass through; datetimes/dates become ISO strings
+    (lexicographic == chronological at fixed width); anything else
+    (bytes, decimals with unknown scale) returns None = no stat — the
+    file is simply never pruned on that column. Conservative by design:
+    a dropped stat costs a read, a wrong one loses rows."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(
+    root: str, rels: list[str], stats_cols: tuple
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for `stats_cols`, read from parquet footers.
+    Only ever called on the files THIS commit wrote (O(new files), local
+    to the writer — the Iceberg write-side stats model; a distributed
+    writer would emit these from the write tasks instead). Footers are
+    KB-sized; reads fan out on a thread pool. A column missing from a
+    file, or any row group without min/max, yields no stat for that
+    (file, column) — pruning then keeps the file."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    want = set(stats_cols)
+
+    def one(rel: str) -> tuple[str, dict[str, list]]:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        agg: dict[str, list] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in want or name in bad:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+                if lo is None or hi is None:
+                    bad.add(name)
+                    continue
+                if name in agg:
+                    agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
+                else:
+                    agg[name] = [lo, hi]
+        for name in bad:
+            agg.pop(name, None)
+        return rel, agg
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(rels)))) as ex:
+        return {rel: agg for rel, agg in ex.map(one, rels) if agg}
+
+
 def init_versioned_lake(
-    df: DataFrame, root: str, partition_col: str
+    df: DataFrame,
+    root: str,
+    partition_col: str,
+    stats_cols: tuple = (),
+    cluster_col: str | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """v1 bootstrap: write the partitioned lake, commit a manifest
-    naming every file. Overwrites any prior lake at `root`."""
+    naming every file. Overwrites any prior lake at `root`.
+
+    `cluster_col` range-clusters rows WITHIN each partition's files
+    (repartitionByRange on (partition, cluster)), which is what makes
+    per-file min/max on that column selective — the same reason z-order
+    exists for the 2-D case (plans/zorder.py). `cluster_files` sets the
+    range-task count and must EXCEED the partition count for within-
+    partition splits to exist (k files per partition needs ~k×partitions
+    tasks; the default shuffle parallelism rarely does at high partition
+    cardinality). `stats_cols` records per-file min/max for those
+    columns in the manifest so `read_snapshot(bounds=...)` can skip
+    files at plan time."""
     if os.path.isdir(root):
         shutil.rmtree(root)
+    if cluster_col and cluster_files:
+        part = df.repartitionByRange(
+            cluster_files, F.col(partition_col), F.col(cluster_col)
+        )
+    elif cluster_col:
+        part = df.repartitionByRange(F.col(partition_col), F.col(cluster_col))
+    else:
+        part = df.repartition(F.col(partition_col))
     (
-        df.repartition(F.col(partition_col))
-        .write.partitionBy(partition_col)
+        part.write.partitionBy(partition_col)
         .mode("overwrite")
         .parquet(root)
     )
     files = _list_partition_files(root, partition_col)
-    return _commit_manifest(root, {"partition_col": partition_col, "files": files})
+    manifest: dict = {"partition_col": partition_col, "files": files}
+    if stats_cols:
+        rels = [rel for rels_ in files.values() for rel in rels_]
+        manifest["stats"] = _collect_file_stats(root, rels, stats_cols)
+    return _commit_manifest(root, manifest)
 
 
-def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+def _overlaps(lo, hi, b_lo, b_hi) -> bool:
+    """Inclusive interval [lo, hi] intersects inclusive [b_lo, b_hi]
+    (None bound = unbounded). Mixed numeric widths compare natively;
+    everything else must be same-typed (the committed stats and the
+    caller's bounds share a domain by construction)."""
+    if b_lo is not None and hi < b_lo:
+        return False
+    if b_hi is not None and lo > b_hi:
+        return False
+    return True
+
+
+def snapshot_files(manifest: dict, bounds: dict | None = None) -> list[str]:
+    """The snapshot's relative file list, pruned by `bounds`
+    ({col: (lo, hi)} inclusive, None = unbounded): partition entries
+    whose directory VALUE falls outside a bound on the partition column
+    are skipped wholesale; data files whose committed [min, max] for a
+    bounded column misses the interval are skipped. Files or columns
+    without stats are always kept — pruning is a safe superset and the
+    caller still applies the real filter. Pure function of the manifest
+    so tests can assert exactly which files a predicate touches.
+
+    Partition-bound comparison happens in the directory-name STRING
+    domain ('col=value'), so it is only meaningful for partition values
+    whose lexicographic order is their logical order — ISO dates (the
+    lake convention here) and zero-padded ints qualify; bare ints do
+    not. File-stat comparison is in the stats' native (typed) domain."""
+    bounds = bounds or {}
+    part_col = manifest["partition_col"]
+    stats = manifest.get("stats", {})
+    part_bound = bounds.get(part_col)
+    out: list[str] = []
+    for entry in sorted(manifest["files"]):
+        if part_bound is not None:
+            v = _entry_value(entry)
+            if not _overlaps(v, v, str(part_bound[0]) if part_bound[0] is not None else None,
+                             str(part_bound[1]) if part_bound[1] is not None else None):
+                continue
+        for rel in manifest["files"][entry]:
+            keep = True
+            file_stats = stats.get(rel, {})
+            for col, (b_lo, b_hi) in bounds.items():
+                if col == part_col:
+                    continue
+                st = file_stats.get(col)
+                if st is not None and not _overlaps(st[0], st[1], b_lo, b_hi):
+                    keep = False
+                    break
+            if keep:
+                out.append(rel)
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    bounds: dict | None = None,
+) -> DataFrame:
     """The lake as of `version` (default: latest). Resolves the manifest
     to an explicit file list — planning is O(manifest); no directory
     walk; files unreferenced by this version (newer data, vacuum
-    stragglers) are invisible by construction."""
+    stragglers) are invisible by construction. `bounds` prunes the list
+    via the manifest's partition values and per-file stats
+    (snapshot_files) before Spark opens anything — the caller still
+    applies the exact predicate; pruning only shrinks the scan."""
     manifest = _read_manifest(root, version or latest_version(root))
-    paths = [
-        os.path.join(root, rel)
-        for rels in manifest["files"].values()
-        for rel in rels
-    ]
-    return spark.read.option("basePath", root).parquet(*paths)
+    rels = snapshot_files(manifest, bounds)
+    if not rels:
+        # Every file pruned: an empty frame with the snapshot's schema
+        # (resolved from one file + the partition column).
+        all_rels = [r for rs in manifest["files"].values() for r in rs]
+        return (
+            spark.read.option("basePath", root)
+            .parquet(os.path.join(root, all_rels[0]))
+            .limit(0)
+        )
+    return spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, rel) for rel in rels]
+    )
 
 
 class MergeConflictError(RuntimeError):
@@ -187,6 +357,7 @@ def merge_commit(
     changed_partitions: list | None = None,
     max_retries: int = 3,
     base_version: int | None = None,
+    stats_cols: tuple = (),
 ) -> int:
     """Versioned MERGE: stage the new contents of every touched
     partition, HARD-LINK the staged files into the live partition dirs
@@ -226,7 +397,13 @@ def merge_commit(
     re-merge. Data files need no re-staging on rebase: they are already
     linked under collision-free names, and only the manifest pointer
     moves. Staging itself is per-writer (uuid dir), so concurrent
-    disjoint merges never touch each other's staging output."""
+    disjoint merges never touch each other's staging output.
+
+    `stats_cols` records per-file min/max for the NEWLY written files
+    (footer reads, O(new files)); untouched partitions carry their
+    existing stats forward and dropped files lose theirs — so a lake
+    initialized with stats keeps its data-skipping property across
+    every subsequent MERGE."""
     base_v = latest_version(root) if base_version is None else base_version
     base = _read_manifest(root, base_v)
     next_v = base_v + 1
@@ -265,9 +442,16 @@ def merge_commit(
         if _entry_value(e) in {str(v) for v in changed_partitions or []}
         and _entry_value(e) not in staged_values
     }
+    new_stats = (
+        _collect_file_stats(
+            root, [rel for rels in new_entries.values() for rel in rels], stats_cols
+        )
+        if stats_cols
+        else {}
+    )
 
     return _publish_merge(
-        root, partition_col, base_v, base, new_entries, dropped, max_retries
+        root, partition_col, base_v, base, new_entries, dropped, max_retries, new_stats
     )
 
 
@@ -287,24 +471,30 @@ def _publish_merge(
     new_entries: dict[str, list[str]],
     dropped: set[str],
     max_retries: int,
+    new_stats: dict[str, dict[str, list]] | None = None,
 ) -> int:
     """The optimistic-concurrency publish loop (separated from the
     staging/linking so the interleaving can be tested directly): commit
     this merge's partition changes on top of `base_v`; on a lost CAS,
     rebase onto the new head when the interleaved commits touched only
-    DISJOINT partitions, raise MergeConflictError when one touched ours."""
+    DISJOINT partitions, raise MergeConflictError when one touched ours.
+    File stats follow the file list: carried entries keep the base's
+    stats, new files contribute `new_stats`, and stats for files no
+    longer referenced are dropped with them (recomputed on rebase from
+    the new head, same as the file list)."""
     touched = set(new_entries) | dropped
     for _ in range(max_retries + 1):
         files = dict(base["files"])
         files.update(new_entries)
         for entry in dropped:
             files.pop(entry, None)
+        manifest = {"partition_col": partition_col, "files": files}
+        stats = {**base.get("stats", {}), **(new_stats or {})}
+        if stats:
+            live = {rel for rels in files.values() for rel in rels}
+            manifest["stats"] = {r: s for r, s in stats.items() if r in live}
         try:
-            return _commit_manifest(
-                root,
-                {"partition_col": partition_col, "files": files},
-                base_version=base_v,
-            )
+            return _commit_manifest(root, manifest, base_version=base_v)
         except ConcurrentCommitError:
             new_head = latest_version(root)
             head = _read_manifest(root, new_head)

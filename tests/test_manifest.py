@@ -295,3 +295,124 @@ def test_vacuum_retention(spark, lake):
     # deleted files are exactly v1-only data (touched partitions' originals)
     touched = {f"event_date={TARGET_DAY}", "event_date=2024-01-16"}
     assert {rel.split(os.sep)[0] for rel in deleted} == touched
+
+
+def test_file_stats_pruning_mechanics(spark, tmp_path):
+    """The data-skipping property the gate row can't see: a clustered
+    stats lake's manifest prunes partition entries by directory value
+    and files by committed user_id min/max — and pruning is a safe
+    superset (pruned read ≡ full read under the same exact filter)."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        _read_manifest,
+        snapshot_files,
+    )
+
+    root = str(tmp_path / "stats_lake")
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    n_days = ev.select("event_date").distinct().count()
+    assert (
+        init_versioned_lake(
+            ev,
+            root,
+            "event_date",
+            stats_cols=("user_id",),
+            cluster_col="user_id",
+            cluster_files=n_days * 4,
+        )
+        == 1
+    )
+    m = _read_manifest(root, 1)
+    all_files = snapshot_files(m)
+    assert len(all_files) > n_days  # within-partition splits exist
+    assert set(m.get("stats", {})) == set(all_files)  # every file has stats
+
+    # Partition-value pruning: a 3-day window keeps only those entries.
+    window = ("2024-01-05", "2024-01-07")
+    day_files = snapshot_files(m, {"event_date": window})
+    kept_days = {f.split("/")[0] for f in day_files}
+    assert kept_days == {
+        e for e in m["files"] if window[0] <= e.split("=")[1] <= window[1]
+    }
+
+    # File-stat pruning: a bottom-decile user bound drops files whose
+    # committed [min,max] misses it — strictly fewer than the window's.
+    u_hi = int(ev.agg(F.max("user_id")).collect()[0][0] * 0.1)
+    both = snapshot_files(m, {"event_date": window, "user_id": (None, u_hi)})
+    assert len(both) < len(day_files)
+    # Safe superset: pruned read + exact filter ≡ full read + exact filter.
+    pred = (
+        (F.col("event_date") >= F.lit(window[0]).cast("date"))
+        & (F.col("event_date") <= F.lit(window[1]).cast("date"))
+        & (F.col("user_id") <= u_hi)
+    )
+    full = read_snapshot(spark, root).filter(pred)
+    pruned = read_snapshot(
+        spark, root, bounds={"event_date": window, "user_id": (None, u_hi)}
+    ).filter(pred)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_snapshot_files_keeps_unstatted_files():
+    """Files or columns without committed stats are never pruned —
+    conservative by construction."""
+    from etl_pdf_pipepline_spark.sources.manifest import snapshot_files
+
+    m = {
+        "partition_col": "d",
+        "files": {"d=a": ["d=a/f1.parquet", "d=a/f2.parquet"]},
+        "stats": {"d=a/f1.parquet": {"x": [100, 200]}},
+    }
+    # f1 pruned by its stats; f2 (no stats) survives any bound on x.
+    assert snapshot_files(m, {"x": (0, 50)}) == ["d=a/f2.parquet"]
+    # bound on a column with no stats anywhere: nothing pruned
+    assert snapshot_files(m, {"y": (0, 1)}) == sorted(m["files"]["d=a"])
+
+
+def test_merge_commit_propagates_file_stats(spark, lake):
+    """A stats-carrying lake keeps its data-skipping property across a
+    MERGE: new files gain footer stats, carried entries keep theirs,
+    dropped files lose theirs."""
+    from etl_pdf_pipepline_spark.sources.manifest import _read_manifest
+
+    root, ev = lake
+    # rebuild the fixture lake WITH stats so v1 carries them
+    assert (
+        init_versioned_lake(ev, root, "event_date", stats_cols=("user_id",)) == 1
+    )
+    v1 = _read_manifest(root, 1)
+    assert v1.get("stats")
+
+    upserts, inserts, deletes = _merge_cdc_batch(ev)
+    lake_df = read_snapshot(spark, root)
+    days = [
+        r[0]
+        for r in upserts.select("event_date")
+        .unionByName(inserts.select("event_date"))
+        .unionByName(deletes.select("event_date"))
+        .distinct()
+        .collect()
+    ]
+    slice_ = lake_df.filter(F.col("event_date").isin(days))
+    dead = upserts.select("event_id").unionByName(deletes.select("event_id")).distinct()
+    merged = (
+        slice_.join(dead, "event_id", "left_anti")
+        .unionByName(upserts.join(deletes.select("event_id"), "event_id", "left_anti"))
+        .unionByName(inserts)
+    )
+    assert (
+        merge_commit(
+            merged, root, "event_date", changed_partitions=days,
+            stats_cols=("user_id",),
+        )
+        == 2
+    )
+    v2 = _read_manifest(root, 2)
+    live = {rel for rels in v2["files"].values() for rel in rels}
+    # every live file has stats, and no dead file leaks a stats entry
+    assert set(v2["stats"]) == live
+    # carried (untouched) entries kept their v1 stats verbatim
+    touched_entries = {f"event_date={d}" for d in days}
+    for entry, rels in v2["files"].items():
+        if entry not in touched_entries:
+            for rel in rels:
+                assert v2["stats"][rel] == v1["stats"][rel]
