@@ -490,3 +490,77 @@ def events_snapshot_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+_SCHEMA_EVOLUTION_ORACLE = f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CASE WHEN CAST(ts AS DATE) = DATE '{TARGET_DAY}'
+                THEN CASE WHEN user_id % 2 = 0 THEN 'app' ELSE 'web' END
+                ELSE 'legacy' END AS channel,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{TARGET_DAY}' - 1 AND DATE '{TARGET_DAY}' + 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def evo_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_evo_lake_{tag}")
+
+
+@query("events_schema_evolution", oracle=_SCHEMA_EVOLUTION_ORACLE)
+def events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution on the versioned lake
+    (sources/manifest.py): v1 is the plain events lake; a MERGE rewrites
+    ONE day's partition with a new `channel` column, committing the
+    widened schema in the manifest. The latest snapshot then reads the
+    WHOLE lake through the committed schema — the rewritten day carries
+    real values, every untouched day's pre-evolution files project the
+    column as null (no rewrite of 29/30 of the lake, the whole point of
+    in-place evolution) — and a 3-day rollup spanning evolved and
+    legacy days proves both paths in one result. The oracle computes
+    the identical CASE over the flat table. Add-only validation
+    (drops/retypes raise before staging I/O) and time travel at the old
+    width (v1 re-read has no `channel`) are asserted in
+    tests/test_manifest.py.
+
+    Scale posture (100 TB): evolution cost is O(rewritten partitions) +
+    one manifest commit — never O(table); reads stay O(manifest) with
+    the schema a literal in the metadata (no footer sampling, which at
+    10^6 files is a real planning cost Spark's mergeSchema pays)."""
+    from ..sources.manifest import init_versioned_lake, merge_commit, read_snapshot
+
+    root = evo_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+
+    day = F.lit(TARGET_DAY).cast("date")
+    evolved = (
+        read_snapshot(spark, root)
+        .filter(F.col("event_date") == day)
+        .withColumn(
+            "channel",
+            F.when(F.col("user_id") % 2 == 0, F.lit("app")).otherwise(F.lit("web")),
+        )
+    )
+    merge_commit(evolved, root, "event_date", changed_partitions=[TARGET_DAY])
+
+    snap = read_snapshot(spark, root)
+    return (
+        snap.filter(
+            (F.col("event_date") >= F.date_sub(day, 1))
+            & (F.col("event_date") <= F.date_add(day, 1))
+        )
+        .groupBy(
+            "event_date", F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_date", "channel")
+    )

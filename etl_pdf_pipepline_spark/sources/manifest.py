@@ -44,6 +44,12 @@ Mechanics here (stdlib-only, single-writer-per-lake documented):
   Pruning is a safe superset (files lacking a stat are kept; callers
   still apply the real filter); at lake scale this is the difference
   between planning over a manifest and opening 10^6 footers.
+- Manifests carry the table SCHEMA as of each version. Reads pass it
+  explicitly (no inference over footers — itself a planning cost at
+  10^6 files), so an add-column MERGE evolves the table in place: old
+  files project the added columns as null, old versions time-travel at
+  their old width, and drops/retypes raise SchemaEvolutionError before
+  any staging I/O (add-only evolution, the Delta/Iceberg default).
 
 Concurrency contract: concurrent commits race on the version slot. The
 loser of the CAS rebases automatically when the interleaved commits
@@ -254,7 +260,11 @@ def init_versioned_lake(
         .parquet(root)
     )
     files = _list_partition_files(root, partition_col)
-    manifest: dict = {"partition_col": partition_col, "files": files}
+    manifest: dict = {
+        "partition_col": partition_col,
+        "files": files,
+        "schema": df.schema.jsonValue(),
+    }
     if stats_cols:
         rels = [rel for rels_ in files.values() for rel in rels_]
         manifest["stats"] = _collect_file_stats(root, rels, stats_cols)
@@ -326,21 +336,53 @@ def read_snapshot(
     stragglers) are invisible by construction. `bounds` prunes the list
     via the manifest's partition values and per-file stats
     (snapshot_files) before Spark opens anything — the caller still
-    applies the exact predicate; pruning only shrinks the scan."""
+    applies the exact predicate; pruning only shrinks the scan.
+
+    When the manifest carries a committed schema (every commit since
+    schema tracking), the read passes it explicitly: no footer sampling
+    for inference (at 10^6 files that is itself a planning cost), and
+    files written BEFORE an add-column evolution project the added
+    columns as null — reads are always in the schema as of `version`,
+    so time travel returns the old width for old versions."""
     manifest = _read_manifest(root, version or latest_version(root))
     rels = snapshot_files(manifest, bounds)
+    reader = spark.read.option("basePath", root)
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
     if not rels:
         # Every file pruned: an empty frame with the snapshot's schema
         # (resolved from one file + the partition column).
         all_rels = [r for rs in manifest["files"].values() for r in rs]
-        return (
-            spark.read.option("basePath", root)
-            .parquet(os.path.join(root, all_rels[0]))
-            .limit(0)
-        )
-    return spark.read.option("basePath", root).parquet(
-        *[os.path.join(root, rel) for rel in rels]
-    )
+        return reader.parquet(os.path.join(root, all_rels[0])).limit(0)
+    return reader.parquet(*[os.path.join(root, rel) for rel in rels])
+
+
+class SchemaEvolutionError(RuntimeError):
+    """The merged slice's schema is not a valid evolution of the
+    table's committed schema: it drops or retypes an existing column.
+    Only nullable column ADDITIONS evolve a lake in place — anything
+    else needs a rewrite, same contract as Delta/Iceberg's
+    add-column-only default."""
+
+
+def _check_schema_evolution(old: dict, new: dict) -> None:
+    """Every committed field must survive into the new schema with the
+    same type (new fields may appear anywhere — they read as null from
+    pre-evolution files)."""
+    new_fields = {f["name"]: f["type"] for f in new.get("fields", [])}
+    for f in old.get("fields", []):
+        if f["name"] not in new_fields:
+            raise SchemaEvolutionError(
+                f"column '{f['name']}' present in the committed schema is "
+                "missing from the merged slice; drops don't evolve in place"
+            )
+        if new_fields[f["name"]] != f["type"]:
+            raise SchemaEvolutionError(
+                f"column '{f['name']}' retyped {f['type']!r} -> "
+                f"{new_fields[f['name']]!r}; retypes don't evolve in place"
+            )
 
 
 class MergeConflictError(RuntimeError):
@@ -406,6 +448,13 @@ def merge_commit(
     every subsequent MERGE."""
     base_v = latest_version(root) if base_version is None else base_version
     base = _read_manifest(root, base_v)
+    # Schema evolution: the merged slice's schema becomes the table's —
+    # validated add-only against the committed one, BEFORE any staging
+    # I/O. Old files read through the new schema project added columns
+    # as null (read_snapshot passes the committed schema explicitly).
+    new_schema = merged_slice.schema.jsonValue()
+    if "schema" in base:
+        _check_schema_evolution(base["schema"], new_schema)
     next_v = base_v + 1
     staging = f"{root.rstrip('/')}__version_staging-{uuid.uuid4().hex}"
     (
@@ -451,7 +500,15 @@ def merge_commit(
     )
 
     return _publish_merge(
-        root, partition_col, base_v, base, new_entries, dropped, max_retries, new_stats
+        root,
+        partition_col,
+        base_v,
+        base,
+        new_entries,
+        dropped,
+        max_retries,
+        new_stats,
+        new_schema,
     )
 
 
@@ -472,6 +529,7 @@ def _publish_merge(
     dropped: set[str],
     max_retries: int,
     new_stats: dict[str, dict[str, list]] | None = None,
+    new_schema: dict | None = None,
 ) -> int:
     """The optimistic-concurrency publish loop (separated from the
     staging/linking so the interleaving can be tested directly): commit
@@ -481,7 +539,10 @@ def _publish_merge(
     File stats follow the file list: carried entries keep the base's
     stats, new files contribute `new_stats`, and stats for files no
     longer referenced are dropped with them (recomputed on rebase from
-    the new head, same as the file list)."""
+    the new head, same as the file list). The merged slice's schema is
+    re-validated against each rebase head — two writers concurrently
+    adding DIFFERENT columns is a conflicting evolution and raises
+    (this writer's slice lacks the other's column)."""
     touched = set(new_entries) | dropped
     for _ in range(max_retries + 1):
         files = dict(base["files"])
@@ -489,6 +550,8 @@ def _publish_merge(
         for entry in dropped:
             files.pop(entry, None)
         manifest = {"partition_col": partition_col, "files": files}
+        if new_schema is not None:
+            manifest["schema"] = new_schema
         stats = {**base.get("stats", {}), **(new_stats or {})}
         if stats:
             live = {rel for rels in files.values() for rel in rels}
@@ -498,6 +561,8 @@ def _publish_merge(
         except ConcurrentCommitError:
             new_head = latest_version(root)
             head = _read_manifest(root, new_head)
+            if new_schema is not None and "schema" in head:
+                _check_schema_evolution(head["schema"], new_schema)
             conflicting = [
                 e
                 for e in touched

@@ -416,3 +416,56 @@ def test_merge_commit_propagates_file_stats(spark, lake):
         if entry not in touched_entries:
             for rel in rels:
                 assert v2["stats"][rel] == v1["stats"][rel]
+
+
+def test_schema_evolution_add_column(spark, lake):
+    """Add-column evolution: one partition rewritten with the new
+    column, untouched partitions project null through the committed
+    schema, and time travel reads v1 at its OLD width."""
+    root, ev = lake
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    evolved = (
+        read_snapshot(spark, root)
+        .filter(day)
+        .withColumn("channel", F.lit("app"))
+    )
+    assert (
+        merge_commit(evolved, root, "event_date", changed_partitions=[TARGET_DAY]) == 2
+    )
+
+    snap = read_snapshot(spark, root)
+    assert "channel" in snap.columns
+    # evolved day: real values; untouched days: null-projected
+    assert snap.filter(day & F.col("channel").isNull()).count() == 0
+    assert snap.filter(~day & F.col("channel").isNotNull()).count() == 0
+    assert snap.filter(~day).count() > 0  # untouched rows actually read
+    # time travel: v1 has no channel column at all
+    assert "channel" not in read_snapshot(spark, root, 1).columns
+
+
+def test_schema_evolution_rejects_drop_and_retype(spark, lake):
+    """Drops and retypes are not in-place evolutions: both raise before
+    any staging I/O and commit nothing."""
+    from etl_pdf_pipepline_spark.sources.manifest import SchemaEvolutionError
+
+    root, ev = lake
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    v_before = latest_version(root)
+
+    with pytest.raises(SchemaEvolutionError, match="missing"):
+        merge_commit(
+            read_snapshot(spark, root).filter(day).drop("value"),
+            root,
+            "event_date",
+            changed_partitions=[TARGET_DAY],
+        )
+    with pytest.raises(SchemaEvolutionError, match="retyped"):
+        merge_commit(
+            read_snapshot(spark, root)
+            .filter(day)
+            .withColumn("value", F.col("value").cast("string")),
+            root,
+            "event_date",
+            changed_partitions=[TARGET_DAY],
+        )
+    assert latest_version(root) == v_before  # nothing committed
