@@ -564,3 +564,55 @@ def events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "channel")
     )
+
+
+_OPTIMIZE_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """
+
+
+def optimize_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_opt_lake_{tag}")
+
+
+@query("events_lake_optimize", oracle=_OPTIMIZE_ORACLE)
+def events_lake_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the versioned lake (sources/manifest.py
+    optimize_commit) — the versioned twin of events_lake_compaction's
+    side-path rewrite: v1 is a deliberately fragmented lake (range-split
+    ingest, several files per day), v2 is its one-file-per-partition
+    compaction published as an atomic manifest commit, and the query
+    answers a FULL-table rollup from the optimized snapshot. The
+    flat-table oracle makes the row the strongest possible equality
+    check: compaction that loses, duplicates, or mutates even one row
+    anywhere in the lake goes red. File-count mechanics (>1 per
+    partition before, ==1 after, small files still readable at v1) are
+    asserted in tests/test_manifest.py.
+
+    This completes the lake's maintenance lifecycle on ONE commit
+    protocol: init → CDC MERGE → schema evolution → OPTIMIZE → vacuum,
+    every step an atomic manifest version with time travel across it."""
+    from ..sources.manifest import init_versioned_lake, optimize_commit, read_snapshot
+
+    root = optimize_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    nd = ev.select(F.countDistinct("event_date")).collect()[0][0]
+    init_versioned_lake(
+        ev, root, "event_date", cluster_col="user_id", cluster_files=int(nd) * 4
+    )
+    optimize_commit(spark, root)
+    return (
+        read_snapshot(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

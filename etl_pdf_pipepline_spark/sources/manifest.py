@@ -28,6 +28,9 @@ Mechanics here (stdlib-only, single-writer-per-lake documented):
   partitions at the new files and carries the untouched partitions'
   entries forward. Old snapshots stay fully readable — time travel —
   until `vacuum` deletes files no kept manifest references.
+  `optimize_commit` (small-file compaction) is the same machinery with
+  the partitions' own contents as the slice — rows identical, one file
+  per partition, atomic, safe beside concurrent disjoint ingest.
 - Reads go through `read_snapshot`: resolve manifest → explicit file
   list → `spark.read.option("basePath", root).parquet(*files)` (basePath
   keeps partition-column recovery from the directory names). Listing
@@ -578,6 +581,50 @@ def _publish_merge(
     raise ConcurrentCommitError(
         f"gave up after {max_retries} rebases at {root}: the version slot "
         "kept being claimed by other writers"
+    )
+
+
+def optimize_commit(
+    spark: SparkSession,
+    root: str,
+    partition_values: list | None = None,
+    stats_cols: tuple = (),
+) -> int:
+    """OPTIMIZE: compact the current snapshot's files to one per
+    partition, published as a new manifest version — rows identical,
+    layout better. Built ON merge_commit: the 'merged slice' is the
+    partitions' own current contents (repartitioned onto the partition
+    column → one write task → one file each), the base is pinned at the
+    snapshot that was read, so data landing concurrently in an optimized
+    partition raises MergeConflictError instead of being compacted away
+    (and concurrent writes to OTHER partitions rebase cleanly — a real
+    lake runs compaction and ingest side by side). Readers of older
+    versions still see the small files (time travel); vacuum reclaims
+    them once the retention window passes.
+
+    `partition_values` scopes the rewrite (default: every partition);
+    `stats_cols` recomputes per-file stats for the compacted files so a
+    stats-carrying lake keeps its data-skipping property. Cost is
+    O(rewritten partitions) — a 100 TB lake compacts yesterday's ingest
+    without touching years of history, and each partition's rewrite is
+    an independent task (cluster-parallel, no cross-partition shuffle
+    beyond the one partition-column exchange)."""
+    base_v = latest_version(root)
+    manifest = _read_manifest(root, base_v)
+    part_col = manifest["partition_col"]
+    snap = read_snapshot(spark, root, base_v)
+    if partition_values is not None:
+        values = [str(v) for v in partition_values]
+        snap = snap.filter(F.col(part_col).cast("string").isin(values))
+    else:
+        values = sorted({_entry_value(e) for e in manifest["files"]})
+    return merge_commit(
+        snap,
+        root,
+        part_col,
+        changed_partitions=values,
+        base_version=base_v,
+        stats_cols=stats_cols,
     )
 
 

@@ -469,3 +469,34 @@ def test_schema_evolution_rejects_drop_and_retype(spark, lake):
             changed_partitions=[TARGET_DAY],
         )
     assert latest_version(root) == v_before  # nothing committed
+
+
+def test_optimize_compacts_atomically(spark, tmp_path):
+    """OPTIMIZE: >1 file per partition before, ==1 after, rows
+    bit-identical, the fragmented layout still readable at the old
+    version, and per-file stats recomputed for the compacted files."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        _read_manifest,
+        optimize_commit,
+    )
+
+    root = str(tmp_path / "opt_lake")
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    nd = ev.select("event_date").distinct().count()
+    init_versioned_lake(
+        ev, root, "event_date", stats_cols=("user_id",),
+        cluster_col="user_id", cluster_files=nd * 4,
+    )
+    v1 = _read_manifest(root, 1)
+    assert any(len(rels) > 1 for rels in v1["files"].values())  # fragmented
+    before = sorted(tuple(r) for r in read_snapshot(spark, root).collect())
+
+    assert optimize_commit(spark, root, stats_cols=("user_id",)) == 2
+    v2 = _read_manifest(root, 2)
+    assert all(len(rels) == 1 for rels in v2["files"].values())  # compacted
+    assert sorted(tuple(r) for r in read_snapshot(spark, root).collect()) == before
+    # the old fragmented snapshot still reads (time travel)
+    assert sorted(tuple(r) for r in read_snapshot(spark, root, 1).collect()) == before
+    # stats follow the rewrite: exactly the live files, none stale
+    live = {rel for rels in v2["files"].values() for rel in rels}
+    assert set(v2["stats"]) == live
