@@ -124,15 +124,17 @@ _GATE_PRIORITY = [
     "streaming_session_counts",
     # ---- 50 entries; driver caps at ~50 ----
     # Below the cut: everything r6/r7-latest and untouched this round.
-    # events_schema_evolution and events_lake_optimize are NEW late-r8
-    # with the top-50 already full; per the standing invariant they
-    # enter r9's top-50. Their machinery (schema-carrying manifests,
-    # schema-driven snapshot reads, merge_commit staging/publish) IS
-    # driver-gated this round through events_versioned_merge and
-    # events_snapshot_pruned, whose plans share it; both new rows are
-    # check_oracle-green in-session (tools/check_oracle).
+    # events_schema_evolution, events_lake_optimize and
+    # streaming_versioned_ingest are NEW late-r8 with the top-50 already
+    # full; per the standing invariant they enter r9's top-50. Their
+    # machinery (schema-carrying manifests, schema-driven snapshot
+    # reads, merge_commit staging/publish) IS driver-gated this round
+    # through events_versioned_merge and events_snapshot_pruned, whose
+    # plans share it; all three new rows are check_oracle-green
+    # in-session (tools/check_oracle).
     "events_schema_evolution",
     "events_lake_optimize",
+    "streaming_versioned_ingest",
     "revenue_by_nation_scan",
     "shipping_priority_scan",
     "media_image_features",

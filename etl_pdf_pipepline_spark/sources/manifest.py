@@ -584,6 +584,107 @@ def _publish_merge(
     )
 
 
+def append_commit(
+    batch_df: DataFrame,
+    root: str,
+    partition_col: str,
+    txn: tuple[str, int] | None = None,
+    stats_cols: tuple = (),
+    max_retries: int = 10,
+) -> int:
+    """Append-only commit — the streaming-sink verb: link the batch's
+    files into their partition dirs and publish a manifest whose touched
+    entries are EXTENDED (old files carried + new added), never
+    replaced. Appends commute, so a lost CAS always rebases and retries
+    — there is no MergeConflictError here by construction, which is why
+    a continuous ingest can run beside CDC merges and OPTIMIZE.
+
+    `txn` = (app_id, batch_id) is the idempotence ledger (Delta's
+    txnAppId/txnVersion): the manifest records the highest batch_id
+    committed per app, and a replayed batch (foreachBatch re-delivery
+    after a restart — Structured Streaming is at-least-once into
+    foreachBatch) is detected and skipped, upgrading the sink to
+    exactly-once across restarts. A replay detected AFTER this writer
+    staged its files leaves orphans no manifest references; vacuum
+    reclaims them, same as any aborted commit.
+
+    Bootstraps an empty lake (no manifest yet) from the first batch.
+    Schema follows the same add-only evolution contract as MERGE."""
+    base_v = latest_version(root)
+    base = (
+        _read_manifest(root, base_v)
+        if base_v > 0
+        else {"partition_col": partition_col, "files": {}}
+    )
+    new_schema = batch_df.schema.jsonValue()
+    if txn is not None and int(base.get("txn", {}).get(txn[0], -1)) >= int(txn[1]):
+        return base_v  # duplicate delivery: this batch already committed
+    if "schema" in base:
+        _check_schema_evolution(base["schema"], new_schema)
+
+    staging = f"{root.rstrip('/')}__append_staging-{uuid.uuid4().hex}"
+    (
+        batch_df.repartition(F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    new_entries: dict[str, list[str]] = {}
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith(partition_col + "="):
+            continue
+        live_dir = os.path.join(root, entry)
+        os.makedirs(live_dir, exist_ok=True)
+        new_rels = []
+        for f in sorted(os.listdir(os.path.join(staging, entry))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"a{base_v + 1:08d}-{f}"  # unique via the part-file UUID
+            os.link(os.path.join(staging, entry, f), os.path.join(live_dir, name))
+            new_rels.append(os.path.join(entry, name))
+        if new_rels:
+            new_entries[entry] = new_rels
+    shutil.rmtree(staging)
+    new_stats = (
+        _collect_file_stats(
+            root, [rel for rels in new_entries.values() for rel in rels], stats_cols
+        )
+        if stats_cols
+        else {}
+    )
+
+    for _ in range(max_retries + 1):
+        if txn is not None and int(base.get("txn", {}).get(txn[0], -1)) >= int(txn[1]):
+            return latest_version(root)  # lost a race to our own replay
+        if "schema" in base:
+            _check_schema_evolution(base["schema"], new_schema)
+        files = {e: list(rels) for e, rels in base["files"].items()}
+        for entry, rels in new_entries.items():
+            files[entry] = sorted(files.get(entry, []) + rels)
+        manifest: dict = {
+            "partition_col": partition_col,
+            "files": files,
+            "schema": new_schema,
+        }
+        if txn is not None:
+            manifest["txn"] = {**base.get("txn", {}), txn[0]: int(txn[1])}
+        elif "txn" in base:
+            manifest["txn"] = base["txn"]
+        stats = {**base.get("stats", {}), **new_stats}
+        if stats:
+            live = {rel for rels in files.values() for rel in rels}
+            manifest["stats"] = {r: s for r, s in stats.items() if r in live}
+        try:
+            return _commit_manifest(root, manifest, base_version=base_v)
+        except ConcurrentCommitError:
+            base_v = latest_version(root)
+            base = _read_manifest(root, base_v)  # appends commute: rebase
+    raise ConcurrentCommitError(
+        f"gave up after {max_retries} rebases at {root}: the version slot "
+        "kept being claimed by other writers"
+    )
+
+
 def optimize_commit(
     spark: SparkSession,
     root: str,

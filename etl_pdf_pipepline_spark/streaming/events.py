@@ -374,3 +374,61 @@ def streaming_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("streaming_versioned_ingest", oracle=_DAY_ROLLUP_ORACLE)
+def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGEST into the MANIFEST-VERSIONED lake — the
+    table-format twin of streaming_partitioned_ingest: foreachBatch
+    lands every micro-batch through manifest.append_commit, so each
+    batch becomes one atomic manifest version (readers see whole
+    batches or nothing, across every partition the batch touches — the
+    cross-partition atomicity the parquet-sink twin cannot give), and
+    the (app_id, batch_id) transaction ledger makes re-delivered
+    batches no-ops: Structured Streaming is at-least-once into
+    foreachBatch, the ledger upgrades the sink to exactly-once across
+    restarts (replay idempotence is asserted manifest-in-hand in
+    tests/test_manifest.py). Gated against the SAME flat-table oracle
+    as the other two ingest faces, so a green row proves
+    stream-versioned ≡ stream-parquet ≡ batch ≡ flat scan.
+
+    Scale posture (100 TB): appends commute, so the commit loop always
+    rebases on a lost CAS — continuous ingest runs beside CDC MERGE and
+    OPTIMIZE without conflict classes; per-batch cost is O(batch files)
+    staging + one manifest link; snapshot reads stay O(manifest)."""
+    import hashlib
+    import shutil
+
+    from ..functions.money import cents as _cents
+    from ..plans.partitioned import TARGET_DAY
+    from ..sources.manifest import append_commit, read_snapshot
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = os.path.join(repo_root, "spark-warehouse", f"stream_events_vlake_{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh deterministic ingest per gate run
+    root = os.path.join(base, "table")
+
+    ev = stream_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    q = (
+        ev.writeStream.foreachBatch(
+            lambda batch, bid: append_commit(
+                batch, root, "event_date", txn=("events_ingest", bid)
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    snap = read_snapshot(spark, root)
+    return (
+        snap.filter(F.col("event_date") == F.lit(TARGET_DAY).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -500,3 +500,45 @@ def test_optimize_compacts_atomically(spark, tmp_path):
     # stats follow the rewrite: exactly the live files, none stale
     live = {rel for rels in v2["files"].values() for rel in rels}
     assert set(v2["stats"]) == live
+
+
+def test_append_commit_extends_and_replay_is_noop(spark, lake):
+    """append_commit: touched entries EXTENDED (old files carried),
+    the (app, batch_id) ledger makes a replayed batch a no-op, and a
+    LATER batch from the same app lands."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        _read_manifest,
+        append_commit,
+    )
+
+    root, ev = lake
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    batch = ev.filter(day & (F.col("user_id") % 5 == 0))
+    n_batch = batch.count()
+    n_before = read_snapshot(spark, root).count()
+    v1_files = _read_manifest(root, 1)["files"]
+
+    assert append_commit(batch, root, "event_date", txn=("app", 0)) == 2
+    v2 = _read_manifest(root, 2)
+    entry = f"event_date={TARGET_DAY}"
+    assert set(v1_files[entry]) < set(v2["files"][entry])  # extended, not replaced
+    assert read_snapshot(spark, root).count() == n_before + n_batch
+    assert v2["txn"] == {"app": 0}
+
+    # replay of batch 0: version unchanged, no duplicate rows
+    assert append_commit(batch, root, "event_date", txn=("app", 0)) == 2
+    assert read_snapshot(spark, root).count() == n_before + n_batch
+    # batch 1 lands
+    assert append_commit(batch, root, "event_date", txn=("app", 1)) == 3
+    assert read_snapshot(spark, root).count() == n_before + 2 * n_batch
+
+
+def test_append_commit_bootstraps_empty_lake(spark, tmp_path):
+    """The first streamed batch creates the lake: no init required."""
+    from etl_pdf_pipepline_spark.sources.manifest import append_commit
+
+    root = str(tmp_path / "boot_lake")
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    first = ev.filter(F.col("event_date") == F.lit(TARGET_DAY).cast("date"))
+    assert append_commit(first, root, "event_date", txn=("boot", 0)) == 1
+    assert read_snapshot(spark, root).count() == first.count()
