@@ -542,3 +542,37 @@ def test_append_commit_bootstraps_empty_lake(spark, tmp_path):
     first = ev.filter(F.col("event_date") == F.lit(TARGET_DAY).cast("date"))
     assert append_commit(first, root, "event_date", txn=("boot", 0)) == 1
     assert read_snapshot(spark, root).count() == first.count()
+
+
+def test_concurrent_appends_both_land(spark, lake):
+    """Appends commute: two writers appending to the SAME partition
+    concurrently must both commit (the loser of the version-slot CAS
+    rebases — there is no conflict class for appends), and the final
+    snapshot carries both batches exactly once."""
+    import threading
+
+    from etl_pdf_pipepline_spark.sources.manifest import append_commit
+
+    root, ev = lake
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    n_before = read_snapshot(spark, root).count()
+    batches = [
+        ev.filter(day & (F.col("user_id") % 5 == k)) for k in (0, 1)
+    ]
+    counts = [b.count() for b in batches]
+    errors = []
+
+    def worker(k):
+        try:
+            append_commit(batches[k], root, "event_date", txn=(f"w{k}", 0))
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert latest_version(root) == 3  # base + two commits
+    assert read_snapshot(spark, root).count() == n_before + sum(counts)

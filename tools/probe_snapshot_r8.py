@@ -63,6 +63,47 @@ def _slice_agg(df, u_hi):
     )
 
 
+def ingest(sf_dirs):
+    """Price the manifest protocol's streaming-ingest overhead: the
+    same availableNow file stream landed through (a) the plain
+    checkpointed parquet sink and (b) foreachBatch -> append_commit
+    (atomic versioned batches + txn ledger). The delta is what
+    exactly-once table-format ingest costs over raw file append."""
+    import shutil
+    import uuid as _uuid
+
+    from etl_pdf_pipepline_spark.sources.manifest import append_commit
+    from etl_pdf_pipepline_spark.streaming.events import stream_events
+
+    for sf_dir in sf_dirs:
+        spark = get_spark(f"probe_ingest_{os.path.basename(sf_dir)}", data_dir=sf_dir)
+        for mode in ("parquet_sink", "append_commit"):
+            base = f"/tmp/probe_ingest_{_uuid.uuid4().hex}"
+            ev = stream_events(spark, sf_dir).withColumn(
+                "event_date", F.to_date("ts")
+            )
+            t0 = time.time()
+            w = ev.writeStream
+            if mode == "parquet_sink":
+                w = w.format("parquet").option("path", f"{base}/data").partitionBy(
+                    "event_date"
+                ).outputMode("append")
+            else:
+                root = f"{base}/table"
+                w = w.foreachBatch(
+                    lambda b, i: append_commit(b, root, "event_date", txn=("p", i))
+                )
+            q = (
+                w.option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            print(f"{sf_dir} {mode}: {time.time() - t0:.2f}s", flush=True)
+            shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 def main(sf_dirs):
     for sf_dir in sf_dirs:
         spark = get_spark(f"probe_snap_{os.path.basename(sf_dir)}", data_dir=sf_dir)
@@ -124,4 +165,7 @@ def main(sf_dirs):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["/root/repo/.scale/sf30"])
+    if sys.argv[1:2] == ["ingest"]:
+        ingest(sys.argv[2:] or ["/root/repo/.scale/sf30"])
+    else:
+        main(sys.argv[1:] or ["/root/repo/.scale/sf30"])
