@@ -1,0 +1,221 @@
+"""Incremental materialized-view maintenance on the versioned lake
+(round 8) — the serve-marginal lifecycle, applied to AGGREGATES.
+
+Every persisted artifact in this repo now follows build-once /
+serve-marginal / invalidate-on-change (LSH band index, BM25 postings,
+IVF centroids, the bucketed fact layout). This module closes the last
+family: a materialized AGGREGATE over the lake. The reference keeps its
+stats endpoint cheap by querying a row store
+(/root/reference/src/api/routes/documents.py stats route); at 100 TB the
+equivalent rollup is a full fact scan per refresh unless maintenance is
+incremental.
+
+The design is partition-scoped incremental view maintenance (the
+Hive/BigQuery MV model, which is the one that stays EXACT under
+update/delete CDC without retraction bookkeeping):
+
+- the view is `events` rolled up to (event_date, event_type) with exact
+  integer-cent totals, stored as its OWN versioned lake partitioned on
+  event_date (same manifest CAS commit protocol as the base);
+- a CDC MERGE into the base lake reports the partition values it
+  touched (the merge planner already computes them); the refresh
+  recomputes ONLY those days' group contributions — a manifest-pruned
+  snapshot read of the touched partitions, O(delta days), never
+  O(lake) — and merge-commits them into the view, dropping a view
+  partition whose base day lost every row;
+- freshness is a CAS meta record carrying the base-lake version the
+  view reflects: serving checks `view base_version == base
+  latest_version` and falls back to the fact scan otherwise — the same
+  enforced invalidation contract as the bucketed layout
+  (plans/bucketed.py bucketed_layout_exists).
+
+Why partition-scoped (not delta-algebra) maintenance: summing a CDC
+delta into group totals is only exact for insert-only feeds; updates and
+deletes need old-value retraction, which means either change-data with
+pre-images or a join against the pre-merge snapshot. Recomputing the
+touched partitions needs neither — the base lake's copy-on-write MERGE
+already bounds the work to the same partitions it rewrote, and the
+result is exact by construction. The refresh cost is the cost the MERGE
+itself already paid, once more, on an aggregate a fraction of the size.
+
+Gate: `events_rollup_incremental` answers the post-merge three-day
+rollup FROM THE INCREMENTALLY-REFRESHED VIEW against the same
+MERGE_ORACLE as events_partitioned_merge / events_versioned_merge — a
+green row proves incremental maintenance ≡ full recompute ≡ the
+flat-table CDC semantics in SQL. Inode-level incrementality (untouched
+view partitions carried forward file-for-file) and the delete-drop /
+freshness contracts are asserted in tests/test_matview.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents as _cents
+from ..registry import query
+from ..sources.catalog import load_table
+from .partitioned import MERGE_ORACLE, TARGET_DAY, _merge_cdc_batch
+
+
+def _warehouse_path(sf_dir: str, stem: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"{stem}_{tag}")
+
+
+def mv_lake_path(sf_dir: str) -> str:
+    """Base lake for the matview gate (own path — the gate rebuilds it,
+    which would clobber events_versioned_merge's lake mid-session)."""
+    return _warehouse_path(sf_dir, "events_mv_base")
+
+
+def rollup_view_path(sf_dir: str) -> str:
+    return _warehouse_path(sf_dir, "events_rollup_mv")
+
+
+def _mv_meta_root(sf_dir: str) -> str:
+    return rollup_view_path(sf_dir) + "_meta"
+
+
+def _rollup(facts: DataFrame) -> DataFrame:
+    """The view definition: per-(day, type) count + EXACT cent total.
+    Cents stay integer in storage so view-served results are bit-equal
+    to a fact recompute — rounding to display dollars happens only at
+    serve time, like every money path in the engine."""
+    return facts.groupBy("event_date", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("value")).alias("total_cents"),
+    )
+
+
+def build_rollup_view(spark: SparkSession, base_root: str, sf_dir: str) -> int:
+    """Full build (the once-per-corpus ingest cost): aggregate the whole
+    base snapshot, publish as view v1, record the base version the view
+    reflects. One wide shuffle over the facts — the cost incremental
+    refresh exists to never pay again."""
+    from ..sources.manifest import commit_meta, init_versioned_lake, latest_version
+
+    base_v = latest_version(base_root)
+    from ..sources.manifest import read_snapshot
+
+    init_versioned_lake(_rollup(read_snapshot(spark, base_root)), rollup_view_path(sf_dir), "event_date")
+    commit_meta(_mv_meta_root(sf_dir), {"base_version": base_v})
+    return base_v
+
+
+def refresh_rollup_view(
+    spark: SparkSession, base_root: str, sf_dir: str, changed_days: list
+) -> list:
+    """Incremental refresh after a base MERGE that touched
+    `changed_days`: recompute ONLY those days' groups from a
+    manifest-pruned snapshot read and merge-commit them into the view.
+    A day whose base partition lost every row produces no groups, so
+    the view's partition entry is dropped by the same delete contract
+    the base merge uses (changed-but-absent-from-staging ⇒ removed).
+    Cost is O(touched days' facts) + one manifest commit — independent
+    of lake size, which is the entire point at 100 TB."""
+    from ..sources.manifest import commit_meta, latest_version, merge_commit, read_snapshot
+
+    base_v = latest_version(base_root)
+    day_strs = sorted(str(d) for d in changed_days)
+    touched = read_snapshot(
+        spark, base_root, bounds={"event_date": (day_strs[0], day_strs[-1])}
+    ).filter(F.col("event_date").isin(list(changed_days)))
+    merge_commit(
+        _rollup(touched),
+        rollup_view_path(sf_dir),
+        "event_date",
+        changed_partitions=list(changed_days),
+    )
+    commit_meta(_mv_meta_root(sf_dir), {"base_version": base_v})
+    return list(changed_days)
+
+
+def rollup_view_fresh(base_root: str, sf_dir: str) -> bool:
+    """Serving predicate: the view answers queries only while it
+    reflects the base lake's LATEST version — any base commit the view
+    hasn't absorbed flips routing back to the fact scan (enforced
+    invalidation, same contract as bucketed_layout_exists)."""
+    from ..sources.manifest import latest_version, read_meta
+
+    meta = read_meta(_mv_meta_root(sf_dir)) or {}
+    return meta.get("base_version") == latest_version(base_root)
+
+
+def serve_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-form read of the view: exact cents → rounded dollars."""
+    from ..sources.manifest import read_snapshot
+
+    return read_snapshot(spark, rollup_view_path(sf_dir)).select(
+        "event_date",
+        "event_type",
+        "n",
+        F.round(F.col("total_cents").cast("double") / 100, 2).alias("total_value"),
+    )
+
+
+def apply_versioned_cdc(spark: SparkSession, base_root: str, ev: DataFrame) -> list:
+    """The gate's deterministic CDC batch (plans/partitioned.py
+    _merge_cdc_batch) applied to the versioned lake at `base_root` via
+    the pinned-base merge_commit. Shared by events_versioned_merge and
+    the matview gate; returns the touched partition values — the
+    hand-off the incremental refresh consumes."""
+    from ..sources.manifest import latest_version, merge_commit, read_snapshot
+
+    base_v = latest_version(base_root)
+    upserts, inserts, deletes = _merge_cdc_batch(ev)
+    changed = [
+        r[0]
+        for r in upserts.select("event_date")
+        .unionByName(inserts.select("event_date"))
+        .unionByName(deletes.select("event_date"))
+        .distinct()
+        .collect()
+    ]
+    lake = read_snapshot(spark, base_root)
+    slice_ = lake.filter(F.col("event_date").isin(changed))
+    dead_keys = (
+        upserts.select("event_id").unionByName(deletes.select("event_id")).distinct()
+    )
+    merged = (
+        slice_.join(dead_keys, "event_id", "left_anti")
+        .unionByName(upserts.join(deletes.select("event_id"), "event_id", "left_anti"))
+        .unionByName(inserts)
+    )
+    merge_commit(
+        merged, base_root, "event_date", changed_partitions=changed, base_version=base_v
+    )
+    return changed
+
+
+@query("events_rollup_incremental", oracle=MERGE_ORACLE)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental view maintenance: build the versioned
+    lake AND its full rollup view, apply the CDC batch to the base,
+    refresh the view for ONLY the touched days, then answer the
+    three-day post-merge rollup FROM THE VIEW — routing asserts the
+    freshness record first, so a refresh that failed to absorb the
+    merge would raise rather than serve stale totals. Fourth face of
+    MERGE_ORACLE: swap-committed merge, manifest-committed merge, and
+    now incremental aggregate maintenance must all agree with the
+    flat-table CDC semantics."""
+    root = mv_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    from ..sources.manifest import init_versioned_lake
+
+    init_versioned_lake(ev, root, "event_date")
+    build_rollup_view(spark, root, sf_dir)
+    changed = apply_versioned_cdc(spark, root, ev)
+    refresh_rollup_view(spark, root, sf_dir, changed)
+    if not rollup_view_fresh(root, sf_dir):
+        raise RuntimeError("rollup view stale after refresh — freshness contract broken")
+    lo = F.lit(TARGET_DAY).cast("date")
+    return (
+        serve_rollup(spark, sf_dir)
+        .filter((F.col("event_date") >= F.date_sub(lo, 1)) & (F.col("event_date") < F.date_add(lo, 2)))
+        .orderBy("event_date", "event_type")
+    )

@@ -331,43 +331,18 @@ def events_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit atomicity, v1 readability after the merge (time travel), CAS
     on concurrent commits, vacuum retention — is asserted in
     tests/test_manifest.py, where multiple snapshots can be compared."""
-    from ..sources.manifest import (
-        init_versioned_lake,
-        latest_version,
-        merge_commit,
-        read_snapshot,
-    )
+    from ..sources.manifest import init_versioned_lake, read_snapshot
+
+    # Lazy import: matview.py imports this module's oracle/batch symbols
+    # at top level, so the shared CDC-apply helper (which pins the base
+    # version BEFORE its snapshot read — merge_commit links at exactly
+    # base+1, detecting any interleaved commit) is imported here.
+    from .matview import apply_versioned_cdc
 
     root = versioned_lake_path(sf_dir)
     ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     init_versioned_lake(ev, root, "event_date")
-    # Pin the version this merge's snapshot read resolves, BEFORE the
-    # read — merge_commit links at exactly this+1, so any commit
-    # interleaved after the read is detected, not silently absorbed.
-    base_v = latest_version(root)
-
-    upserts, inserts, deletes = _merge_cdc_batch(ev)
-    changed = [
-        r[0]
-        for r in upserts.select("event_date")
-        .unionByName(inserts.select("event_date"))
-        .unionByName(deletes.select("event_date"))
-        .distinct()
-        .collect()
-    ]
-    lake = read_snapshot(spark, root)
-    slice_ = lake.filter(F.col("event_date").isin(changed))
-    dead_keys = (
-        upserts.select("event_id").unionByName(deletes.select("event_id")).distinct()
-    )
-    merged = (
-        slice_.join(dead_keys, "event_id", "left_anti")
-        .unionByName(upserts.join(deletes.select("event_id"), "event_id", "left_anti"))
-        .unionByName(inserts)
-    )
-    merge_commit(
-        merged, root, "event_date", changed_partitions=changed, base_version=base_v
-    )
+    apply_versioned_cdc(spark, root, ev)
 
     snap = read_snapshot(spark, root)
     lo = F.lit(TARGET_DAY).cast("date")

@@ -124,17 +124,20 @@ _GATE_PRIORITY = [
     "streaming_session_counts",
     # ---- 50 entries; driver caps at ~50 ----
     # Below the cut: everything r6/r7-latest and untouched this round.
-    # events_schema_evolution, events_lake_optimize and
-    # streaming_versioned_ingest are NEW late-r8 with the top-50 already
-    # full; per the standing invariant they enter r9's top-50. Their
-    # machinery (schema-carrying manifests, schema-driven snapshot
-    # reads, merge_commit staging/publish) IS driver-gated this round
-    # through events_versioned_merge and events_snapshot_pruned, whose
-    # plans share it; all three new rows are check_oracle-green
-    # in-session (tools/check_oracle).
+    # events_schema_evolution, events_lake_optimize,
+    # streaming_versioned_ingest and events_rollup_incremental are NEW
+    # late-r8 with the top-50 already full; per the standing invariant
+    # they enter r9's top-50. Their machinery (schema-carrying
+    # manifests, schema-driven snapshot reads, merge_commit
+    # staging/publish — which events_rollup_incremental's base-lake CDC
+    # now shares verbatim via matview.apply_versioned_cdc) IS
+    # driver-gated this round through events_versioned_merge and
+    # events_snapshot_pruned, whose plans share it; all four new rows
+    # are check_oracle-green in-session (tools/check_oracle).
     "events_schema_evolution",
     "events_lake_optimize",
     "streaming_versioned_ingest",
+    "events_rollup_incremental",
     "revenue_by_nation_scan",
     "shipping_priority_scan",
     "media_image_features",
@@ -191,6 +194,7 @@ def _ensure_loaded() -> None:
     from .plans import relational_tpch_ext2  # noqa: F401
     from .plans import bucketed  # noqa: F401
     from .plans import partitioned  # noqa: F401
+    from .plans import matview  # noqa: F401
     from .plans import zorder  # noqa: F401
     from .plans import lifecycle  # noqa: F401
     from .operators import chunker_queries  # noqa: F401

@@ -1,0 +1,131 @@
+"""Incremental materialized-view maintenance (plans/matview.py): the
+refresh must be physically incremental (untouched view partitions carried
+forward file-for-file), exact (≡ a full rebuild from the post-merge
+lake), honor the delete contract (a base day losing every row drops its
+view partition), and enforce freshness (any unabsorbed base commit
+flips serving back off the view)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from etl_pdf_pipepline_spark.plans.matview import (
+    _rollup,
+    apply_versioned_cdc,
+    build_rollup_view,
+    mv_lake_path,
+    refresh_rollup_view,
+    rollup_view_fresh,
+    rollup_view_path,
+    serve_rollup,
+)
+from etl_pdf_pipepline_spark.sources.catalog import load_table
+from etl_pdf_pipepline_spark.sources.manifest import (
+    _read_manifest,
+    init_versioned_lake,
+    latest_version,
+    merge_commit,
+    read_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _built(spark):
+    """Build base lake + full view once per test run (idempotent)."""
+    root = mv_lake_path(SF)
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    build_rollup_view(spark, root, SF)
+    return root, ev
+
+
+def test_refresh_is_incremental_and_exact(spark):
+    root, ev = _built(spark)
+    view_root = rollup_view_path(SF)
+    v1 = _read_manifest(view_root, latest_version(view_root))
+
+    changed = apply_versioned_cdc(spark, root, ev)
+    refresh_rollup_view(spark, root, SF, changed)
+
+    v2 = _read_manifest(view_root, latest_version(view_root))
+    changed_strs = {str(d) for d in changed}
+    untouched = 0
+    for part, rels in v1["files"].items():
+        if part.split("=", 1)[1] not in changed_strs:
+            # carried forward file-for-file: same rel paths, same inodes
+            assert v2["files"][part] == rels
+            for rel in rels:
+                assert os.path.exists(os.path.join(view_root, rel))
+            untouched += 1
+    assert untouched > 0  # the lake has days the CDC batch never touched
+    for d in changed_strs:
+        key = f"event_date={d}"
+        assert v2["files"][key] != v1["files"].get(key)
+
+    # exactness: incrementally-refreshed view == full rebuild from the
+    # post-merge base snapshot
+    cols = ["event_date", "event_type", "n", "total_cents"]
+    expect = sorted(map(tuple, _rollup(read_snapshot(spark, root)).select(*cols).collect()))
+    got = sorted(map(tuple, read_snapshot(spark, view_root).select(*cols).collect()))
+    assert got == expect
+    assert rollup_view_fresh(root, SF)
+
+
+def test_delete_all_day_drops_view_partition(spark):
+    root, ev = _built(spark)
+    # Pick a real day and delete EVERY row of it in the base lake.
+    victim = ev.agg(F.min("event_date")).collect()[0][0]
+    empty = read_snapshot(spark, root).filter(F.lit(False))
+    merge_commit(empty, root, "event_date", changed_partitions=[victim])
+    refresh_rollup_view(spark, root, SF, [victim])
+
+    view_root = rollup_view_path(SF)
+    vm = _read_manifest(view_root, latest_version(view_root))
+    assert f"event_date={victim}" not in vm["files"]
+    served = serve_rollup(spark, SF).filter(F.col("event_date") == F.lit(victim))
+    assert served.count() == 0
+    assert rollup_view_fresh(root, SF)
+
+
+def test_staleness_flips_serving_off_the_view(spark):
+    root, ev = _built(spark)
+    assert rollup_view_fresh(root, SF)
+    # Any base commit the view hasn't absorbed → stale.
+    day = ev.agg(F.max("event_date")).collect()[0][0]
+    one = (
+        read_snapshot(spark, root)
+        .filter(F.col("event_date") == F.lit(day))
+        .limit(1)
+        .withColumn("event_id", F.col("event_id") + 77_000_000_000)
+    )
+    base = read_snapshot(spark, root).filter(F.col("event_date") == F.lit(day))
+    merge_commit(base.unionByName(one), root, "event_date", changed_partitions=[day])
+    assert not rollup_view_fresh(root, SF)
+    # Refresh absorbs it and the view is again exact.
+    refresh_rollup_view(spark, root, SF, [day])
+    assert rollup_view_fresh(root, SF)
+    cols = ["event_date", "event_type", "n", "total_cents"]
+    expect = (
+        _rollup(read_snapshot(spark, root).filter(F.col("event_date") == F.lit(day)))
+        .select(*cols)
+        .collect()
+    )
+    got = (
+        read_snapshot(spark, rollup_view_path(SF))
+        .filter(F.col("event_date") == F.lit(day))
+        .select(*cols)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_view_serves_display_form(spark):
+    root, _ = _built(spark)
+    row = serve_rollup(spark, SF).limit(1).collect()
+    assert {"event_date", "event_type", "n", "total_value"} == set(row[0].asDict())
+    assert isinstance(row[0]["total_value"], float)
+    assert isinstance(row[0]["event_date"], datetime.date)
