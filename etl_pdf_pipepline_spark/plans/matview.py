@@ -92,7 +92,14 @@ def _rollup(facts: DataFrame) -> DataFrame:
     )
 
 
-def build_rollup_view(spark: SparkSession, base_root: str, sf_dir: str) -> int:
+def build_rollup_view(
+    spark: SparkSession,
+    base_root: str,
+    sf_dir: str,
+    *,
+    view_root: str | None = None,
+    meta_root: str | None = None,
+) -> int:
     """Full build (the once-per-corpus ingest cost): aggregate the whole
     base snapshot, publish as view v1, record the base version the view
     reflects. One wide shuffle over the facts — the cost incremental
@@ -102,13 +109,23 @@ def build_rollup_view(spark: SparkSession, base_root: str, sf_dir: str) -> int:
     base_v = latest_version(base_root)
     from ..sources.manifest import read_snapshot
 
-    init_versioned_lake(_rollup(read_snapshot(spark, base_root)), rollup_view_path(sf_dir), "event_date")
-    commit_meta(_mv_meta_root(sf_dir), {"base_version": base_v})
+    init_versioned_lake(
+        _rollup(read_snapshot(spark, base_root)),
+        view_root or rollup_view_path(sf_dir),
+        "event_date",
+    )
+    commit_meta(meta_root or _mv_meta_root(sf_dir), {"base_version": base_v})
     return base_v
 
 
 def refresh_rollup_view(
-    spark: SparkSession, base_root: str, sf_dir: str, changed_days: list
+    spark: SparkSession,
+    base_root: str,
+    sf_dir: str,
+    changed_days: list,
+    *,
+    view_root: str | None = None,
+    meta_root: str | None = None,
 ) -> list:
     """Incremental refresh after a base MERGE that touched
     `changed_days`: recompute ONLY those days' groups from a
@@ -127,30 +144,32 @@ def refresh_rollup_view(
     ).filter(F.col("event_date").isin(list(changed_days)))
     merge_commit(
         _rollup(touched),
-        rollup_view_path(sf_dir),
+        view_root or rollup_view_path(sf_dir),
         "event_date",
         changed_partitions=list(changed_days),
     )
-    commit_meta(_mv_meta_root(sf_dir), {"base_version": base_v})
+    commit_meta(meta_root or _mv_meta_root(sf_dir), {"base_version": base_v})
     return list(changed_days)
 
 
-def rollup_view_fresh(base_root: str, sf_dir: str) -> bool:
+def rollup_view_fresh(base_root: str, sf_dir: str, *, meta_root: str | None = None) -> bool:
     """Serving predicate: the view answers queries only while it
     reflects the base lake's LATEST version — any base commit the view
     hasn't absorbed flips routing back to the fact scan (enforced
     invalidation, same contract as bucketed_layout_exists)."""
     from ..sources.manifest import latest_version, read_meta
 
-    meta = read_meta(_mv_meta_root(sf_dir)) or {}
+    meta = read_meta(meta_root or _mv_meta_root(sf_dir)) or {}
     return meta.get("base_version") == latest_version(base_root)
 
 
-def serve_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def serve_rollup(
+    spark: SparkSession, sf_dir: str, *, view_root: str | None = None
+) -> DataFrame:
     """Display-form read of the view: exact cents → rounded dollars."""
     from ..sources.manifest import read_snapshot
 
-    return read_snapshot(spark, rollup_view_path(sf_dir)).select(
+    return read_snapshot(spark, view_root or rollup_view_path(sf_dir)).select(
         "event_date",
         "event_type",
         "n",
@@ -190,6 +209,99 @@ def apply_versioned_cdc(spark: SparkSession, base_root: str, ev: DataFrame) -> l
         merged, base_root, "event_date", changed_partitions=changed, base_version=base_v
     )
     return changed
+
+
+# Full-history view oracle: every (day, type) group over the whole
+# events table, money semantics identical to the Spark side (exact
+# integer cents in storage, rounded dollars at serve time).
+FULL_ROLLUP_ORACLE = """
+    SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+"""
+
+
+@query("streaming_rollup_maintenance", oracle=FULL_ROLLUP_ORACLE)
+def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the materialized view: a foreachBatch
+    sink that lands each micro-batch in the versioned lake via
+    append_commit's (app_id, batch_id) transaction ledger (exactly-once
+    across restarts) and then refreshes the rollup view for ONLY the
+    days that batch touched — the first batch pays the full build, every
+    later one the O(batch day-span) refresh. The refresh is idempotent
+    under foreachBatch's at-least-once replay by construction: it
+    recomputes touched days from the base snapshot, so re-running it
+    reproduces the same view rows (and the base append it follows is
+    already deduped by the ledger).
+
+    The source is split into four contiguous time-range files and
+    drained with maxFilesPerTrigger=1, so the gate genuinely exercises
+    build → refresh → refresh → refresh across micro-batches, including
+    boundary days recomputed across adjacent batches. Serving returns
+    the WHOLE view (every day × type group) against a full-history
+    DuckDB rollup of the flat table — any day wrong anywhere goes red —
+    and asserts the freshness record first, exactly like the batch gate.
+
+    Scale posture (100 TB): this is the always-fresh-aggregate shape a
+    continuous ingest wants — per-batch maintenance cost is O(batch
+    day-span) facts + one manifest commit, independent of lake history;
+    the view stays O(days × types) rows; serving never scans the facts."""
+    import shutil
+
+    from ..sources.manifest import append_commit, latest_version
+
+    base = _warehouse_path(sf_dir, "events_stream_mv")
+    shutil.rmtree(base, ignore_errors=True)  # fresh deterministic run per gate
+    base_root = os.path.join(base, "table")
+    view_root = os.path.join(base, "view")
+    meta_root = os.path.join(base, "view_meta")
+    src = os.path.join(base, "src")
+
+    # Untimed prepare: four contiguous time-range files so availableNow +
+    # maxFilesPerTrigger=1 yields four micro-batches with a boundary day
+    # shared between adjacent batches.
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def _maintain(batch: DataFrame, bid: int) -> None:
+        batch = batch.withColumn("event_date", F.to_date("ts"))
+        append_commit(batch, base_root, "event_date", txn=("rollup_mv", bid))
+        if latest_version(view_root) == 0:
+            build_rollup_view(
+                spark, base_root, sf_dir, view_root=view_root, meta_root=meta_root
+            )
+        else:
+            changed = [r[0] for r in batch.select("event_date").distinct().collect()]
+            refresh_rollup_view(
+                spark,
+                base_root,
+                sf_dir,
+                changed,
+                view_root=view_root,
+                meta_root=meta_root,
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not rollup_view_fresh(base_root, sf_dir, meta_root=meta_root):
+        raise RuntimeError("rollup view stale after stream drain — maintenance broken")
+    return serve_rollup(spark, sf_dir, view_root=view_root).orderBy(
+        "event_date", "event_type"
+    )
 
 
 @query("events_rollup_incremental", oracle=MERGE_ORACLE)

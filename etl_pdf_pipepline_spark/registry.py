@@ -138,6 +138,7 @@ _GATE_PRIORITY = [
     "events_lake_optimize",
     "streaming_versioned_ingest",
     "events_rollup_incremental",
+    "streaming_rollup_maintenance",
     "revenue_by_nation_scan",
     "shipping_priority_scan",
     "media_image_features",

@@ -347,17 +347,27 @@ def read_snapshot(
     files written BEFORE an add-column evolution project the added
     columns as null — reads are always in the schema as of `version`,
     so time travel returns the old width for old versions."""
+    from pyspark.sql.types import StructType
+
     manifest = _read_manifest(root, version or latest_version(root))
     rels = snapshot_files(manifest, bounds)
     reader = spark.read.option("basePath", root)
     if "schema" in manifest:
-        from pyspark.sql.types import StructType
-
         reader = reader.schema(StructType.fromJson(manifest["schema"]))
     if not rels:
         # Every file pruned: an empty frame with the snapshot's schema
         # (resolved from one file + the partition column).
         all_rels = [r for rs in manifest["files"].values() for r in rs]
+        if not all_rels:
+            # Snapshot has NO data files at all (a lake bootstrapped
+            # empty so a streaming sink can route every batch through
+            # the append_commit txn ledger). Only representable with a
+            # committed schema — there is no file to resolve one from.
+            if "schema" in manifest:
+                return spark.createDataFrame([], StructType.fromJson(manifest["schema"]))
+            raise ValueError(
+                f"snapshot at {root} has no data files and no committed schema"
+            )
         return reader.parquet(os.path.join(root, all_rels[0])).limit(0)
     return reader.parquet(*[os.path.join(root, rel) for rel in rels])
 

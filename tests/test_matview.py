@@ -129,3 +129,47 @@ def test_view_serves_display_form(spark):
     assert {"event_date", "event_type", "n", "total_value"} == set(row[0].asDict())
     assert isinstance(row[0]["total_value"], float)
     assert isinstance(row[0]["event_date"], datetime.date)
+
+
+def test_streaming_maintenance_matches_batch_and_is_multi_batch(spark):
+    """The foreachBatch-maintained view must equal a batch rollup of the
+    flat table, and the drain must have genuinely run build + >=3
+    incremental refreshes (one manifest version per micro-batch)."""
+    from etl_pdf_pipepline_spark.functions.money import cents as _cents
+    from etl_pdf_pipepline_spark.plans.matview import (
+        _warehouse_path,
+        streaming_rollup_maintenance,
+    )
+
+    got = streaming_rollup_maintenance(spark, SF)
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    expect = (
+        ev.groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    view_root = os.path.join(_warehouse_path(SF, "events_stream_mv"), "view")
+    assert latest_version(view_root) >= 4  # v1 build + one refresh per later batch
+
+
+def test_empty_bootstrap_snapshot_reads_as_empty(spark):
+    """A lake bootstrapped EMPTY (schema-only manifest, zero data files)
+    must read back as an empty frame with the committed schema — the
+    shape a streaming sink sees before its first append lands."""
+    import shutil
+
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "empty_bootstrap_lake",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    init_versioned_lake(ev.filter(F.lit(False)), root, "event_date")
+    snap = read_snapshot(spark, root)
+    assert snap.count() == 0
+    assert snap.schema == ev.schema
