@@ -82,13 +82,23 @@ def _mv_meta_root(sf_dir: str) -> str:
 
 
 def _rollup(facts: DataFrame) -> DataFrame:
-    """The view definition: per-(day, type) count + EXACT cent total.
-    Cents stay integer in storage so view-served results are bit-equal
-    to a fact recompute — rounding to display dollars happens only at
-    serve time, like every money path in the engine."""
+    """The view definition: per-(day, type) count + EXACT cent total +
+    exact DISTINCT user count. Cents stay integer in storage so
+    view-served results are bit-equal to a fact recompute — rounding to
+    display dollars happens only at serve time, like every money path
+    in the engine.
+
+    `n_users` is deliberately NON-DISTRIBUTIVE: a distinct count cannot
+    be folded from a delta (old + new distincts double-count returning
+    users), which is exactly why delta-algebra IVM systems either
+    forbid it or keep per-group auxiliary state. Partition-scoped
+    maintenance stores the FINAL integer and stays exact for free,
+    because every refresh recomputes whole days — the design's key
+    claim, kept honest by a gated column."""
     return facts.groupBy("event_date", "event_type").agg(
         F.count("*").alias("n"),
         F.sum(_cents("value")).alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 
@@ -213,11 +223,14 @@ def apply_versioned_cdc(spark: SparkSession, base_root: str, ev: DataFrame) -> l
 
 # Full-history view oracle: every (day, type) group over the whole
 # events table, money semantics identical to the Spark side (exact
-# integer cents in storage, rounded dollars at serve time).
+# integer cents in storage, rounded dollars at serve time). n_users is
+# the non-distributive column — exact count(DISTINCT) per group, which
+# the view can only match because maintenance recomputes whole days.
 FULL_ROLLUP_ORACLE = """
     SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
            round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
-               AS total_value
+               AS total_value,
+           count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY 1, 2
     ORDER BY event_date, event_type
@@ -244,6 +257,10 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WHOLE view (every day × type group) against a full-history
     DuckDB rollup of the flat table — any day wrong anywhere goes red —
     and asserts the freshness record first, exactly like the batch gate.
+    The served columns include `n_users` (exact per-group DISTINCT
+    count), the non-distributive aggregate delta-folding IVM cannot
+    keep exact without auxiliary state — partition-scoped recompute
+    gets it for free, and this gate proves it against count(DISTINCT).
 
     Scale posture (100 TB): this is the always-fresh-aggregate shape a
     continuous ingest wants — per-batch maintenance cost is O(batch
@@ -299,8 +316,18 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not rollup_view_fresh(base_root, sf_dir, meta_root=meta_root):
         raise RuntimeError("rollup view stale after stream drain — maintenance broken")
-    return serve_rollup(spark, sf_dir, view_root=view_root).orderBy(
-        "event_date", "event_type"
+    from ..sources.manifest import read_snapshot
+
+    return (
+        read_snapshot(spark, view_root)
+        .select(
+            "event_date",
+            "event_type",
+            "n",
+            F.round(F.col("total_cents").cast("double") / 100, 2).alias("total_value"),
+            "n_users",
+        )
+        .orderBy("event_date", "event_type")
     )
 
 

@@ -148,12 +148,55 @@ def test_streaming_maintenance_matches_batch_and_is_multi_batch(spark):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
         )
+        .select("event_date", "event_type", "n", "total_value", "n_users")
         .orderBy("event_date", "event_type")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
     view_root = os.path.join(_warehouse_path(SF, "events_stream_mv"), "view")
     assert latest_version(view_root) >= 4  # v1 build + one refresh per later batch
+
+
+def test_concurrent_disjoint_refreshes_both_land(spark):
+    """Two refreshes for DISJOINT day sets racing on the view's version
+    slot must both land (merge_commit's optimistic rebase), and the view
+    must end exactly equal to a full rebuild — the same concurrency
+    contract the base lake has, extended to its materialized view."""
+    import threading
+
+    root, ev = _built(spark)
+    view_root = rollup_view_path(SF)
+    d1 = ev.agg(F.min("event_date")).collect()[0][0]
+    d2 = ev.agg(F.max("event_date")).collect()[0][0]
+    assert d1 != d2
+    # Two serial base merges (one synthetic extra row per day), then
+    # two concurrent view refreshes, one per touched day.
+    for off, day in ((11_000_000_000, d1), (22_000_000_000, d2)):
+        slice_ = read_snapshot(spark, root).filter(F.col("event_date") == F.lit(day))
+        extra = slice_.limit(1).withColumn("event_id", F.col("event_id") + off)
+        merge_commit(slice_.unionByName(extra), root, "event_date", changed_partitions=[day])
+    assert not rollup_view_fresh(root, SF)
+
+    errs: list[Exception] = []
+
+    def worker(day):
+        try:
+            refresh_rollup_view(spark, root, SF, [day])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(d,)) for d in (d1, d2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    cols = ["event_date", "event_type", "n", "total_cents", "n_users"]
+    expect = sorted(map(tuple, _rollup(read_snapshot(spark, root)).select(*cols).collect()))
+    got = sorted(map(tuple, read_snapshot(spark, view_root).select(*cols).collect()))
+    assert got == expect
+    assert rollup_view_fresh(root, SF)
 
 
 def test_empty_bootstrap_snapshot_reads_as_empty(spark):
