@@ -163,14 +163,21 @@ def refresh_rollup_view(
 
 
 def rollup_view_fresh(base_root: str, sf_dir: str, *, meta_root: str | None = None) -> bool:
-    """Serving predicate: the view answers queries only while it
-    reflects the base lake's LATEST version — any base commit the view
-    hasn't absorbed flips routing back to the fact scan (enforced
-    invalidation, same contract as bucketed_layout_exists)."""
-    from ..sources.manifest import latest_version, read_meta
+    """Serving predicate: the view answers queries only while the base
+    lake's ROWS are the ones it aggregated — any unabsorbed row-changing
+    commit flips routing back to the fact scan (enforced invalidation,
+    same contract as bucketed_layout_exists). Row-PRESERVING commits
+    (OPTIMIZE compaction, tagged rows_preserved at commit time) do NOT
+    invalidate: the aggregate of identical rows is identical, and a lake
+    whose nightly maintenance stampeded every dashboard back to fact
+    scans would have a useless view."""
+    from ..sources.manifest import read_meta, rows_changed_since
 
     meta = read_meta(meta_root or _mv_meta_root(sf_dir)) or {}
-    return meta.get("base_version") == latest_version(base_root)
+    base_v = meta.get("base_version")
+    if base_v is None:
+        return False
+    return not rows_changed_since(base_root, int(base_v))
 
 
 def serve_rollup(

@@ -413,6 +413,7 @@ def merge_commit(
     max_retries: int = 3,
     base_version: int | None = None,
     stats_cols: tuple = (),
+    rows_preserved: bool = False,
 ) -> int:
     """Versioned MERGE: stage the new contents of every touched
     partition, HARD-LINK the staged files into the live partition dirs
@@ -458,7 +459,16 @@ def merge_commit(
     (footer reads, O(new files)); untouched partitions carry their
     existing stats forward and dropped files lose theirs — so a lake
     initialized with stats keeps its data-skipping property across
-    every subsequent MERGE."""
+    every subsequent MERGE.
+
+    `rows_preserved` tags the committed manifest as containing exactly
+    the same ROWS as its base (layout-only rewrite — OPTIMIZE sets it).
+    Derived artifacts (the materialized rollup view) use the tag via
+    `rows_changed_since` to stay fresh across maintenance commits:
+    compacting a lake must not force every downstream aggregate back to
+    fact scans. The tag is a caller CONTRACT, not something this
+    function verifies — only commit paths that are row-identical by
+    construction may set it."""
     base_v = latest_version(root) if base_version is None else base_version
     base = _read_manifest(root, base_v)
     # Schema evolution: the merged slice's schema becomes the table's —
@@ -522,6 +532,7 @@ def merge_commit(
         max_retries,
         new_stats,
         new_schema,
+        rows_preserved,
     )
 
 
@@ -543,6 +554,7 @@ def _publish_merge(
     max_retries: int,
     new_stats: dict[str, dict[str, list]] | None = None,
     new_schema: dict | None = None,
+    rows_preserved: bool = False,
 ) -> int:
     """The optimistic-concurrency publish loop (separated from the
     staging/linking so the interleaving can be tested directly): commit
@@ -563,6 +575,14 @@ def _publish_merge(
         for entry in dropped:
             files.pop(entry, None)
         manifest = {"partition_col": partition_col, "files": files}
+        if rows_preserved:
+            manifest["rows_preserved"] = True
+        # Carry the streaming txn ledger forward: a MERGE landing between
+        # a streaming batch and its crash-replay must not erase the
+        # (app_id, batch_id) watermark append_commit dedups against —
+        # dropping it here would let the replay double-append.
+        if base.get("txn"):
+            manifest["txn"] = base["txn"]
         if new_schema is not None:
             manifest["schema"] = new_schema
         stats = {**base.get("stats", {}), **(new_stats or {})}
@@ -736,7 +756,31 @@ def optimize_commit(
         changed_partitions=values,
         base_version=base_v,
         stats_cols=stats_cols,
+        rows_preserved=True,
     )
+
+
+def rows_changed_since(root: str, since_version: int) -> bool:
+    """Did any commit AFTER `since_version` change the table's rows?
+    Walks the manifest chain (since, latest] — O(commits since), each a
+    KB-sized JSON read — returning False only when EVERY intervening
+    commit is tagged `rows_preserved` (OPTIMIZE-class layout rewrites).
+    A manifest missing from the chain (vacuumed past) is conservatively
+    counted as a row change: freshness claims need evidence.
+
+    This is what lets derived artifacts (the materialized rollup view)
+    survive lake maintenance: compaction advances the version counter
+    without touching rows, and invalidating every downstream aggregate
+    on each nightly OPTIMIZE would put the fact-scan cost right back."""
+    latest = latest_version(root)
+    for v in range(since_version + 1, latest + 1):
+        try:
+            m = _read_manifest(root, v)
+        except (OSError, ValueError):
+            return True
+        if not m.get("rows_preserved"):
+            return True
+    return False
 
 
 META_KEEP_VERSIONS = 16

@@ -576,3 +576,61 @@ def test_concurrent_appends_both_land(spark, lake):
     assert not errors, errors
     assert latest_version(root) == 3  # base + two commits
     assert read_snapshot(spark, root).count() == n_before + sum(counts)
+
+
+def test_merge_preserves_txn_ledger(spark, lake):
+    """A CDC MERGE landing between a streaming batch and its
+    crash-replay must carry the (app_id, batch_id) ledger forward —
+    otherwise the replay double-appends (the exactly-once contract
+    would silently hold only until the first merge)."""
+    from etl_pdf_pipepline_spark.sources.manifest import append_commit
+
+    root, ev = lake
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    batch = ev.filter(day & (F.col("user_id") % 7 == 0)).withColumn(
+        "event_id", F.col("event_id") + 33_000_000_000
+    )
+    append_commit(batch, root, "event_date", txn=("ingest", 5))
+
+    _apply_merge(spark, root, ev)  # row-changing merge on top
+
+    # Crash-replay of the already-committed batch: must be a no-op —
+    # no new version, and the batch's rows appear exactly once.
+    v_before = latest_version(root)
+    assert append_commit(batch, root, "event_date", txn=("ingest", 5)) == v_before
+    assert latest_version(root) == v_before
+    replay_ids = [r[0] for r in batch.select("event_id").collect()]
+    snap = read_snapshot(spark, root)
+    dupes = (
+        snap.filter(F.col("event_id").isin(replay_ids))
+        .groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+
+
+def test_rows_changed_since_and_optimize_tag(spark, lake):
+    """rows_changed_since: False across an OPTIMIZE-only chain (tagged
+    rows_preserved), True as soon as a row-changing commit appears, and
+    conservatively True when the chain is vacuumed past."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        optimize_commit,
+        rows_changed_since,
+    )
+
+    root, ev = lake
+    assert not rows_changed_since(root, 1)  # nothing after v1
+    optimize_commit(spark, root)  # v2: layout-only
+    assert latest_version(root) == 2
+    assert not rows_changed_since(root, 1)
+    _apply_merge(spark, root, ev)  # v3: rows change
+    assert rows_changed_since(root, 1)
+    assert rows_changed_since(root, 2)
+    assert not rows_changed_since(root, 3)
+    # Vacuumed-past chains refuse to claim freshness.
+    optimize_commit(spark, root)  # v4
+    vacuum(root, keep_versions=1)  # only v4's manifest survives
+    assert rows_changed_since(root, 2)

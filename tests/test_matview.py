@@ -216,3 +216,27 @@ def test_empty_bootstrap_snapshot_reads_as_empty(spark):
     snap = read_snapshot(spark, root)
     assert snap.count() == 0
     assert snap.schema == ev.schema
+
+
+def test_optimize_does_not_invalidate_view(spark):
+    """OPTIMIZE compaction of the base lake is a row-preserving commit
+    (tagged rows_preserved): the view must STAY fresh across it — the
+    aggregate of identical rows is identical, and nightly maintenance
+    must not stampede every dashboard back to fact scans. A genuine
+    row-changing merge afterwards must still flip it stale."""
+    from etl_pdf_pipepline_spark.sources.manifest import merge_commit, optimize_commit
+
+    root, ev = _built(spark)
+    assert rollup_view_fresh(root, SF)
+    served_before = sorted(map(tuple, serve_rollup(spark, SF).collect()))
+
+    optimize_commit(spark, root)
+    assert rollup_view_fresh(root, SF)  # layout changed, rows did not
+    assert sorted(map(tuple, serve_rollup(spark, SF).collect())) == served_before
+
+    # A real row change still invalidates.
+    day = ev.agg(F.max("event_date")).collect()[0][0]
+    slice_ = read_snapshot(spark, root).filter(F.col("event_date") == F.lit(day))
+    extra = slice_.limit(1).withColumn("event_id", F.col("event_id") + 44_000_000_000)
+    merge_commit(slice_.unionByName(extra), root, "event_date", changed_partitions=[day])
+    assert not rollup_view_fresh(root, SF)
