@@ -240,3 +240,30 @@ def test_optimize_does_not_invalidate_view(spark):
     extra = slice_.limit(1).withColumn("event_id", F.col("event_id") + 44_000_000_000)
     merge_commit(slice_.unionByName(extra), root, "event_date", changed_partitions=[day])
     assert not rollup_view_fresh(root, SF)
+
+
+def test_view_time_travel_matches_base_time_travel(spark):
+    """Derived state time-travels in lockstep with its base: view v1
+    (pre-CDC build) must equal the rollup of base v1, and view HEAD the
+    rollup of base HEAD — because refreshes only ever merge-commit, old
+    view versions stay readable exactly like old base versions."""
+    root, ev = _built(spark)
+    view_root = rollup_view_path(SF)
+    changed = apply_versioned_cdc(spark, root, ev)
+    refresh_rollup_view(spark, root, SF, changed)
+
+    cols = ["event_date", "event_type", "n", "total_cents", "n_users"]
+
+    def rows(df):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert rows(read_snapshot(spark, view_root, 1)) == rows(
+        _rollup(read_snapshot(spark, root, 1))
+    )
+    assert rows(read_snapshot(spark, view_root)) == rows(
+        _rollup(read_snapshot(spark, root))
+    )
+    # And the two view versions genuinely differ (the CDC changed rows).
+    assert rows(read_snapshot(spark, view_root, 1)) != rows(
+        read_snapshot(spark, view_root)
+    )
