@@ -417,10 +417,42 @@ def persist_ivf_index(
     from ..sources.catalog import table_stat_signature
     from ..sources.manifest import commit_meta
 
+    # The freshness record names the BUILD VARIANT beside the source
+    # signature: the gate queries build partial indexes (exclude_vec_id /
+    # base_filter) at the same path, and ensure_ivf_index must never
+    # mistake one for a fresh full-corpus index.
     commit_meta(
-        path, {"source_signature": table_stat_signature(sf_dir, ("embeddings",))}
+        path,
+        {
+            "source_signature": table_stat_signature(sf_dir, ("embeddings",)),
+            "exclude_vec_id": exclude_vec_id,
+            "partial": base_filter is not None,
+        },
     )
     return path
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Serve-or-build for the persisted IVF layout — the lifecycle face
+    the other three maintained artifacts already have (bucketed facts:
+    plans/bucketed.py; LSH bands: dedup.ensure_lsh_band_index; z-order:
+    zorder.ensure_zorder_events): reuse when the CAS-committed freshness
+    record matches the current embeddings files AND the index is a
+    full-corpus build (no exclusion, no base_filter), rebuild otherwise.
+    This is the reader of the source_signature persist_ivf_index
+    commits — without it the record was write-only (r8 review)."""
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import read_meta
+
+    path = ivf_index_path(sf_dir)
+    meta = read_meta(path) or {}
+    if (
+        meta.get("source_signature") == table_stat_signature(sf_dir, ("embeddings",))
+        and meta.get("exclude_vec_id") is None
+        and not meta.get("partial")
+    ):
+        return path
+    return persist_ivf_index(spark, sf_dir)
 
 
 def extend_ivf_index(spark: SparkSession, delta: DataFrame, path: str) -> None:

@@ -90,13 +90,23 @@ def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifests")
 
 
+def _parse_version(fname: str) -> int:
+    """Version encoded in a 'v{N}.json' manifest filename. Parsed
+    width-independently (strip 'v' and '.json', not a fixed [1:9]
+    slice): f"v{N:08d}" widens past 8 digits at N >= 10^8, and meta
+    roots grow one version per streaming micro-batch / update_meta
+    call, so fixed-width parsing would silently truncate exactly
+    where versions grow unboundedly."""
+    return int(fname[1:-5])
+
+
 def latest_version(root: str) -> int:
     """Highest committed manifest version, 0 if none."""
     d = _manifest_dir(root)
     if not os.path.isdir(d):
         return 0
     vs = [
-        int(f[1:9])
+        _parse_version(f)
         for f in os.listdir(d)
         if f.startswith("v") and f.endswith(".json")
     ]
@@ -276,14 +286,57 @@ def init_versioned_lake(
 
 def _overlaps(lo, hi, b_lo, b_hi) -> bool:
     """Inclusive interval [lo, hi] intersects inclusive [b_lo, b_hi]
-    (None bound = unbounded). Mixed numeric widths compare natively;
-    everything else must be same-typed (the committed stats and the
-    caller's bounds share a domain by construction)."""
-    if b_lo is not None and hi < b_lo:
-        return False
-    if b_hi is not None and lo > b_hi:
-        return False
+    (None bound = unbounded). Mixed numeric widths compare natively.
+    A cross-type comparison (e.g. a str stat against an int bound the
+    caller forgot to normalize) keeps the file: pruning must only ever
+    shrink the scan, never lose rows to a TypeError-shaped mistake."""
+    try:
+        if b_lo is not None and hi < b_lo:
+            return False
+        if b_hi is not None and lo > b_hi:
+            return False
+    except TypeError:
+        return True
     return True
+
+
+def _norm_bounds(bounds: dict | None) -> dict:
+    """Caller bounds normalized into the committed-stats domain:
+    datetime/date bounds become ISO strings via _json_stat (stats are
+    committed that way), numerics and strings pass through, and a bound
+    of a type stats can't carry degrades to unbounded (= no pruning on
+    that side) rather than a plan-time TypeError."""
+    out = {}
+    for col, (lo, hi) in (bounds or {}).items():
+        out[col] = (_json_stat(lo), _json_stat(hi))
+    return out
+
+
+def _part_entry_overlaps(value: str, b_lo, b_hi) -> bool:
+    """Does a partition directory VALUE (always a string — it comes from
+    the 'col=value' dir name) fall inside the caller's bound?
+
+    The compare domain is chosen per-entry: when the entry value and
+    every present bound all parse as ints, compare NUMERICALLY — bare
+    int partition values ('9' vs '10') are lexicographically misordered
+    and a string compare would silently drop live partitions. Otherwise
+    compare as strings only when the widths match (fixed-width domains:
+    ISO dates, zero-padded ints — lexicographic == logical); on any
+    width mismatch the entry is KEPT, so misuse degrades to a full read
+    instead of silent row loss (the advertised safe-superset contract)."""
+    str_lo = str(b_lo) if b_lo is not None else None
+    str_hi = str(b_hi) if b_hi is not None else None
+    try:
+        iv = int(value)
+        n_lo = int(str_lo) if str_lo is not None else None
+        n_hi = int(str_hi) if str_hi is not None else None
+        return _overlaps(iv, iv, n_lo, n_hi)
+    except ValueError:
+        pass
+    widths = {len(b) for b in (str_lo, str_hi) if b is not None}
+    if widths - {len(value)}:
+        return True  # mixed-width string domain: keep, don't guess order
+    return _overlaps(value, value, str_lo, str_hi)
 
 
 def snapshot_files(manifest: dict, bounds: dict | None = None) -> list[str]:
@@ -296,21 +349,22 @@ def snapshot_files(manifest: dict, bounds: dict | None = None) -> list[str]:
     caller still applies the real filter. Pure function of the manifest
     so tests can assert exactly which files a predicate touches.
 
-    Partition-bound comparison happens in the directory-name STRING
-    domain ('col=value'), so it is only meaningful for partition values
-    whose lexicographic order is their logical order — ISO dates (the
-    lake convention here) and zero-padded ints qualify; bare ints do
-    not. File-stat comparison is in the stats' native (typed) domain."""
-    bounds = bounds or {}
+    Partition-bound comparison picks its domain per entry
+    (_part_entry_overlaps): numeric when value and bounds all parse as
+    ints (bare-int partition values are lexicographically misordered),
+    string when widths match (ISO dates — the lake convention — and
+    zero-padded ints), and KEEP-the-entry otherwise, so an
+    order-unsafe domain degrades to a full read, never silent row
+    loss. File-stat comparison is in the stats' committed domain;
+    caller bounds are normalized into it (datetimes → ISO strings)."""
+    bounds = _norm_bounds(bounds)
     part_col = manifest["partition_col"]
     stats = manifest.get("stats", {})
     part_bound = bounds.get(part_col)
     out: list[str] = []
     for entry in sorted(manifest["files"]):
         if part_bound is not None:
-            v = _entry_value(entry)
-            if not _overlaps(v, v, str(part_bound[0]) if part_bound[0] is not None else None,
-                             str(part_bound[1]) if part_bound[1] is not None else None):
+            if not _part_entry_overlaps(_entry_value(entry), *part_bound):
                 continue
         for rel in manifest["files"][entry]:
             keep = True
@@ -859,7 +913,7 @@ def _prune_meta(root: str, latest: int) -> None:
         if (
             f.startswith("v")
             and f.endswith(".json")
-            and int(f[1:9]) <= latest - META_KEEP_VERSIONS
+            and _parse_version(f) <= latest - META_KEEP_VERSIONS
         ):
             try:
                 os.unlink(os.path.join(d, f))
@@ -906,6 +960,6 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
                 deleted.append(rel)
     d = _manifest_dir(root)
     for f in sorted(os.listdir(d)):
-        if f.startswith("v") and f.endswith(".json") and int(f[1:9]) not in keep:
+        if f.startswith("v") and f.endswith(".json") and _parse_version(f) not in keep:
             os.unlink(os.path.join(d, f))
     return deleted

@@ -99,3 +99,27 @@ def test_extend_matches_full_build_and_touches_no_base_file(spark):
     assert [
         tuple(r) for r in _probe_persisted_index(spark, SF, path).collect()
     ] == full_probe
+
+
+def test_ensure_ivf_index_serve_or_build(spark):
+    """ensure_ivf_index is the reader of persist_ivf_index's freshness
+    record: a fresh full build is REUSED (no new meta commit), a stale
+    or PARTIAL build (the gate queries' exclude_vec_id variants share
+    the path) triggers a rebuild."""
+    from etl_pdf_pipepline_spark.operators.similarity import ensure_ivf_index
+    from etl_pdf_pipepline_spark.sources.manifest import latest_version, read_meta
+
+    path = ensure_ivf_index(spark, SF)  # build (or rebuild over leftovers)
+    assert read_meta(path)["exclude_vec_id"] is None
+    v_built = latest_version(path)
+    assert ensure_ivf_index(spark, SF) == path
+    assert latest_version(path) == v_built  # reuse: nothing committed
+
+    # a partial build at the same path must NOT be served as fresh
+    persist_ivf_index(spark, SF, exclude_vec_id=4)
+    assert read_meta(path)["exclude_vec_id"] == 4
+    v_partial = latest_version(path)
+    ensure_ivf_index(spark, SF)
+    assert latest_version(path) > v_partial  # rebuilt
+    assert read_meta(path)["exclude_vec_id"] is None
+    assert not read_meta(path)["partial"]

@@ -368,6 +368,83 @@ def test_snapshot_files_keeps_unstatted_files():
     assert snapshot_files(m, {"y": (0, 1)}) == sorted(m["files"]["d=a"])
 
 
+def test_partition_pruning_bare_int_values():
+    """Bare-int partition values ('9' > '10' lexicographically) prune
+    NUMERICALLY — a string-domain compare would silently drop live
+    partitions, the r8 review's safe-superset violation."""
+    from etl_pdf_pipepline_spark.sources.manifest import snapshot_files
+
+    m = {
+        "partition_col": "h",
+        "files": {f"h={v}": [f"h={v}/f.parquet"] for v in (2, 9, 10, 11)},
+    }
+    kept = snapshot_files(m, {"h": (9, 10)})
+    assert sorted(kept) == ["h=10/f.parquet", "h=9/f.parquet"]
+    # unbounded-low / unbounded-high halves behave numerically too
+    assert len(snapshot_files(m, {"h": (10, None)})) == 2
+    assert len(snapshot_files(m, {"h": (None, 9)})) == 2
+
+
+def test_partition_pruning_mixed_width_strings_degrade_to_full_read():
+    """A string partition domain whose widths don't match the bound is
+    NOT order-safe — pruning must keep every entry (full read), never
+    guess lexicographic order."""
+    from etl_pdf_pipepline_spark.sources.manifest import snapshot_files
+
+    m = {
+        "partition_col": "k",
+        "files": {f"k={v}": [f"k={v}/f.parquet"] for v in ("ab", "abc", "b")},
+    }
+    # 'b' > 'abc' lexicographically but the domain has mixed widths:
+    # every entry whose width mismatches a bound is kept.
+    assert len(snapshot_files(m, {"k": ("abc", "abc")})) >= 1
+    assert "k=abc/f.parquet" in snapshot_files(m, {"k": ("abc", "abc")})
+    # same-width string domain (ISO dates) still prunes exactly
+    m2 = {
+        "partition_col": "d",
+        "files": {f"d={v}": [f"d={v}/f.parquet"] for v in ("2024-01-01", "2024-01-05")},
+    }
+    assert snapshot_files(m2, {"d": ("2024-01-02", None)}) == ["d=2024-01-05/f.parquet"]
+
+
+def test_datetime_bounds_normalized_to_stat_domain():
+    """Timestamp/date column stats are committed as ISO strings; a
+    caller passing datetime/date bounds must get pruning, not a
+    plan-time TypeError."""
+    import datetime
+
+    from etl_pdf_pipepline_spark.sources.manifest import snapshot_files
+
+    m = {
+        "partition_col": "d",
+        "files": {"d=a": ["d=a/f1.parquet", "d=a/f2.parquet"]},
+        "stats": {
+            "d=a/f1.parquet": {"ts": ["2024-01-01T00:00:00", "2024-01-02T00:00:00"]},
+            "d=a/f2.parquet": {"ts": ["2024-03-01T00:00:00", "2024-03-05T00:00:00"]},
+        },
+    }
+    lo = datetime.datetime(2024, 2, 1)
+    assert snapshot_files(m, {"ts": (lo, None)}) == ["d=a/f2.parquet"]
+    # cross-type garbage (int bound vs string stats) keeps both files
+    assert len(snapshot_files(m, {"ts": (5, None)})) == 2
+
+
+def test_version_parse_is_width_independent(tmp_path):
+    """f\"v{N:08d}\" widens past 8 digits; latest_version/vacuum/meta
+    pruning must parse the whole number, not a fixed [1:9] slice."""
+    import json
+
+    from etl_pdf_pipepline_spark.sources.manifest import latest_version
+
+    root = str(tmp_path / "wide")
+    d = os.path.join(root, "_manifests")
+    os.makedirs(d)
+    for v in (1, 99999999, 100000000, 100000001):
+        with open(os.path.join(d, f"v{v:08d}.json"), "w") as fh:
+            json.dump({"payload": {"v": v}}, fh)
+    assert latest_version(root) == 100000001
+
+
 def test_merge_commit_propagates_file_stats(spark, lake):
     """A stats-carrying lake keeps its data-skipping property across a
     MERGE: new files gain footer stats, carried entries keep theirs,

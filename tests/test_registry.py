@@ -59,3 +59,28 @@ def test_gate_order_puts_priority_first():
     names = list(all_queries())
     above = _entries_above_cut()
     assert names[: len(above)] == above
+
+
+def test_queries_md_matches_registry():
+    """QUERIES.md is generated (tools/gen_queries_md.py) and drifted from
+    the registry twice (r7: 136 vs 137). Pin: the set of '## `name`'
+    headings in the committed file must equal the registry's names, and
+    the stated count must match."""
+    import os
+    import re
+
+    from etl_pdf_pipepline_spark.registry import _REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")
+    with open(path) as fh:
+        text = fh.read()
+    doc_names = set(re.findall(r"^## `([^`]+)`", text, flags=re.M))
+    assert doc_names == set(_REGISTRY), (
+        "QUERIES.md drifted from the registry — regenerate with "
+        "`python tools/gen_queries_md.py > QUERIES.md`; "
+        f"missing={sorted(set(_REGISTRY) - doc_names)} "
+        f"stale={sorted(doc_names - set(_REGISTRY))}"
+    )
+    m = re.search(r"^(\d+) queries;", text, flags=re.M)
+    assert m and int(m.group(1)) == len(_REGISTRY)
