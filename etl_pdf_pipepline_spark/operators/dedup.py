@@ -15,8 +15,11 @@ training-data pipeline. Design notes per operator:
   Signatures are per-row expressions: no shuffle.
 - LSH banding: signatures → band keys → groupBy band key → candidate pairs
   only within buckets. The all-pairs O(n²) never materializes; the shuffle
-  is on band keys. Skew guard: a bucket with B members emits B(B−1)/2
-  pairs; cap/salt pathological buckets at scale.
+  is on band keys. Skew guard (banded_pairs): a bucket with B members
+  would emit B(B−1)/2 pairs, so buckets above MAX_LSH_BUCKET members emit
+  only the consecutive-member chain (B−1 edges, same transitive closure —
+  component consumers are invariant; pair listings and their oracles
+  apply the identical rule).
 - SimHash: sign-aggregated bit fingerprint; Hamming-near docs are dup
   candidates. Computed with explode + groupBy — two narrow shuffles.
 - n-gram Jaccard: the exact verification step for LSH candidates,
@@ -283,14 +286,105 @@ _LSH_CTE_BODY = """toks AS (
     ),
 )
 
+# Band-bucket skew cap: a bucket with B members emits B(B−1)/2 pairs, so
+# one boilerplate-collapsed bucket (empty docs, license headers, a
+# scraped template) goes quadratic no matter how good the banding is.
+# Buckets above MAX_LSH_BUCKET members switch from all-pairs to a
+# CONSECUTIVE-MEMBER CHAIN (sorted by id, link rn→rn+1): B−1 edges, so
+# worst case is linear in bucket size, and the chain has the SAME
+# transitive closure as all-pairs — connected components / keepers /
+# paragraph grouping are bit-identical at any cap; only the raw pair
+# listings (dedup_lsh_candidates, dedup_simhash_pairs) see fewer rows
+# when the cap binds, and their oracles implement the identical rule.
+MAX_LSH_BUCKET = 64
+
+
+def _capped_pairs_sql(bands_cte: str, cap: int = MAX_LSH_BUCKET, id_col: str = "doc_id") -> str:
+    """The DuckDB mirror of banded_pairs: same window, same cap, same
+    chain rule, composed over any (id, band_id, band_key) CTE."""
+    return f"""bm AS (
+        SELECT {id_col}, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bsz,
+               row_number() OVER (PARTITION BY band_id, band_key ORDER BY {id_col}) AS rn
+        FROM {bands_cte}
+    ),
+    pairs AS (
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.band_id
+        FROM bm a JOIN bm b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.{id_col} < b.{id_col} AND a.bsz <= {cap}
+        UNION ALL
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.band_id
+        FROM bm a JOIN bm b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND b.rn = a.rn + 1 AND a.bsz > {cap}
+    )"""
+
+
 _LSH_ORACLE = f"""
-    WITH {_LSH_CTE_BODY}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band_id) AS n_bands
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    WITH {_LSH_CTE_BODY},
+    {_capped_pairs_sql("bands")}
+    SELECT doc_a, doc_b, count(DISTINCT band_id) AS n_bands
+    FROM pairs
+    GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b
 """
+
+
+def banded_pairs(
+    bands: DataFrame, id_col: str = "doc_id", cap: int = MAX_LSH_BUCKET
+) -> DataFrame:
+    """(doc_a, doc_b, band_id) candidate pairs from an (id, band_id,
+    band_key) banding, with the skew cap the module docstring promises:
+    buckets with ≤ cap members emit all intra-bucket pairs (exact
+    banding semantics); buckets ABOVE the cap emit only the
+    consecutive-member chain sorted by id — B−1 edges instead of
+    B(B−1)/2, so a corpus where boilerplate collapses thousands of
+    docs into one band bucket stays linear instead of quadratic.
+
+    The chain preserves the transitive closure (every bucket member is
+    still connected), so connected-components consumers (dedup_keepers,
+    dedup_connected_components) are invariant under the cap; only the
+    raw pair listing changes, and its oracle applies the same rule
+    (_capped_pairs_sql). Plan shape: one shuffle on (band_id, band_key)
+    for the window, reused by both self-joins (same keys)."""
+    w = Window.partitionBy("band_id", "band_key")
+    b = bands.select(
+        id_col,
+        "band_id",
+        "band_key",
+        F.count(F.lit(1)).over(w).alias("bsz"),
+        F.row_number().over(w.orderBy(id_col)).alias("rn"),
+    )
+    a_side, b_side = b.alias("a"), b.alias("b")
+    on_bucket = (F.col("a.band_id") == F.col("b.band_id")) & (
+        F.col("a.band_key") == F.col("b.band_key")
+    )
+    small = (
+        a_side.filter(F.col("bsz") <= cap)
+        .join(
+            b_side.filter(F.col("bsz") <= cap),
+            on_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.band_id").alias("band_id"),
+        )
+    )
+    chained = (
+        a_side.filter(F.col("bsz") > cap)
+        .join(
+            b_side.filter(F.col("bsz") > cap),
+            on_bucket & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.band_id").alias("band_id"),
+        )
+    )
+    return small.unionAll(chained)
 
 
 @query("dedup_lsh_candidates", oracle=_LSH_ORACLE)
@@ -298,20 +392,14 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signatures (4 bands × 2 rows),
     self-join on band key. The join key space is (band_id, band_key), so
     only same-bucket docs ever meet — this is the O(n²)→O(n) cut that
-    makes near-dedup feasible at 100 TB."""
+    makes near-dedup feasible at 100 TB. Pathological buckets (boilerplate
+    collapse) are chain-capped by banded_pairs; the oracle applies the
+    identical cap."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = lsh_band_keys(docs)
-    a_side = bands.alias("a")
-    b_side = bands.alias("b")
     return (
-        a_side.join(
-            b_side,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band_id").alias("n_bands"))
+        banded_pairs(lsh_band_keys(docs))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_id").alias("n_bands"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -523,12 +611,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id, 1 AS band_id, simhash & 255 AS band_key FROM sig
     ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    )
+    {{capped}},
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs)
     SELECT c.doc_a, c.doc_b,
            bit_count(xor(sa.simhash, sb.simhash)) AS hamming
     FROM cand c
@@ -536,7 +620,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sig sb ON c.doc_b = sb.doc_id
     WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
     ORDER BY doc_a, doc_b
-    """,
+    """.format(capped=_capped_pairs_sql("bands")),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 1 via 2-band pigeonhole: split
@@ -544,7 +628,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 agrees exactly on at least one half, so only same-half-bucket pairs
     are ever compared — the O(n²)→O(n) cut, same shape as MinHash-LSH but
     on fingerprint halves. Verification is an integer popcount on the
-    candidate set only."""
+    candidate set only. Pathological half-buckets (e.g. the all-zero
+    fingerprint every empty doc lands on) are chain-capped by
+    banded_pairs; the oracle applies the identical cap."""
     docs = load_table(spark, sf_dir, "documents")
     sig = simhash_signatures(docs).cache()
     bands = (
@@ -556,17 +642,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = banded_pairs(bands).select("doc_a", "doc_b").distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -682,20 +758,11 @@ _CC_ORACLE = f"""
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) MinHash-LSH candidate pairs — the banded signature
-    equi-join shared by the CC grouping and the keeper selection."""
-    bands = lsh_band_keys(docs)
-    a_side = bands.alias("a")
-    b_side = bands.alias("b")
-    return (
-        a_side.join(
-            b_side,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    equi-join shared by the CC grouping and the keeper selection. Runs
+    through the chain-capped banded_pairs: the downstream consumers take
+    the transitive closure (connected components), which the chain cap
+    preserves exactly, so their oracles need no cap mirror."""
+    return banded_pairs(lsh_band_keys(docs)).select("doc_a", "doc_b").distinct()
 
 
 @query("dedup_connected_components", oracle=_CC_ORACLE)

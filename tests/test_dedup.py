@@ -287,3 +287,42 @@ def test_minhash_affine_family_properties(spark):
     for i in range(len(texts)):
         assert sig[i] == sig[100 + i]  # case/whitespace-normalized identity
         assert all(0 <= v < MH_P for v in sig[i])
+
+
+def test_banded_pairs_caps_pathological_bucket(spark):
+    """The skew cap the module docstring promises: a forged bucket with
+    B members above the cap emits the B-1 consecutive-member chain, not
+    B(B-1)/2 all-pairs; under-cap buckets keep exact all-pairs; and the
+    transitive closure (what CC/keepers consume) is unchanged."""
+    from etl_pdf_pipepline_spark.operators.dedup import banded_pairs, connected_components
+
+    rows = [(i, 0, "big") for i in range(10)] + [(i, 0, "small") for i in (100, 101, 102)]
+    bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key string")
+
+    pairs = banded_pairs(bands, cap=4).collect()
+    big = sorted((r.doc_a, r.doc_b) for r in pairs if r.doc_b < 100)
+    small = sorted((r.doc_a, r.doc_b) for r in pairs if r.doc_b >= 100)
+    assert big == [(i, i + 1) for i in range(9)]  # chain, not 45 pairs
+    assert small == [(100, 101), (100, 102), (101, 102)]  # exact all-pairs
+
+    # closure invariance: capped and uncapped pairs give identical components
+    capped = banded_pairs(bands, cap=4).select("doc_a", "doc_b").distinct()
+    uncapped = banded_pairs(bands, cap=10**6).select("doc_a", "doc_b").distinct()
+    cc = lambda e: sorted(map(tuple, connected_components(e).collect()))
+    assert cc(capped) == cc(uncapped)
+
+
+def test_banded_pairs_multi_band_counts_survive_cap(spark):
+    """A pair sharing two small buckets still counts n_bands=2 through
+    the capped generator (band_id rides along the union)."""
+    from etl_pdf_pipepline_spark.operators.dedup import banded_pairs
+
+    rows = [(1, 0, "x"), (2, 0, "x"), (1, 1, "y"), (2, 1, "y")]
+    bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key string")
+    out = (
+        banded_pairs(bands, cap=4)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_id").alias("n_bands"))
+        .collect()
+    )
+    assert [(r.doc_a, r.doc_b, r.n_bands) for r in out] == [(1, 2, 2)]
