@@ -109,18 +109,22 @@ def build_rollup_view(
     *,
     view_root: str | None = None,
     meta_root: str | None = None,
+    agg_fn=None,
 ) -> int:
     """Full build (the once-per-corpus ingest cost): aggregate the whole
     base snapshot, publish as view v1, record the base version the view
     reflects. One wide shuffle over the facts — the cost incremental
-    refresh exists to never pay again."""
+    refresh exists to never pay again. `agg_fn` swaps the view
+    definition (default: the daily _rollup; the streaming-served hourly
+    face passes _hourly_rollup) — any event_date-carrying aggregate
+    maintains identically, because refresh recomputes whole days."""
     from ..sources.manifest import commit_meta, init_versioned_lake, latest_version
 
     base_v = latest_version(base_root)
     from ..sources.manifest import read_snapshot
 
     init_versioned_lake(
-        _rollup(read_snapshot(spark, base_root)),
+        (agg_fn or _rollup)(read_snapshot(spark, base_root)),
         view_root or rollup_view_path(sf_dir),
         "event_date",
     )
@@ -136,6 +140,7 @@ def refresh_rollup_view(
     *,
     view_root: str | None = None,
     meta_root: str | None = None,
+    agg_fn=None,
 ) -> list:
     """Incremental refresh after a base MERGE that touched
     `changed_days`: recompute ONLY those days' groups from a
@@ -144,7 +149,8 @@ def refresh_rollup_view(
     the view's partition entry is dropped by the same delete contract
     the base merge uses (changed-but-absent-from-staging ⇒ removed).
     Cost is O(touched days' facts) + one manifest commit — independent
-    of lake size, which is the entire point at 100 TB."""
+    of lake size, which is the entire point at 100 TB. `agg_fn` must
+    match the build's (same view definition, same columns)."""
     from ..sources.manifest import commit_meta, latest_version, merge_commit, read_snapshot
 
     base_v = latest_version(base_root)
@@ -153,7 +159,7 @@ def refresh_rollup_view(
         spark, base_root, bounds={"event_date": (day_strs[0], day_strs[-1])}
     ).filter(F.col("event_date").isin(list(changed_days)))
     merge_commit(
-        _rollup(touched),
+        (agg_fn or _rollup)(touched),
         view_root or rollup_view_path(sf_dir),
         "event_date",
         changed_partitions=list(changed_days),
@@ -364,4 +370,150 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         serve_rollup(spark, sf_dir)
         .filter((F.col("event_date") >= F.date_sub(lo, 1)) & (F.col("event_date") < F.date_add(lo, 2)))
         .orderBy("event_date", "event_type")
+    )
+
+
+def _hourly_rollup(facts: DataFrame) -> DataFrame:
+    """The hourly view definition the streaming-served rollup maintains:
+    per-(hour, type) count + exact integer-cent total, with event_date
+    riding along as the view lake's partition column (hours never span
+    days, so whole-day recompute keeps every hour of a touched day
+    exact). Storage stays integer cents; display rounding happens at
+    serve time, like every money path in the engine."""
+    return facts.groupBy(
+        "event_date",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_cents("value")).alias("total_cents"),
+    )
+
+
+def ensure_streaming_hourly_view(spark: SparkSession, sf_dir: str) -> str:
+    """Serve-or-build for the STREAMING-maintained hourly rollup view —
+    the serving face VERDICT r8 asked for: streaming_hourly_rollup
+    re-drains the whole stream per query (micro-batch + state
+    checkpointing, the adjudicated 16× class cost), while a lake whose
+    ingest ALREADY maintains the view per micro-batch answers the hourly
+    rollup by reading O(hours × types) rows. Freshness is two-factor,
+    like every ensure_* face: the CAS meta must carry the current events
+    source signature (corpus regenerated in place ⇒ rebuild) AND no
+    row-changing commit may postdate the view's base_version (enforced
+    invalidation; OPTIMIZE-class rows_preserved commits don't stampede
+    the view back to re-draining).
+
+    The build drains the source as four availableNow micro-batches
+    through the same append_commit txn ledger + refresh_rollup_view
+    machinery the maintenance gate proves (build → refresh × 3,
+    boundary days recomputed across adjacent batches), so the served
+    artifact is maintained BY the streaming path, not a batch shortcut
+    dressed up as one."""
+    import shutil
+
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import (
+        append_commit,
+        commit_meta,
+        latest_version,
+        read_meta,
+        rows_changed_since,
+    )
+
+    base = _warehouse_path(sf_dir, "events_stream_hourly")
+    base_root = os.path.join(base, "table")
+    view_root = os.path.join(base, "view")
+    meta_root = os.path.join(base, "view_meta")
+    src = os.path.join(base, "src")
+
+    sig = table_stat_signature(sf_dir, ("events",))
+    meta = read_meta(meta_root) or {}
+    if (
+        meta.get("source_signature") == sig
+        and meta.get("base_version") is not None
+        and not rows_changed_since(base_root, int(meta["base_version"]))
+    ):
+        return view_root
+
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _maintain(batch: DataFrame, bid: int) -> None:
+        batch = batch.withColumn("event_date", F.to_date("ts"))
+        append_commit(batch, base_root, "event_date", txn=("hourly_mv", bid))
+        if latest_version(view_root) == 0:
+            build_rollup_view(
+                spark,
+                base_root,
+                sf_dir,
+                view_root=view_root,
+                meta_root=meta_root,
+                agg_fn=_hourly_rollup,
+            )
+        else:
+            changed = [r[0] for r in batch.select("event_date").distinct().collect()]
+            refresh_rollup_view(
+                spark,
+                base_root,
+                sf_dir,
+                changed,
+                view_root=view_root,
+                meta_root=meta_root,
+                agg_fn=_hourly_rollup,
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_meta(meta_root) or {}
+    commit_meta(meta_root, {**final, "source_signature": sig})
+    return view_root
+
+
+@query(
+    "streaming_hourly_served",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_hourly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state face of streaming_hourly_rollup (same oracle):
+    serve the hourly answer FROM the streaming-maintained view —
+    freshness-checked snapshot read of O(hours × types) rows — instead
+    of re-draining the stream per query. The pair prices the trade the
+    way revenue_by_nation's routed/scan twins do: the rollup row keeps
+    the per-drain maintenance cost visible; this row is what a lake
+    whose ingest maintains the view actually pays per query. A green
+    row proves streaming maintenance (append-ledger + whole-day
+    incremental refresh across four micro-batches) reproduces the
+    full-history hourly rollup bit-for-bit."""
+    view_root = ensure_streaming_hourly_view(spark, sf_dir)
+    from ..sources.manifest import read_snapshot
+
+    return (
+        read_snapshot(spark, view_root)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round(F.col("total_cents").cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
     )

@@ -267,3 +267,41 @@ def test_view_time_travel_matches_base_time_travel(spark):
     assert rows(read_snapshot(spark, view_root, 1)) != rows(
         read_snapshot(spark, view_root)
     )
+
+
+def test_streaming_hourly_view_serve_or_build(spark):
+    """ensure_streaming_hourly_view reuses a fresh view (no rebuild —
+    the whole point of the serving face) and the served rows equal a
+    direct hourly rollup of the source."""
+    from etl_pdf_pipepline_spark.plans.matview import (
+        ensure_streaming_hourly_view,
+    )
+    from etl_pdf_pipepline_spark.registry import all_queries
+    from etl_pdf_pipepline_spark.sources.manifest import latest_version
+
+    sf = "/root/testdata/sf0.001"
+    view_root = ensure_streaming_hourly_view(spark, sf)
+    v_built = latest_version(view_root)
+    assert ensure_streaming_hourly_view(spark, sf) == view_root
+    assert latest_version(view_root) == v_built  # reused, not rebuilt
+
+    served = all_queries()["streaming_hourly_served"](spark, sf)
+    from etl_pdf_pipepline_spark.functions.money import cents as _cents
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    direct = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in direct.collect()]
