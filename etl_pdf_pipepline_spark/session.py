@@ -64,6 +64,53 @@ def derive_shuffle_partitions(data_dir: str) -> int:
     return p
 
 
+def _input_bytes(data_dir: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+# derive_scan_conf: below this input volume, Spark's scan defaults stand
+# (128 MB maxPartitionBytes / 4 MB openCostInBytes) — at gate/sf0.1 sizes
+# every table fits in a handful of tasks either way and fewer tasks wins.
+_SCAN_TUNE_MIN_BYTES = 2 * 1024**3
+
+
+def derive_scan_conf(data_dir: str) -> dict[str, str]:
+    """Size the SCAN-stage split knobs from the data, the input-side twin
+    of derive_shuffle_partitions — shuffle sizing fixed the exchange
+    stages but left `spark.sql.files.maxPartitionBytes` at its 128 MB
+    default, and the r9 sf100 probe caught what that costs on a
+    many-small-files table: documents (590 MB in 1001 files + 4 MB
+    openCost padding each) packs into ~34 scan partitions, which on 32
+    cores is a TWO-WAVE schedule whose second wave runs 2 tasks while 30
+    cores idle — dedup_minhash_signatures measured 56.4 s vs 38.6 s
+    (2.33× → 1.59× vs DuckDB) just by splitting the scan finer
+    (tools/probe_scanpar, SCALING.md r9). The fix is the same shape as
+    the shuffle knob: target ~3 balanced waves per large scan by setting
+    maxPartitionBytes ≈ total_bytes / (3 × shuffle partitions), clamped
+    to [16 MB, 128 MB], with openCostInBytes dropped to 1 MB so padding
+    stops dominating real bytes on small-file layouts. On a cluster the
+    same rule holds with executors×cores in the denominator. Below
+    _SCAN_TUNE_MIN_BYTES the defaults stand (returns {}), so gate and
+    sf0.1 behavior is byte-identical to before."""
+    total = _input_bytes(data_dir)
+    if total < _SCAN_TUNE_MIN_BYTES:
+        return {}
+    p = derive_shuffle_partitions(data_dir)
+    mpb = max(16 * 1024**2, min(128 * 1024**2, total // (3 * p)))
+    return {
+        "spark.sql.files.maxPartitionBytes": str(mpb),
+        "spark.sql.files.openCostInBytes": str(1024**2),
+    }
+
+
 def get_spark(
     app_name: str = "etl-pdf-pipeline-spark",
     master: str | None = None,
@@ -114,6 +161,17 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    scan_conf = derive_scan_conf(data_dir) if data_dir is not None else {}
+    for k, v in scan_conf.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Scan-split knobs are runtime SQL confs: apply them even when
+    # getOrCreate returned a pre-existing session (builder confs are
+    # silently ignored then), so a bench/probe that re-enters get_spark
+    # with a data_dir still gets the derived scan sizing.
+    for k, v in scan_conf.items():
+        if (extra_conf or {}).get(k) is None:
+            spark.conf.set(k, v)
+    return spark

@@ -30,3 +30,28 @@ def test_derived_partitions_known_dirs():
     assert derive_shuffle_partitions("/root/testdata/sf0.1") == 32
     if os.path.isdir("/root/repo/.scale/sf100"):
         assert derive_shuffle_partitions("/root/repo/.scale/sf100") == 256
+
+
+def test_derive_scan_conf_thresholds(tmp_path):
+    """Scan-split sizing: defaults (empty dict) below 2 GiB input; above,
+    maxPartitionBytes targets ~3 waves per large scan, clamped to
+    [16 MB, 128 MB], with openCost dropped to 1 MB."""
+    from etl_pdf_pipepline_spark.session import derive_scan_conf
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert derive_scan_conf(str(small)) == {}
+
+    # A sparse file keeps the disk usage tiny but os.path.getsize large.
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "t.parquet", "wb") as fh:
+        fh.seek(16 * 1024**3 - 1)
+        fh.write(b"\0")
+    conf = derive_scan_conf(str(big))
+    mpb = int(conf["spark.sql.files.maxPartitionBytes"])
+    # 16 GiB / (3 * 256 shuffle partitions) = ~21.3 MB
+    assert 16 * 1024**2 <= mpb <= 128 * 1024**2
+    assert mpb == 16 * 1024**3 // (3 * 256)
+    assert conf["spark.sql.files.openCostInBytes"] == str(1024**2)
