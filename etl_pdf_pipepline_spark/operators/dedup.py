@@ -25,6 +25,18 @@ training-data pipeline. Design notes per operator:
 - n-gram Jaccard: the exact verification step for LSH candidates,
   expressed as a token-level equi-join (not array intersection) so the
   same plan shape scales to verifying millions of candidate pairs.
+
+Index-side skew, adjudicated (r9): the delta-admission join
+(_delta_admission, streaming ingest) fans out delta×B rows when a
+boilerplate bucket holds B corpus docs — LINEAR in B, not B², unlike
+the self-join banded_pairs caps. The exchange carries (band keys, ids)
+only, AQE skew-join splitting handles partition imbalance, and the
+fan-out collapses in the next groupBy's partial aggregation; capping
+the index would trade the exact n_dup_candidates contract for a bound
+the plan does not need. If a future corpus proves otherwise, the cap
+belongs in persist_lsh_band_index (windowed row_number per bucket,
+min-id kept first so min_dup_id stays exact) with the rule mirrored in
+_INCR_ORACLE.
 """
 
 from __future__ import annotations

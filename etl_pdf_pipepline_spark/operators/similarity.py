@@ -583,6 +583,54 @@ def _probe_persisted_index(spark: SparkSession, sf_dir: str, path: str) -> DataF
     return cosine_topk_arrow(vecs, qvec, 10).select("vec_id", "score")
 
 
+@query("ivf_probe_served", oracle=_IVF_PROBE_ORACLE)
+def ivf_probe_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STEADY-STATE face of the IVF family (the vector twin of
+    near_dup_admission vs near_dup_incremental): serve the probe from an
+    EXISTING index via ensure_ivf_index — the serve-or-build lifecycle
+    reader r8's review found missing — building only when the freshness
+    record (source signature + full-build variant) says the layout is
+    stale or partial. ivf_probe_from_index re-proves build + serve every
+    run; this row prices what a query against a maintained index
+    actually pays: a k-row centroid fetch + an nprobe-pruned directory
+    read. Same oracle as the whole probe family.
+
+    The gate queries build partial (exclude_vec_id=4) indexes at the
+    same path, which ensure_ivf_index treats as stale — so this row
+    also exercises the rebuild-over-partial branch whenever it runs
+    after them in a session. The query vector (vec_id 4) is part of the
+    full-corpus index here; exact-scoring candidates includes it, so it
+    is dropped post-probe to match the family oracle's exclusion."""
+    path = ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 4).select("embedding").first()["embedding"]
+    ]
+    q = F.array(*[F.lit(x) for x in qvec])
+    c = spark.read.parquet(f"{path}/centroids")
+    qc_w = Window.orderBy(F.desc("s"), F.asc("centroid_id"))
+    probe_ids = [
+        r.centroid_id
+        for r in (
+            c.select("centroid_id", F.round(cosine(F.col("cv"), q), 4).alias("s"))
+            .withColumn("rn", F.row_number().over(qc_w))
+            .filter(F.col("rn") <= 2)
+            .select("centroid_id")
+            .collect()
+        )
+    ]
+    from ..functions.vectors import cosine_topk_arrow
+
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != 4)
+        .withColumn("label", F.lit(0).cast("int"))
+    )
+    return cosine_topk_arrow(vecs, qvec, 10).select("vec_id", "score")
+
+
 @query("ivf_incremental_index", oracle=_IVF_PROBE_ORACLE)
 def ivf_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(delta) IVF index maintenance, end-to-end and oracle-gated: build

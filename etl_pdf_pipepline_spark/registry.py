@@ -121,7 +121,13 @@ _GATE_PRIORITY = [
     "q7_volume_shipping",
     "semantic_dedup_keepers",
     # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut: everything r7/r8-latest and untouched this round.
+    # Below the cut: everything r7/r8-latest and untouched this round,
+    # plus ivf_probe_served (NEW late-r9: the ensure_ivf_index
+    # serve-or-build face) — added with the top-50 already full, so per
+    # the standing invariant it enters r10's top-50; check_oracle-green
+    # in-session at sf0.01 beside its family (ivf_probe_from_index /
+    # ivf_incremental_index, both r9-gated, share its serving tail).
+    "ivf_probe_served",
 ]
 
 
