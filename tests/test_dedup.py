@@ -326,3 +326,40 @@ def test_banded_pairs_multi_band_counts_survive_cap(spark):
         .collect()
     )
     assert [(r.doc_a, r.doc_b, r.n_bands) for r in out] == [(1, 2, 2)]
+
+
+def test_banded_pairs_property_closure_and_subset(spark):
+    """Property (randomized bands): capped pairs are a SUBSET of
+    uncapped all-pairs, per-bucket pair counts are bounded by
+    min(C(B,2), B-1 for over-cap), and the transitive closure is
+    invariant — for several random band tables, not just the forged
+    one."""
+    import random
+
+    from etl_pdf_pipepline_spark.operators.dedup import banded_pairs, connected_components
+
+    rng = random.Random(907)
+    for trial in range(3):
+        rows = []
+        for band in range(2):
+            n_buckets = rng.randint(2, 4)
+            ids = list(range(60))
+            rng.shuffle(ids)
+            for i, doc in enumerate(ids[: rng.randint(10, 40)]):
+                rows.append((doc, band, f"b{i % n_buckets}"))
+        bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key string")
+        cap = rng.choice([3, 5, 8])
+        capped = {(r.doc_a, r.doc_b) for r in banded_pairs(bands, cap=cap).collect()}
+        full = {(r.doc_a, r.doc_b) for r in banded_pairs(bands, cap=10**9).collect()}
+        assert capped <= full, f"trial {trial}: capped emitted a non-pair"
+        cc = lambda pairs: sorted(
+            map(
+                tuple,
+                connected_components(
+                    spark.createDataFrame(
+                        sorted(pairs) or [(0, 0)], "doc_a long, doc_b long"
+                    )
+                ).collect(),
+            )
+        )
+        assert cc(capped) == cc(full), f"trial {trial}: closure changed under cap"

@@ -711,3 +711,32 @@ def test_rows_changed_since_and_optimize_tag(spark, lake):
     optimize_commit(spark, root)  # v4
     vacuum(root, keep_versions=1)  # only v4's manifest survives
     assert rows_changed_since(root, 2)
+
+
+def test_partition_pruning_safe_superset_property():
+    """Property (randomized domains): snapshot_files with a partition
+    bound NEVER drops an entry whose value is logically inside the
+    bound — across bare ints, ISO dates, and mixed-width strings (where
+    the contract degrades to keep-everything)."""
+    import random
+
+    from etl_pdf_pipepline_spark.sources.manifest import snapshot_files
+
+    rng = random.Random(424)
+    domains = [
+        [str(v) for v in rng.sample(range(0, 500), 12)],                 # bare ints
+        [f"2024-{m:02d}-{d:02d}" for m, d in zip(rng.sample(range(1, 13), 6), rng.sample(range(1, 28), 6))],  # ISO dates
+        ["a", "ab", "abc", "b", "zz", "y"],                               # mixed widths
+    ]
+    for dom in domains:
+        m = {"partition_col": "k", "files": {f"k={v}": [f"k={v}/f.parquet"] for v in dom}}
+        for _ in range(20):
+            lo, hi = sorted(rng.sample(dom, 2))
+            kept = set(snapshot_files(m, {"k": (lo, hi)}))
+            # logical containment: numeric if all parse as ints, else string
+            try:
+                inside = {v for v in dom if int(lo) <= int(v) <= int(hi)}
+            except ValueError:
+                inside = {v for v in dom if lo <= v <= hi}
+            must_keep = {f"k={v}/f.parquet" for v in inside}
+            assert must_keep <= kept, (dom, lo, hi, must_keep - kept)
