@@ -591,3 +591,79 @@ def events_lake_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+AUTOPILOT_DAYS = ("2024-01-05", "2024-01-07")  # inclusive append window
+
+_AUTOPILOT_ORACLE = f"""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events
+    WHERE user_id % 5 <> 0
+       OR CAST(ts AS DATE) BETWEEN DATE '{AUTOPILOT_DAYS[0]}' AND DATE '{AUTOPILOT_DAYS[1]}'
+    GROUP BY event_type ORDER BY event_type
+    """
+
+
+def autopilot_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_autopilot_lake_{tag}")
+
+
+@query("events_lake_autopilot", oracle=_AUTOPILOT_ORACLE)
+def events_lake_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven lake maintenance end-to-end (manifest.maintain_lake):
+    v1 is a clean one-file-per-day lake of the base rows (user_id % 5
+    ≠ 0), v2 appends a delta slice into a THREE-DAY window — exactly the
+    small-files debt a streaming ingest leaves — and the autopilot pass
+    then (a) finds the fragmented partitions from the manifest alone,
+    (b) compacts ONLY those via a scoped rows_preserved OPTIMIZE commit,
+    and (c) vacuums past retention. The query asserts the POLICY inline
+    (precisely the appended days got compacted, nothing else) and
+    answers the full-table rollup from the maintained snapshot, so a
+    pass that loses, duplicates, or mutates one row anywhere goes red
+    against the flat-table oracle. events_lake_optimize proves the
+    OPTIMIZE verb; this row proves the closed loop a production lake
+    actually runs: ingest debt → manifest-read policy → scoped atomic
+    compaction → retention — all on the one commit protocol."""
+    import datetime
+
+    from ..sources.manifest import (
+        append_commit,
+        fragmented_partitions,
+        init_versioned_lake,
+        maintain_lake,
+        read_snapshot,
+    )
+
+    root = autopilot_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    lo = datetime.date.fromisoformat(AUTOPILOT_DAYS[0])
+    hi = datetime.date.fromisoformat(AUTOPILOT_DAYS[1])
+    in_window = (F.col("event_date") >= F.lit(lo)) & (F.col("event_date") <= F.lit(hi))
+
+    init_versioned_lake(ev.filter(F.col("user_id") % 5 != 0), root, "event_date")
+    delta = ev.filter((F.col("user_id") % 5 == 0) & in_window)
+    append_commit(delta, root, "event_date")
+
+    # the fragmentation the policy must find = exactly the days the
+    # delta actually touched (at tiny sf a window day can be empty)
+    expected = {str(r[0]) for r in delta.select("event_date").distinct().collect()}
+    frag = set(fragmented_partitions(root, max_files=1))
+    if frag != expected:
+        raise RuntimeError(f"autopilot policy wrong: fragmented={frag} expected={expected}")
+    report = maintain_lake(spark, root, max_files_per_partition=1)
+    if set(report["optimized_partitions"]) != expected or fragmented_partitions(root, 1):
+        raise RuntimeError(f"autopilot pass incomplete: {report}")
+
+    return (
+        read_snapshot(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -122,12 +122,18 @@ _GATE_PRIORITY = [
     "semantic_dedup_keepers",
     # ---- 50 entries; driver caps at ~50 ----
     # Below the cut: everything r7/r8-latest and untouched this round,
-    # plus ivf_probe_served (NEW late-r9: the ensure_ivf_index
-    # serve-or-build face) — added with the top-50 already full, so per
-    # the standing invariant it enters r10's top-50; check_oracle-green
-    # in-session at sf0.01 beside its family (ivf_probe_from_index /
-    # ivf_incremental_index, both r9-gated, share its serving tail).
+    # plus two NEW late-r9 rows added with the top-50 already full — per
+    # the standing invariant they enter r10's top-50; both
+    # check_oracle-green in-session at sf0.01:
+    # - ivf_probe_served: the ensure_ivf_index serve-or-build face
+    #   (family oracle shared with ivf_probe_from_index /
+    #   ivf_incremental_index, both r9-gated, same serving tail);
+    # - events_lake_autopilot: policy-driven maintain_lake pass
+    #   (fragmented-partition detection → scoped rows_preserved
+    #   OPTIMIZE → vacuum), full-rollup oracle; the OPTIMIZE verb it
+    #   composes is r9-gated via events_lake_optimize.
     "ivf_probe_served",
+    "events_lake_autopilot",
 ]
 
 

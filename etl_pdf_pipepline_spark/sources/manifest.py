@@ -814,6 +814,66 @@ def optimize_commit(
     )
 
 
+def fragmented_partitions(root: str, max_files: int) -> list[str]:
+    """Partition VALUES whose latest-snapshot file count exceeds
+    `max_files` — read from the manifest alone, O(manifest), no
+    directory listing. This is the compaction policy's input: a
+    continuously-appended lake accumulates one file per touched
+    partition per micro-batch, and the manifest already knows exactly
+    where the small-files debt is."""
+    m = _read_manifest(root, latest_version(root))
+    return sorted(
+        _entry_value(e) for e, rels in m["files"].items() if len(rels) > max_files
+    )
+
+
+def maintain_lake(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_files_per_partition: int = 4,
+    vacuum_keep: int = 2,
+    stats_cols: tuple | None = None,
+) -> dict:
+    """One lake-maintenance pass — the autopilot a 100 TB lake runs on a
+    schedule instead of a human picking partitions (Delta's OPTIMIZE +
+    auto-compact policy, expressed on this manifest layer):
+
+    1. read the manifest, find partitions above the small-files
+       threshold (`fragmented_partitions`, O(manifest));
+    2. compact ONLY those via a scoped `optimize_commit` — an atomic,
+       `rows_preserved`-tagged manifest version, so concurrent disjoint
+       ingest rebases cleanly and derived aggregates (the rollup views)
+       stay fresh across the pass; skipped entirely when nothing is
+       fragmented (no empty commits);
+    3. vacuum files unreferenced by the retention window.
+
+    `stats_cols` defaults to the columns the manifest ALREADY carries
+    stats for, so a data-skipping lake keeps its skipping property
+    through maintenance without the caller re-declaring the columns.
+    Cost: O(fragmented partitions) rewrite + O(manifest) planning —
+    yesterday's ingest debt, never years of history. Returns a report
+    dict: optimized partition values, the new version (None if no
+    compaction was needed), and the vacuumed file count."""
+    m = _read_manifest(root, latest_version(root))
+    if stats_cols is None:
+        stats_cols = tuple(
+            sorted({c for st in m.get("stats", {}).values() for c in st})
+        )
+    frag = fragmented_partitions(root, max_files_per_partition)
+    report: dict = {
+        "optimized_partitions": frag,
+        "optimize_version": None,
+        "vacuumed_files": 0,
+    }
+    if frag:
+        report["optimize_version"] = optimize_commit(
+            spark, root, partition_values=frag, stats_cols=stats_cols
+        )
+    report["vacuumed_files"] = len(vacuum(root, keep_versions=vacuum_keep))
+    return report
+
+
 def rows_changed_since(root: str, since_version: int) -> bool:
     """Did any commit AFTER `since_version` change the table's rows?
     Walks the manifest chain (since, latest] — O(commits since), each a

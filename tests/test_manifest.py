@@ -740,3 +740,105 @@ def test_partition_pruning_safe_superset_property():
                 inside = {v for v in dom if lo <= v <= hi}
             must_keep = {f"k={v}/f.parquet" for v in inside}
             assert must_keep <= kept, (dom, lo, hi, must_keep - kept)
+
+
+def test_maintain_lake_policy_and_mechanics(spark, tmp_path):
+    """The autopilot's file-level contracts the gate row can't see:
+    only fragmented partitions are rewritten (untouched ones stay
+    inode-identical), the pass is a no-op commit-wise when nothing is
+    fragmented, stats columns auto-carry, and vacuum reclaims the
+    pre-compaction files past retention."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        _read_manifest,
+        append_commit,
+        fragmented_partitions,
+        maintain_lake,
+    )
+
+    root = str(tmp_path / "auto")
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    assert init_versioned_lake(ev, root, "event_date", stats_cols=("user_id",)) == 1
+
+    # fragment exactly one day with two appends
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    slice1 = ev.filter(day & (F.col("user_id") % 2 == 0)).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    slice2 = ev.filter(day & (F.col("user_id") % 2 == 1)).withColumn(
+        "event_id", F.col("event_id") + 20_000_000
+    )
+    append_commit(slice1, root, "event_date", txn=("ap", 1), stats_cols=("user_id",))
+    append_commit(slice2, root, "event_date", txn=("ap", 2), stats_cols=("user_id",))
+    assert fragmented_partitions(root, 1) == [TARGET_DAY]
+
+    def files(entry_prefix=None):
+        out = {}
+        for entry in sorted(os.listdir(root)):
+            p = os.path.join(root, entry)
+            if entry.startswith("event_date=") and os.path.isdir(p):
+                if entry_prefix and not entry.startswith(entry_prefix):
+                    continue
+                for f in sorted(os.listdir(p)):
+                    if f.endswith(".parquet"):
+                        st = os.stat(os.path.join(p, f))
+                        out[os.path.join(entry, f)] = (st.st_ino, st.st_size)
+        return out
+
+    untouched_before = {
+        k: v for k, v in files().items() if not k.startswith(f"event_date={TARGET_DAY}")
+    }
+    n_rows_before = read_snapshot(spark, root).count()
+
+    report = maintain_lake(spark, root, max_files_per_partition=1, vacuum_keep=1)
+    assert report["optimized_partitions"] == [TARGET_DAY]
+    assert report["optimize_version"] == 4
+    # retention 1 keeps only the optimize snapshot, so the fragmented
+    # day's pre-compaction files are unreferenced and reclaimed (the
+    # default keep=2 would rightly hold them for v3's readers)
+    assert report["vacuumed_files"] > 0
+
+    # untouched partitions: inode-identical (nothing rewritten)
+    untouched_after = {
+        k: v for k, v in files().items() if not k.startswith(f"event_date={TARGET_DAY}")
+    }
+    assert untouched_after == untouched_before
+    # the fragmented day is now one file, rows preserved everywhere
+    m = _read_manifest(root, 4)
+    assert len(m["files"][f"event_date={TARGET_DAY}"]) == 1
+    assert read_snapshot(spark, root).count() == n_rows_before
+    # stats auto-carried onto the compacted file without re-declaring
+    compacted = m["files"][f"event_date={TARGET_DAY}"][0]
+    assert "user_id" in m.get("stats", {}).get(compacted, {})
+
+    # idempotence: nothing fragmented now -> no new commit
+    report2 = maintain_lake(spark, root, max_files_per_partition=1, vacuum_keep=1)
+    assert report2["optimize_version"] is None
+    assert report2["optimized_partitions"] == []
+
+
+def test_maintain_lake_keeps_rollup_view_fresh(spark, tmp_path):
+    """The autopilot's OPTIMIZE is rows_preserved: a rollup view built
+    before the pass still serves after it — maintenance must never
+    stampede derived aggregates back to fact scans."""
+    from etl_pdf_pipepline_spark.plans.matview import (
+        build_rollup_view,
+        rollup_view_fresh,
+    )
+    from etl_pdf_pipepline_spark.sources.manifest import append_commit, maintain_lake
+
+    root = str(tmp_path / "autoview")
+    view_root = str(tmp_path / "autoview_view")
+    meta_root = str(tmp_path / "autoview_meta")
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    append_commit(
+        ev.filter(day).withColumn("event_id", F.col("event_id") + 10_000_000),
+        root,
+        "event_date",
+        txn=("v", 1),
+    )
+    build_rollup_view(spark, root, SF, view_root=view_root, meta_root=meta_root)
+    assert rollup_view_fresh(root, SF, meta_root=meta_root)
+    maintain_lake(spark, root, max_files_per_partition=1)
+    assert rollup_view_fresh(root, SF, meta_root=meta_root)  # rows_preserved honored
