@@ -84,3 +84,23 @@ def test_queries_md_matches_registry():
     )
     m = re.search(r"^(\d+) queries;", text, flags=re.M)
     assert m and int(m.group(1)) == len(_REGISTRY)
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE and INDEX_SERVED lists must name registered
+    queries — a renamed query would otherwise fail only at bench time
+    (after the untimed prepare phase, minutes in)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from etl_pdf_pipepline_spark.registry import _ensure_loaded
+
+    _ensure_loaded()
+    assert set(bench.HEADLINE) <= set(_REGISTRY), set(bench.HEADLINE) - set(_REGISTRY)
+    assert set(bench.INDEX_SERVED) <= set(bench.HEADLINE)
