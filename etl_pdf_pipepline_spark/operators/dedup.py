@@ -1135,6 +1135,52 @@ def ensure_lsh_band_index(
     return persist_lsh_band_index(spark, sf_dir, exclude_mod=exclude_mod)
 
 
+def extend_lsh_band_index(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    path: str,
+    source_signature: str | None = None,
+) -> None:
+    """O(delta) extension of the persisted band index with NEWLY ADMITTED
+    documents — the band-side twin of similarity.extend_ivf_index and
+    bm25.extend_index (the admission loop's missing write half: check the
+    delta against the index via _delta_admission, admit the non-dups,
+    then APPEND their bands so tomorrow's delta is checked against them
+    too). Bands only the delta (its own shingle/minhash cost, no corpus
+    rescan) and appends into the band_id-partitioned layout, so the
+    (band_id, band_key) directory pruning the admission join relies on
+    keeps working; each extend adds at most one file per band directory
+    (compaction folds them back, the standard lake-maintenance pass).
+
+    `source_signature` is the post-ingest stat signature of the
+    documents table this extension brings the index up to date with.
+    When given, the freshness record is CAS-advanced in the same logical
+    commit as the band append — otherwise the next ensure_lsh_band_index
+    sees a stale signature and pays the full O(corpus) re-banding the
+    extend exists to avoid (the r9 economics defect). `exclude_mod` in
+    the record is PRESERVED: it names the build contract (which slice of
+    the source is indexed), and the caller extending must hand in a
+    delta filtered by the same contract. Contract: delta doc_ids are NEW
+    (same as extend_index — re-sending an id double-inserts its bands).
+    No-rebuild-after-extend is pinned by tests/test_layout_freshness.py."""
+    (
+        lsh_band_keys(delta_docs)
+        .repartition(F.col("band_id"))
+        .write.partitionBy("band_id")
+        .mode("append")
+        .parquet(path)
+    )
+    if source_signature is not None:
+        from ..sources.manifest import update_meta
+
+        def advance(current: dict | None) -> dict:
+            out = dict(current or {"exclude_mod": None})
+            out["source_signature"] = source_signature
+            return out
+
+        update_meta(path, advance)
+
+
 _INCR_ORACLE = f"""
     WITH {_LSH_CTE_BODY}
     SELECT a.doc_id AS doc_id,

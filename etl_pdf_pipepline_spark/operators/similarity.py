@@ -448,14 +448,27 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     meta = read_meta(path) or {}
     if (
         meta.get("source_signature") == table_stat_signature(sf_dir, ("embeddings",))
-        and meta.get("exclude_vec_id") is None
-        and not meta.get("partial")
+        # Build-variant keys must be PRESENT, not merely falsy: a legacy
+        # meta record (pre-variant persist_ivf_index wrote only
+        # source_signature, even for exclude/base_filter builds) would
+        # otherwise pass both `is None` checks by key absence and a
+        # surviving partial index from an older checkout could be served
+        # as full (ADVICE r9). Absent keys → rebuild.
+        and "exclude_vec_id" in meta
+        and meta["exclude_vec_id"] is None
+        and "partial" in meta
+        and meta["partial"] is False
     ):
         return path
     return persist_ivf_index(spark, sf_dir)
 
 
-def extend_ivf_index(spark: SparkSession, delta: DataFrame, path: str) -> None:
+def extend_ivf_index(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    source_signature: str | None = None,
+) -> None:
     """O(delta) extension of a persisted IVF index with NEW vectors —
     the vector-side twin of bm25.extend_index and the LSH band-index
     admission (the third and last index family completing the
@@ -474,7 +487,22 @@ def extend_ivf_index(spark: SparkSession, delta: DataFrame, path: str) -> None:
     full re-partition of the lake. Extension ≡ rebuild-given-the-same-
     centroids exactly, because assignment is the same shared plan
     (_assign_to_centroids) both paths run — gated against the full
-    ivf_probe_topk oracle by ivf_incremental_index."""
+    ivf_probe_topk oracle by ivf_incremental_index.
+
+    `source_signature` is the post-ingest stat signature of the source
+    table this extension brings the index up to date WITH (compute it
+    via catalog.table_stat_signature AFTER the source delta lands).
+    When given, the freshness record is CAS-advanced to it in the same
+    logical commit as the vector append — without this, the very next
+    ensure_ivf_index call sees a signature mismatch and pays the FULL
+    O(corpus) rebuild the extend machinery exists to avoid (the r9
+    economics defect: extend ≡ rebuild was gated for correctness, but
+    steady-state serve silently degraded to rebuild-always the moment
+    the source grew). Variant keys (exclude_vec_id/partial) are
+    preserved from the current record — an extension never changes
+    WHAT slice the index covers relative to its build contract, only
+    brings it forward in time. No-rebuild-after-extend is pinned by
+    tests/test_layout_freshness.py."""
     c = spark.read.parquet(f"{path}/centroids")
     d = delta.select("vec_id", "embedding", as_double("embedding").alias("v"))
     (
@@ -484,6 +512,15 @@ def extend_ivf_index(spark: SparkSession, delta: DataFrame, path: str) -> None:
         .mode("append")
         .parquet(f"{path}/vectors")
     )
+    if source_signature is not None:
+        from ..sources.manifest import update_meta
+
+        def advance(current: dict | None) -> dict:
+            out = dict(current or {"exclude_vec_id": None, "partial": False})
+            out["source_signature"] = source_signature
+            return out
+
+        update_meta(path, advance)
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> int:

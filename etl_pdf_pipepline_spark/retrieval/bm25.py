@@ -156,7 +156,14 @@ def bm25_topk(
 # --------------------------------------------------------------------------
 
 
-def persist_index(docs: DataFrame, id_col: str, text_col: str, path: str, n_buckets: int = 16) -> None:
+def persist_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int = 16,
+    source_signature: str | None = None,
+) -> None:
     """Materialize the index as parquet: postings hash-partitioned by term
     (repartition(n_buckets, term) + sorted within partitions), the
     per-doc length DENORMALIZED into each posting row, and the corpus
@@ -192,9 +199,13 @@ def persist_index(docs: DataFrame, id_col: str, text_col: str, path: str, n_buck
     ).collect()[0]
     from ..sources.manifest import commit_meta
 
-    commit_meta(
-        path, {"n": int(row["n"]), "total_dl": int(row["total_dl"] or 0)}
-    )
+    # source_signature (when the caller supplies one — a stat digest of
+    # the source docs table) rides in the same record, making the index
+    # serve-or-build capable via ensure_index.
+    payload = {"n": int(row["n"]), "total_dl": int(row["total_dl"] or 0)}
+    if source_signature is not None:
+        payload["source_signature"] = source_signature
+    commit_meta(path, payload)
 
 
 def corpus_scalars(spark, path: str) -> tuple[int, int]:
@@ -234,8 +245,44 @@ def corpus_scalars(spark, path: str) -> tuple[int, int]:
     )
 
 
+def ensure_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    source_signature: str,
+    n_buckets: int = 16,
+) -> str:
+    """Serve-or-build for the persisted BM25 index — the FTS face of the
+    lifecycle the other maintained artifacts have (ensure_ivf_index,
+    ensure_lsh_band_index, bucketed facts): reuse when the CAS-committed
+    freshness record carries a matching `source_signature`, rebuild
+    otherwise. Records without a signature (pre-r10 indexes, or builds
+    that never passed one) always rebuild — absence means unknown
+    provenance, and serving unknown-provenance postings silently is the
+    stale-index bug this record exists to prevent. Steady-state loop:
+    ingest delta → extend_index(..., source_signature=post_ingest_sig) →
+    the next ensure_index serves the EXTENDED files with no rebuild
+    (pinned by tests/test_layout_freshness.py)."""
+    from ..sources.manifest import read_meta
+
+    meta = read_meta(path) or {}
+    if meta.get("source_signature") == source_signature:
+        return path
+    persist_index(
+        docs, id_col, text_col, path,
+        n_buckets=n_buckets, source_signature=source_signature,
+    )
+    return path
+
+
 def extend_index(
-    new_docs: DataFrame, id_col: str, text_col: str, path: str, n_buckets: int = 16
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int = 16,
+    source_signature: str | None = None,
 ) -> None:
     """O(delta) extension of a persisted index with NEW documents — the
     FTS twin of the near-dup admission index (operators/dedup.py
@@ -305,7 +352,18 @@ def extend_index(
         def add_delta(current: dict | None) -> dict:
             base_n = int(current["n"]) if current else legacy_n
             base_total = int(current["total_dl"]) if current else legacy_total
-            return {"n": base_n + dn, "total_dl": base_total + dtotal}
+            # Preserve every other key (notably source_signature) — the
+            # scalar accumulation must not strip the freshness record —
+            # and ADVANCE the signature when the caller hands in the
+            # post-ingest one, in the SAME pinned-version CAS commit as
+            # the scalars, so ensure_index serves the extended files
+            # instead of full-rebuilding (the r9 economics defect).
+            out = dict(current or {})
+            out["n"] = base_n + dn
+            out["total_dl"] = base_total + dtotal
+            if source_signature is not None:
+                out["source_signature"] = source_signature
+            return out
 
         update_meta(path, add_delta)
     finally:
