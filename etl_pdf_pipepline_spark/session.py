@@ -81,6 +81,14 @@ def _input_bytes(data_dir: str) -> int:
 # every table fits in a handful of tasks either way and fewer tasks wins.
 _SCAN_TUNE_MIN_BYTES = 2 * 1024**3
 
+# Spark's stock values for the scan-split knobs derive_scan_conf tunes —
+# what a reused session is reset to when the current data_dir is below
+# the tuning threshold.
+_SCAN_CONF_DEFAULTS = {
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024**2),
+    "spark.sql.files.openCostInBytes": str(4 * 1024**2),
+}
+
 
 def derive_scan_conf(data_dir: str) -> dict[str, str]:
     """Size the SCAN-stage split knobs from the data, the input-side twin
@@ -170,8 +178,20 @@ def get_spark(
     # Scan-split knobs are runtime SQL confs: apply them even when
     # getOrCreate returned a pre-existing session (builder confs are
     # silently ignored then), so a bench/probe that re-enters get_spark
-    # with a data_dir still gets the derived scan sizing.
-    for k, v in scan_conf.items():
-        if (extra_conf or {}).get(k) is None:
-            spark.conf.set(k, v)
+    # with a data_dir still gets the derived scan sizing. Symmetrically,
+    # when THIS data_dir is below _SCAN_TUNE_MIN_BYTES (scan_conf == {})
+    # the knobs are reset to Spark's defaults — a reused session
+    # otherwise keeps the previous large corpus's finer splits, which
+    # contradicts derive_scan_conf's byte-identical-below-threshold
+    # contract (ADVICE r9). extra_conf pins always win.
+    if data_dir is not None:
+        for k, dflt in _SCAN_CONF_DEFAULTS.items():
+            pinned = (extra_conf or {}).get(k)
+            # A pin must hold on a REUSED session too (builder confs are
+            # ignored then), so apply it at runtime like the derivation.
+            spark.conf.set(k, pinned if pinned is not None else scan_conf.get(k, dflt))
+    else:
+        for k, v in scan_conf.items():
+            if (extra_conf or {}).get(k) is None:
+                spark.conf.set(k, v)
     return spark

@@ -55,3 +55,41 @@ def test_derive_scan_conf_thresholds(tmp_path):
     assert 16 * 1024**2 <= mpb <= 128 * 1024**2
     assert mpb == 16 * 1024**3 // (3 * 256)
     assert conf["spark.sql.files.openCostInBytes"] == str(1024**2)
+
+
+def test_reused_session_resets_scan_conf_below_threshold(spark, tmp_path):
+    """ADVICE r9: re-entering get_spark with a below-threshold data_dir
+    on a REUSED session must reset the scan-split knobs to Spark's
+    defaults, not keep the previous large corpus's finer splits — the
+    byte-identical-below-threshold contract. An extra_conf pin wins."""
+    from etl_pdf_pipepline_spark.session import _SCAN_CONF_DEFAULTS, get_spark
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "t.parquet", "wb") as fh:
+        fh.seek(16 * 1024**3 - 1)
+        fh.write(b"\0")
+
+    mpb_key = "spark.sql.files.maxPartitionBytes"
+    oc_key = "spark.sql.files.openCostInBytes"
+    before = {k: spark.conf.get(k) for k in (mpb_key, oc_key)}
+    try:
+        s = get_spark(data_dir=str(big))  # reused session, tuned knobs
+        assert s is spark
+        assert s.conf.get(mpb_key) == str(16 * 1024**3 // (3 * 256))
+        # below-threshold re-entry → stock defaults restored
+        get_spark(data_dir=str(small))
+        assert spark.conf.get(mpb_key) == _SCAN_CONF_DEFAULTS[mpb_key]
+        assert spark.conf.get(oc_key) == _SCAN_CONF_DEFAULTS[oc_key]
+        # an explicit extra_conf pin survives the reset
+        get_spark(data_dir=str(small), extra_conf={mpb_key: "33554432"})
+        assert spark.conf.get(mpb_key) == "33554432"
+        # data_dir=None leaves whatever is set alone
+        get_spark()
+        assert spark.conf.get(mpb_key) == "33554432"
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
