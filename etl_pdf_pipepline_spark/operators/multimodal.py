@@ -247,6 +247,79 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def media_manifest_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"media_manifest_{tag}")
+
+
+def ensure_media_manifest(spark: SparkSession, sf_dir: str) -> str:
+    """Digest-at-ingest for the media lake: persist the per-object
+    metadata row (media_id, media_type, n_bytes, content_sha) ONCE, with
+    the standard serve-or-build freshness record (stat signature of the
+    source, CAS-committed — the same lifecycle as ensure_ivf_index /
+    ensure_lsh_band_index / the bucketed facts). The economics this
+    exists for: media_metadata's cost at 100 TB is the sha2 pass over
+    every payload byte — a floor no plan shape removes (the r9/r10
+    dedicated probes pinned the digest pass as the wall; SCALING.md) —
+    so a lake should pay it at ingest and answer every later metadata
+    query from this NARROW table (four thin columns, no payload read,
+    no digest). A real ingest pipeline computes the digest while the
+    bytes are already in hand; re-deriving it here from the source is
+    the local-corpus equivalent."""
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import commit_meta, read_meta
+
+    path = media_manifest_path(sf_dir)
+    sig = table_stat_signature(sf_dir, ("documents",))
+    meta = read_meta(path) or {}
+    if meta.get("source_signature") == sig:
+        return path
+    media = media_table(spark, sf_dir)
+    (
+        media.select(
+            "media_id",
+            "media_type",
+            F.octet_length("content").alias("n_bytes"),
+            F.sha2("content", 256).alias("content_sha"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    commit_meta(path, {"source_signature": sig})
+    return path
+
+
+@query(
+    "media_metadata_served",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_metadata_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STEADY-STATE face of media_metadata (same oracle — a green row
+    proves persisted ≡ recompute byte-for-byte): serve the metadata from
+    the digest-at-ingest manifest via ensure_media_manifest, paying a
+    narrow 4-column parquet read instead of a full-payload sha2 pass.
+    media_metadata stays published as the ingest face (what the ONE
+    digest pass costs); this row prices what every query after it pays —
+    the same ingest-face/serving-face split as near_dup_incremental vs
+    near_dup_admission and ivf_probe_from_index vs ivf_probe_served.
+    Retires the media_metadata weak row (3.7× sf100 sweep) for
+    consumers: the digest floor is paid once per corpus, not per query."""
+    path = ensure_media_manifest(spark, sf_dir)
+    return spark.read.parquet(path).orderBy("media_id")
+
+
 @query(
     "media_decode_filter",
     oracle=f"""

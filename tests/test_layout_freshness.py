@@ -152,6 +152,45 @@ def test_ensure_zorder_events_reuses_until_stale(spark, corpus_copy):
     assert meta3 is not None and meta3["source_signature"] != meta2["source_signature"]
 
 
+def test_ensure_media_manifest_reuses_until_stale(spark, corpus_copy):
+    """Digest-at-ingest lifecycle (r10): the media metadata manifest is
+    built once, served while the documents signature matches, rebuilt on
+    an in-place source rewrite — and the served rows equal the recompute
+    path exactly (also oracle-gated by media_metadata_served)."""
+    import shutil as _shutil
+
+    from etl_pdf_pipepline_spark.operators.multimodal import (
+        ensure_media_manifest,
+        media_manifest_path,
+        media_metadata,
+    )
+    from etl_pdf_pipepline_spark.sources.manifest import read_meta
+
+    path = ensure_media_manifest(spark, corpus_copy)
+    try:
+        assert path == media_manifest_path(corpus_copy)
+        meta = read_meta(path)
+        assert meta is not None and "source_signature" in meta
+        # fresh source → serve, record object unchanged
+        assert ensure_media_manifest(spark, corpus_copy) == path
+        assert read_meta(path) == meta
+        # served rows ≡ recompute rows
+        served = sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+        recomputed = sorted(
+            tuple(r) for r in media_metadata(spark, corpus_copy).collect()
+        )
+        assert served == recomputed
+        # stale source → rebuild (signature re-tagged)
+        _touch(os.path.join(corpus_copy, "documents.parquet"))
+        ensure_media_manifest(spark, corpus_copy)
+        meta2 = read_meta(path)
+        assert meta2["source_signature"] != meta["source_signature"]
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+
+
 def test_lsh_plane_divergence_warns():
     """Past 8192 embeddings the derived plane count departs from the
     static oracle constants; the guard must make that loud (ADVICE r6)."""
