@@ -1,9 +1,9 @@
 """Model-checked commit protocol (hypothesis): random interleavings of
-append / merge / evolve / optimize / vacuum against a pure-Python
-reference model.
+append / merge / evolve / optimize / vacuum / maintain (the r9
+autopilot) against a pure-Python reference model.
 
 The manifest layer's unit tests each pin ONE property; this test pins
-the composition — any sequence of the five verbs must keep the latest
+the composition — any sequence of the six verbs must keep the latest
 snapshot exactly equal to a dict-of-days model (including the values of
 a column ADDED mid-sequence: pre-evolution rows must read null through
 the evolved schema, post-evolution writes must read their values, and
@@ -25,6 +25,7 @@ from etl_pdf_pipepline_spark.sources.manifest import (
     append_commit,
     init_versioned_lake,
     latest_version,
+    maintain_lake,
     merge_commit,
     optimize_commit,
     read_snapshot,
@@ -60,6 +61,13 @@ SCHEMA_EVOLVED = T.StructType(
 #                                      write is 3-col (add-only contract)
 #   ("optimize",)                    — layout-only compaction
 #   ("vacuum",)                      — retention to last 2 versions
+#   ("maintain",)                    — the r9 autopilot (maintain_lake):
+#                                      fragmented-partition detection →
+#                                      scoped rows_preserved OPTIMIZE →
+#                                      vacuum, composed in one pass
+#                                      (threshold 1 so any multi-file
+#                                      partition actually triggers the
+#                                      compaction branch)
 OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 2), st.integers(1, 3)),
@@ -67,6 +75,7 @@ OPS = st.lists(
         st.tuples(st.just("evolve"), st.integers(0, 2)),
         st.tuples(st.just("optimize")),
         st.tuples(st.just("vacuum")),
+        st.tuples(st.just("maintain")),
     ),
     min_size=1,
     max_size=5,
@@ -146,6 +155,13 @@ def _run_ops(spark, root: str, ops) -> None:
             last_row_change_v = latest_version(root)
         elif op[0] == "optimize":
             optimize_commit(spark, root)
+        elif op[0] == "maintain":
+            report = maintain_lake(spark, root, max_files_per_partition=1)
+            # the autopilot's own honesty: a compaction version only
+            # when something was fragmented, never an empty commit
+            assert (report["optimize_version"] is None) == (
+                not report["optimized_partitions"]
+            )
         else:
             vacuum(root, keep_versions=2)
 
@@ -208,6 +224,30 @@ def test_optimize_evolution_vacuum_interleaving(spark, tmp_path_factory):
             ("vacuum",),
             ("merge", 0, 1),
             ("optimize",),
+        ],
+    )
+
+
+def test_autopilot_interleaved_with_ingest(spark, tmp_path_factory):
+    """The directed schedule VERDICT r9 asked to guarantee coverage of:
+    an autopilot pass between ingest commits is exactly the production
+    hazard (maintenance racing fresh appends/merges/evolutions must
+    neither lose rows, resurrect deleted ones, nor strip the evolved
+    column). Fragment a day with appends, maintain, evolve, maintain
+    (rewrites evolved + pre-evolution rows), append more, maintain
+    again after a merge delete, with a vacuum mixed in."""
+    _run_ops(
+        spark,
+        str(tmp_path_factory.mktemp("autopilot") / "lake"),
+        [
+            ("append", 0, 2),
+            ("maintain",),
+            ("evolve", 0),
+            ("maintain",),
+            ("append", 1, 3),
+            ("vacuum",),
+            ("merge", 0, 0),
+            ("maintain",),
         ],
     )
 
