@@ -16,9 +16,12 @@ data, not side files:
   bytes); only the innermost codec call is stubbed because no image/audio
   libraries exist in this container.
 
-STUB POLICY: `decode_image_real` raises NotImplementedError (the PIL/ffmpeg
-slot); the default codecs are DETERMINISTIC FAKES deriving plausible
-metadata from content length/digest so every query is reproducible and
+STUB POLICY: `decode_image_real` routes to PIL when importable (guarded
+tests, skip-in-container — the pymupdf pattern), else decodes PNG via the
+stdlib codec (functions/png.py) and raises for formats whose entropy coding
+genuinely needs a library (JPEG/WEBP). The default codecs for the
+oracle-gated queries are DETERMINISTIC FAKES deriving plausible metadata
+from content length/digest so every query is reproducible and
 DuckDB-oracle-checkable. Swapping in a real codec changes one function, not
 the plan: partitioning, UDF signatures, batch handling, and schemas are
 production-shaped.
@@ -72,15 +75,44 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _have_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HAVE_PIL = _have_pil()
+
+
+def decode_image_pil(content: bytes) -> tuple[int, int, str]:
+    """The PIL branch of the real-codec seam (reference parity:
+    image_extractor.py:127 opens extracted bytes with PIL). Only
+    importable-with-PIL; tests/test_multimodal.py's guarded markers
+    exercise it for real when the library exists (skip-in-container,
+    green after one `pip install pillow`) and assert parity with the
+    stdlib PNG path — the same one-install-from-verified pattern the
+    pymupdf branch got in r9."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(content)) as im:
+        return im.width, im.height, (im.format or "").lower()
+
+
 def decode_image_real(content: bytes) -> tuple[int, int, str]:
     """The real-codec slot (PIL `Image.open`, reference
-    image_extractor.py:127). r6: PNG is decoded for real via the
-    stdlib-only codec in functions/png.py (IHDR dims; full IDAT
-    de-filtering available as png.decode_png when pixels are needed) —
-    the container's one NotImplementedError is now a working decode for
-    the one format that needs no external library. Non-PNG bytes still
-    raise: JPEG/WEBP entropy coding genuinely requires a codec library,
-    and a guessed answer would be worse than an honest error."""
+    image_extractor.py:127): routes to PIL when the library is present
+    (any format PIL reads), else to the stdlib-only PNG codec in
+    functions/png.py (IHDR dims; full IDAT de-filtering available as
+    png.decode_png when pixels are needed). Non-PNG bytes without PIL
+    still raise: JPEG/WEBP entropy coding genuinely requires a codec
+    library, and a guessed answer would be worse than an honest error."""
+    if HAVE_PIL:
+        return decode_image_pil(content)
     from ..functions.png import is_png, png_dimensions
 
     if is_png(content):
