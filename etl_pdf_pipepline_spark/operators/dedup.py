@@ -406,7 +406,17 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     only same-bucket docs ever meet — this is the O(n²)→O(n) cut that
     makes near-dedup feasible at 100 TB. Pathological buckets (boilerplate
     collapse) are chain-capped by banded_pairs; the oracle applies the
-    identical cap."""
+    identical cap.
+
+    OUTPUT CONTRACT — the raw pair listing is cap-dependent: in a bucket
+    above MAX_LSH_BUCKET (=64) members only the B−1 consecutive-by-id
+    chain edges are emitted, not all B(B−1)/2 pairs, so `n_bands` and
+    pair recall in over-cap buckets are functions of the cap. The
+    transitive CLOSURE is invariant (components/keepers are unchanged —
+    property-tested), so consumers deduplicating via
+    dedup_connected_components/dedup_keepers see no difference; only
+    consumers of the raw listing itself must treat it as a spanning set,
+    not an exhaustive enumeration (ADVICE r9)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         banded_pairs(lsh_band_keys(docs))
@@ -642,7 +652,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on fingerprint halves. Verification is an integer popcount on the
     candidate set only. Pathological half-buckets (e.g. the all-zero
     fingerprint every empty doc lands on) are chain-capped by
-    banded_pairs; the oracle applies the identical cap."""
+    banded_pairs; the oracle applies the identical cap.
+
+    OUTPUT CONTRACT — the cap weakens the pigeonhole guarantee for the
+    RAW listing: in an over-cap half-bucket only consecutive-by-id chain
+    edges are candidates, so hamming≤1 pairs that are not chain-adjacent
+    there are not emitted; recall in over-cap buckets is a function of
+    MAX_LSH_BUCKET (=64). The transitive closure over emitted pairs is
+    invariant (property-tested), so component/keeper consumers are
+    unaffected; raw-listing consumers must treat the output as a
+    spanning set of each near-dup cluster, not all its pairs (ADVICE
+    r9)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = simhash_signatures(docs).cache()
     bands = (

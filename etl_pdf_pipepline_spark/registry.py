@@ -50,90 +50,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r9 ordering, same invariant since
+# of the contract, so it is explicit. r10 ordering, same invariant since
 # r3 (any query whose plan/oracle changes enters the next gate's top-50):
-# the 5 late-r8 queries that have NEVER had a driver gate row (VERDICT
-# r8 ask #1), the queries r9 touched (streaming_hourly_served is NEW;
-# dedup_simhash_pairs' plan AND oracle changed with the band-bucket
-# skew cap; events_snapshot_pruned exercises the changed manifest
-# pruning guards), plus ALL 42 remaining r6-latest rows — the oldest
-# green rows, keeping min-latest marching to r7 after this gate
-# (dedup_lsh_candidates / dedup_keepers / dedup_connected_components /
-# dedup_minhash_signatures, the other cap-touched plans, are among
-# them). 5 + 3 + 42 = 50, counted by test_registry's gate-budget
-# assertion. ivf_probe_from_index / ivf_incremental_index gained extra
-# FIELDS in their index's committed meta (build variant for
-# ensure_ivf_index) but their serving plans and results are unchanged
-# and r8-green; both re-verified via check_oracle in-session.
+# the two late-r9 rows with ZERO driver history top the list (VERDICT r9
+# ask #1) plus the one NEW r10 row; then ALL 40 remaining r7-latest rows
+# — the oldest green rows, so min-latest marches to r8 after this gate;
+# then the 7 r8-latest rows in the families r10's index-freshness work
+# touched (IVF/BM25/LSH extend+ensure paths — serving plans and results
+# unchanged, re-verified via check_oracle in-session, but the lifecycle
+# code they execute changed, so they re-gate). 3 + 40 + 7 = 50, counted
+# by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
-    # never-gated late-r8 rows (VERDICT r8 ask #1) — flagship table
-    # format + IVM work, zero CORRECTNESS history until now
-    "events_schema_evolution",
-    "events_lake_optimize",
-    "events_rollup_incremental",
-    "streaming_versioned_ingest",
-    "streaming_rollup_maintenance",
-    # touched/new in r9
-    "streaming_hourly_served",      # NEW r9: serving face of the streaming rollup
-    "dedup_simhash_pairs",          # chain-capped band buckets (plan + oracle changed)
-    "events_snapshot_pruned",       # manifest pruning guards (numeric/width/bounds-norm)
-    # ALL remaining r6-latest rows — oldest green rows; min-latest → r7
-    "ann_batch_topk",
-    "ann_cosine_topk",
-    "corpus_curation_stats",
-    "customer_balance_quartiles",
-    "dedup_connected_components",   # consumes the capped pairs (closure-invariant)
-    "dedup_keepers",                # consumes the capped pairs (closure-invariant)
-    "dedup_lsh_candidates",         # chain-capped band buckets (plan + oracle changed)
-    "dedup_minhash_signatures",
-    "doc_dup_paragraph_fraction",
-    "doc_dup_paragraph_removal",
-    "doc_hashes",
-    "doc_lookup_filters",
-    "doc_shingle_novelty",
-    "doc_titles_from_filenames",
-    "doc_token_estimates",
-    "embedding_cluster_components",
-    "embedding_near_dup_pairs",
-    "events_anomaly_zscore",
-    "events_daily_rollup_totals",
-    "events_funnel_counts",
-    "events_hourly_rollup",
-    "events_lake_compaction",
-    "events_range_join_attribution",
-    "events_retention_cohorts",
-    "events_user_gaps",
-    "incremental_new_docs",
-    "media_decode_filter",
-    "media_metadata",
-    "media_png_roundtrip",
-    "orders_status_counts",
-    "priority_set_ops",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "semantic_dedup_keepers",
+    # zero-driver-history rows (VERDICT r9 ask #1) — r9's lifecycle
+    # flagships + r10's new digest-at-ingest serving face
+    "ivf_probe_served",         # serve-or-build IVF reader (ensure_ivf_index)
+    "events_lake_autopilot",    # maintain_lake policy pass
+    "media_metadata_served",    # NEW r10: digest-at-ingest media manifest
+    # ALL 40 remaining r7-latest rows — oldest green rows; min-latest → r8
+    "approx_distinct_users",
+    "approx_value_quantiles",
+    "bm25_search",
+    "bm25_search_title_filtered",
+    "bm25_search_title_weighted",
+    "brand_price_stats",
+    "chunk_fixed_window",
+    "chunk_markdown_hybrid",
+    "context_distinct_sources",
+    "customer_order_profile",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_ngram_jaccard",
+    "dedup_winnowing_pairs",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_token_stats",
+    "doc_unigram_logprob",
+    "docs_stats_by_source",
+    "embedding_lsh_pairs",
+    "events_cube_day_type",
+    "events_json_props",
+    "events_sliding_window",
+    "events_top_users",
+    "events_type_pivot",
+    "events_user_rank_dist",
+    "fts_phrase_search",
+    "hybrid_rrf_search",
+    "ivf_assignment",
+    "ivf_probe_topk",
+    "media_image_features",
+    "media_resize",
+    "ocr_document_text",
+    "q22_sales_opportunity",
+    "q8_market_share",
+    "revenue_by_nation_scan",
+    "running_spend_budget",
+    "shipping_priority_scan",
+    "top_orders_by_value",
+    # r8-latest rows in the r10-touched index families (extenders now
+    # CAS-advance the freshness record; ensure_ivf_index variant check
+    # strictened; bm25 ensure_index added)
+    "ivf_incremental_index",
+    "ivf_probe_from_index",
+    "bm25_incremental_index",
+    "bm25_topk_from_index",
+    "near_dup_incremental",
+    "near_dup_admission",
+    "dedup_simhash",            # LSH cap family (contract doc'd, ADVICE r9)
     # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut: everything r7/r8-latest and untouched this round,
-    # plus two NEW late-r9 rows added with the top-50 already full — per
-    # the standing invariant they enter r10's top-50; both
-    # check_oracle-green in-session at sf0.01:
-    # - ivf_probe_served: the ensure_ivf_index serve-or-build face
-    #   (family oracle shared with ivf_probe_from_index /
-    #   ivf_incremental_index, both r9-gated, same serving tail);
-    # - events_lake_autopilot: policy-driven maintain_lake pass
-    #   (fragmented-partition detection → scoped rows_preserved
-    #   OPTIMIZE → vacuum), full-rollup oracle; the OPTIMIZE verb it
-    #   composes is r9-gated via events_lake_optimize.
-    "ivf_probe_served",
-    "events_lake_autopilot",
+    # Below the cut: everything else is r8/r9-latest and untouched this
+    # round (media_metadata's r10 work is a dedicated probe + the NEW
+    # served face above; its own plan and oracle are byte-identical).
 ]
 
 
