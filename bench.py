@@ -40,6 +40,7 @@ HEADLINE = [
     "events_sessionization",
     "doc_token_stats",
     "media_metadata",
+    "media_metadata_served",
     "media_frame_sample",
     "streaming_hourly_rollup",
     "streaming_hourly_served",
@@ -64,6 +65,11 @@ INDEX_SERVED = [
     # pass) instead of re-draining the stream; the rollup row above
     # keeps the per-drain maintenance cost visible.
     "streaming_hourly_served",
+    # Serving face of media_metadata (r10): reads the digest-at-ingest
+    # manifest instead of re-sha2-ing every payload byte per query; the
+    # media_metadata row above keeps the one-time ingest digest cost
+    # visible (1.74x dedicated at sf100 — the digest floor, SCALING.md).
+    "media_metadata_served",
 ]
 
 
@@ -111,6 +117,12 @@ def main() -> None:
     # (r8): one range-exchange rewrite at ingest, amortized over every
     # 2-D (time × user) query after it.
     ensure_zorder_events(spark, sf_dir)
+    # The digest-at-ingest media manifest media_metadata_served reads
+    # (r10): the sha2 pass over every payload byte runs once here, in
+    # the ingest lifecycle slot, not per metadata query.
+    from etl_pdf_pipepline_spark.operators.multimodal import ensure_media_manifest
+
+    ensure_media_manifest(spark, sf_dir)
 
     cold: dict[str, float] = {}
     for name in HEADLINE:

@@ -212,3 +212,80 @@ def test_bm25_extend_without_signature_preserves_existing_record(
     meta = read_meta(path)
     assert meta["source_signature"] == sig0  # preserved, not stripped
     assert meta["n"] == docs.count() + delta.count()
+
+
+def test_steady_state_admission_loop_two_days(spark, tmp_path, monkeypatch):
+    """The full production loop the extenders exist for, run for two
+    consecutive ingest days: ensure (build once) → day-1 delta checked
+    via the marginal admission plan → delta ingested + index extended →
+    ensure serves WITHOUT rebuild → day-2 delta checked against the
+    EXTENDED index (its candidates must include day-1 docs sharing a
+    band — the whole point of appending day 1's bands). Composes
+    _delta_admission + extend_lsh_band_index + ensure_lsh_band_index
+    end-to-end rather than per-function."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_pdf_pipepline_spark.operators import dedup
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    full = spark.read.parquet(f"{SF}/documents.parquet")
+    # base: % 5 in (1, 2, 4); day1: % 5 == 3; day2: % 5 == 0 but NOT
+    # % 20 == 0 (the exclude_mod=20 build contract skips those ids, so a
+    # day-2 delta of them would not be indexable — keep the test inside
+    # the contract by using ids % 20 == 10).
+    base = full.filter((F.col("doc_id") % 5 != 3) & (F.col("doc_id") % 20 != 10))
+    base.coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+
+    path = dedup.ensure_lsh_band_index(spark, str(corpus), exclude_mod=20)
+    try:
+        # ---- day 1 ----
+        day1 = full.filter(F.col("doc_id") % 5 == 3)
+        # the shipping admission plan (_delta_admission) is corpus-wired
+        # to the doc_id%20 gate split; check day-1 bands directly against
+        # the index instead (identical join shape)
+        idx = spark.read.parquet(path).select(
+            "band_id", "band_key", F.col("doc_id").alias("dup_id")
+        )
+        d1_bands = dedup.lsh_band_keys(day1)
+        d1_check = (
+            d1_bands.join(idx, ["band_id", "band_key"], "left")
+            .groupBy("doc_id").agg(F.countDistinct("dup_id").alias("n_dup"))
+        )
+        assert d1_check.count() == day1.count()
+
+        # ingest day 1 + extend
+        day1.coalesce(1).write.mode("append").parquet(str(corpus / "documents.parquet"))
+        sig1 = table_stat_signature(str(corpus), ("documents",))
+        dedup.extend_lsh_band_index(spark, day1, path, source_signature=sig1)
+        _fail_on_call(monkeypatch, dedup, "persist_lsh_band_index")
+        assert dedup.ensure_lsh_band_index(spark, str(corpus), exclude_mod=20) == path
+        monkeypatch.undo()
+
+        # ---- day 2: exact copies of day-1 docs (new ids % 20 == 10) ----
+        day1_rows = day1.select("doc_id", "text").limit(3).collect()
+        day2 = spark.createDataFrame(
+            [(int(r.doc_id) + 1_000_010 - (int(r.doc_id) + 1_000_010) % 20 + 10, r.text)
+             for r in day1_rows],
+            "doc_id long, text string",
+        )
+        idx2 = spark.read.parquet(path).select(
+            "band_id", "band_key", F.col("doc_id").alias("dup_id")
+        )
+        d2_check = (
+            dedup.lsh_band_keys(day2).join(idx2, ["band_id", "band_key"], "left")
+            .groupBy("doc_id").agg(F.countDistinct("dup_id").alias("n_dup"),
+                                   F.collect_set("dup_id").alias("dups"))
+            .collect()
+        )
+        day1_ids = {int(r.doc_id) for r in day1_rows}
+        # every day-2 exact copy must surface its day-1 twin as a dup
+        # candidate — only possible because day 1's bands were appended
+        for r in d2_check:
+            hits = {int(x) for x in (r.dups or []) if x is not None}
+            assert hits & day1_ids, (
+                f"day-2 doc {r.doc_id} missed its day-1 twin: the extended "
+                "bands are not being served"
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
