@@ -872,6 +872,126 @@ def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extend_components(
+    spark: SparkSession,
+    base_labels: DataFrame,
+    base_bands: DataFrame,
+    delta_bands: DataFrame,
+) -> DataFrame:
+    """O(delta + affected) update of near-dup component labels when a
+    document delta arrives — the CLUSTERING face of the O(delta) dedup
+    lifecycle (admission answers "does the delta have candidates?";
+    this answers "what are everyone's groups NOW?" without re-closing
+    the corpus). Returns the full updated (id, label) table with the
+    same canonical-min-doc_id labels a from-scratch
+    connected_components over the grown corpus produces — gated against
+    exactly that oracle by dedup_cc_incremental.
+
+    Why a from-scratch run is the wrong cost at 100 TB: one day's delta
+    touches a vanishing fraction of components, but label propagation
+    re-iterates over EVERY edge of the corpus graph. The standard
+    incremental trick (union-find over a quotient graph) applies
+    verbatim to the label table: every existing component collapses to
+    ONE node (its label), because its members are already mutually
+    connected — collapsing preserves connectivity, so closure over the
+    quotient equals closure over the original. The quotient graph is
+    tiny: |delta| doc nodes + the labels they touch.
+
+    Inputs are BAND tables ((doc_id, band_id, band_key), the
+    lsh_band_keys shape) — the caller bands its delta (its own
+    shingle/minhash cost only) or reads the persisted band index;
+    this function is pure graph maintenance over any banding.
+
+    Edges of the quotient:
+    - delta↔corpus: equi-join the delta bands with the corpus band
+      rows, mapped to LABEL level —
+      labeled bucket members collapse to distinct
+      (band_id, band_key, label) rows first, so a pathological
+      boilerplate bucket contributes its handful of component labels to
+      the join, not its million members (the same skew the chain cap
+      bounds on the pair-listing side); unlabeled (singleton) members
+      stay doc-level because each becomes its own quotient node.
+    - delta↔delta: chain-capped banded_pairs over the delta's own
+      bands (a bucket may be born entirely inside the delta).
+
+    New labels: min over each quotient component — and since every
+    quotient node IS a doc_id (delta ids, base component labels =
+    min base doc_ids, or singleton base ids), the quotient min equals
+    the global min over the merged membership; canonicality is
+    preserved, including the subtle case where one delta doc BRIDGES
+    two existing components (both labels join the same quotient
+    component and every member of both relabels to the smaller — an
+    O(affected) map-side join, never an O(corpus) rewrite).
+    """
+    lab = base_labels.select(
+        F.col("id").alias("base_doc"), F.col("label").alias("base_label")
+    )
+    decorated = base_bands.join(lab, base_bands["doc_id"] == lab["base_doc"], "left")
+    # labeled members collapse to their component label per bucket;
+    # singletons stay doc-level (each is its own quotient node)
+    bucket_nodes = (
+        decorated.select(
+            "band_id",
+            "band_key",
+            F.coalesce("base_label", F.col("doc_id")).alias("node"),
+        ).distinct()
+    )
+    dc_edges = (
+        delta_bands.join(bucket_nodes, ["band_id", "band_key"])
+        .select(F.col("doc_id").alias("doc_a"), F.col("node").alias("doc_b"))
+        .distinct()
+    )
+    dd_edges = banded_pairs(delta_bands).select("doc_a", "doc_b").distinct()
+    quotient = dc_edges.unionByName(dd_edges)
+    q_labels = connected_components(quotient)
+
+    # relabel map for existing components whose label node merged
+    relabel = q_labels.select(
+        F.col("id").alias("base_label"), F.col("label").alias("new_label")
+    )
+    base_out = (
+        base_labels.select(F.col("id"), F.col("label").alias("base_label"))
+        .join(relabel, "base_label", "left")
+        .select("id", F.coalesce("new_label", "base_label").alias("label"))
+    )
+    # quotient nodes that are NOT existing labels: delta docs in ≥1 pair
+    # and base singletons first paired by this delta — both emit directly
+    old_label_ids = base_labels.select(F.col("label").alias("id")).distinct()
+    fresh_out = q_labels.join(old_label_ids, "id", "left_anti")
+    return base_out.unionByName(fresh_out)
+
+
+@query("dedup_cc_incremental", oracle=_CC_ORACLE)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup GROUPS, end-to-end — the same 'tomorrow's
+    documents' split as near_dup_incremental (base: doc_id % 20 != 0,
+    delta: % 20 == 0): close the BASE corpus once (yesterday's batch
+    cost), then fold the delta in via extend_components' quotient-graph
+    update. The oracle is the full-corpus closure — the identical SQL
+    dedup_connected_components is gated on — so a green row proves
+    incremental ≡ from-scratch on every (doc_id, component,
+    component_size) row, including delta docs bridging previously
+    separate components and base singletons first paired by the delta.
+    The gate row intentionally pays base-closure + quotient-closure
+    every call, like the other incremental rows; the steady-state cost
+    is the quotient part alone (|delta| nodes + touched labels, never
+    O(corpus) edges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 20 != 0)
+    delta = docs.filter(F.col("doc_id") % 20 == 0)
+    base_bands = lsh_band_keys(base)
+    base_labels = connected_components(
+        banded_pairs(base_bands).select("doc_a", "doc_b").distinct()
+    ).localCheckpoint(eager=True)
+    labels = extend_components(spark, base_labels, base_bands, lsh_band_keys(delta))
+    w = Window.partitionBy("component")
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+        .withColumn("component_size", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+
+
 # Quality gate thresholds for the curation pipeline — deliberately simple
 # predicates every engine can evaluate identically; the full quality-score
 # family lives in operators/textstats.py.

@@ -120,7 +120,15 @@ _GATE_PRIORITY = [
     # ---- 50 entries; driver caps at ~50 ----
     # Below the cut: everything else is r8/r9-latest and untouched this
     # round (media_metadata's r10 work is a dedicated probe + the NEW
-    # served face above; its own plan and oracle are byte-identical).
+    # served face above; its own plan and oracle are byte-identical),
+    # plus ONE new late-r10 row added with the top-50 already full —
+    # per the standing invariant it enters r11's top-50;
+    # check_oracle-green in-session at sf0.001 AND sf0.01:
+    # - dedup_cc_incremental: O(delta) component maintenance via the
+    #   quotient-graph closure (extend_components, operators/dedup.py) —
+    #   full-corpus _CC_ORACLE, crafted bridge/singleton topologies
+    #   unit-tested in tests/test_dedup.py.
+    "dedup_cc_incremental",
 ]
 
 

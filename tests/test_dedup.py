@@ -363,3 +363,71 @@ def test_banded_pairs_property_closure_and_subset(spark):
             )
         )
         assert cc(capped) == cc(full), f"trial {trial}: closure changed under cap"
+
+
+def test_extend_components_crafted_topologies(spark):
+    """extend_components over hand-built band tables covering every
+    incremental case the organic gate corpus may not hit:
+
+    - BRIDGE: one delta doc shares buckets with members of TWO existing
+      components → both components and the delta doc relabel to the
+      global min (the O(affected) merge);
+    - base singleton first PAIRED by the delta (had no label row);
+    - a delta-only bucket (component born entirely inside the delta);
+    - untouched base component stays put; edge-less delta doc and
+      never-paired base singleton stay absent (no dedup decision).
+
+    The incremental result must equal a from-scratch closure over the
+    unioned bands — the same equivalence the dedup_cc_incremental gate
+    row proves on the organic corpus."""
+    from etl_pdf_pipepline_spark.operators.dedup import (
+        banded_pairs,
+        connected_components,
+        extend_components,
+    )
+
+    base_bands = spark.createDataFrame(
+        [
+            (1, 0, "A"), (2, 0, "A"),          # component {1,2} label 1
+            (3, 0, "B"), (4, 0, "B"),          # component {3,4} label 3
+            (7, 0, "C"), (8, 0, "C"),          # untouched component {7,8}
+            (5, 0, "S"),                       # singleton, never paired
+            (6, 0, "T"),                       # singleton, paired by delta
+            (2, 1, "X"),                       # bridge hooks
+            (3, 2, "Y"),
+        ],
+        "doc_id long, band_id int, band_key string",
+    )
+    delta_bands = spark.createDataFrame(
+        [
+            (100, 1, "X"), (100, 2, "Y"),      # bridges {1,2} and {3,4}
+            (101, 0, "T"),                     # pairs base singleton 6
+            (102, 3, "W"), (103, 3, "W"),      # delta-only component
+            (104, 4, "Q"),                     # edge-less: stays absent
+        ],
+        "doc_id long, band_id int, band_key string",
+    )
+    base_labels = connected_components(
+        banded_pairs(base_bands).select("doc_a", "doc_b").distinct()
+    )
+    got = {
+        (r.id, r.label)
+        for r in extend_components(spark, base_labels, base_bands, delta_bands).collect()
+    }
+    expected = {
+        (1, 1), (2, 1), (3, 1), (4, 1), (100, 1),   # bridged to global min
+        (7, 7), (8, 7),                             # untouched
+        (6, 6), (101, 6),                           # singleton first paired
+        (102, 102), (103, 102),                     # delta-only bucket
+    }
+    assert got == expected
+    # and it equals the from-scratch closure over the unioned bands
+    scratch = {
+        (r.id, r.label)
+        for r in connected_components(
+            banded_pairs(base_bands.unionByName(delta_bands))
+            .select("doc_a", "doc_b")
+            .distinct()
+        ).collect()
+    }
+    assert got == scratch
