@@ -938,6 +938,13 @@ def extend_components(
     )
     dc_edges = (
         delta_bands.join(bucket_nodes, ["band_id", "band_key"])
+        # Self-edges arise when the band index was ALREADY extended with
+        # this delta (a maintenance pass may extend bands before labels —
+        # the contract is order-independent): a delta doc matching its
+        # own index row must not fabricate a single-member "pair", or an
+        # edge-less delta doc would be emitted as a self-labeled
+        # component the from-scratch closure doesn't contain.
+        .filter(F.col("doc_id") != F.col("node"))
         .select(F.col("doc_id").alias("doc_a"), F.col("node").alias("doc_b"))
         .distinct()
     )
@@ -959,6 +966,100 @@ def extend_components(
     old_label_ids = base_labels.select(F.col("label").alias("id")).distinct()
     fresh_out = q_labels.join(old_label_ids, "id", "left_anti")
     return base_out.unionByName(fresh_out)
+
+
+def cc_labels_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"cc_labels_{tag}")
+
+
+def persist_cc_labels(spark: SparkSession, sf_dir: str, exclude_mod: int = 20) -> str:
+    """Materialize the near-dup component labels for the corpus slice the
+    band index covers (doc_id % exclude_mod != 0 — the same build
+    contract as persist_lsh_band_index, because labels are DERIVED from
+    that index's bands) with the standard CAS-committed freshness
+    record. Labels are the smallest artifact in the lifecycle — two
+    longs per doc in ≥1 pair — but the costliest to derive (the
+    iterative closure), which is exactly the build-once/extend-marginal
+    profile."""
+    path = cc_labels_path(sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % exclude_mod != 0
+    )
+    labels = connected_components(
+        banded_pairs(lsh_band_keys(docs)).select("doc_a", "doc_b").distinct()
+    )
+    labels.write.mode("overwrite").parquet(path)
+    from ..sources.manifest import commit_meta
+
+    commit_meta(
+        path,
+        {"source_signature": _docs_signature(sf_dir), "exclude_mod": exclude_mod},
+    )
+    return path
+
+
+def ensure_cc_labels(spark: SparkSession, sf_dir: str, exclude_mod: int = 20) -> str:
+    """Serve-or-build for the persisted component labels — the fourth
+    maintained artifact completing the lifecycle symmetry (bands:
+    ensure_lsh_band_index; IVF: ensure_ivf_index; BM25: ensure_index).
+    Reuse while the freshness record matches the documents table and
+    the build contract; rebuild (re-close) otherwise."""
+    from ..sources.manifest import read_meta
+
+    path = cc_labels_path(sf_dir)
+    meta = read_meta(path) or {}
+    if (
+        meta.get("source_signature") == _docs_signature(sf_dir)
+        and meta.get("exclude_mod") == exclude_mod
+    ):
+        return path
+    return persist_cc_labels(spark, sf_dir, exclude_mod=exclude_mod)
+
+
+def extend_cc_labels(
+    spark: SparkSession,
+    delta_bands: DataFrame,
+    band_index_path: str,
+    path: str,
+    source_signature: str | None = None,
+) -> None:
+    """O(delta + affected) update of the persisted labels when a delta
+    is admitted: run extend_components' quotient closure against the
+    persisted BAND INDEX (the corpus side never re-bands) and the
+    persisted labels, then publish the updated label table and
+    CAS-advance the freshness record in the same logical commit (the
+    r10 extender contract — without the record advance, the next
+    ensure_cc_labels would re-close the corpus, the exact economics
+    defect the other three families had). The label table is rewritten
+    wholesale — it is the tiny artifact (two longs per paired doc), so
+    the rewrite is O(labels), not O(corpus text); the expensive part
+    (the closure) runs only over the quotient. Written to a sibling dir
+    + two-rename swap so readers never see a half-written table.
+    Contract: delta doc_ids are NEW and the caller extends the band
+    index with the same delta in the same maintenance pass (labels and
+    bands must describe the same corpus)."""
+    from ..sources.manifest import commit_meta, read_meta
+    from ..sources.sinks import swap_directory
+
+    # The freshness record lives INSIDE the label dir (path/_manifests)
+    # and the two-rename swap replaces the dir wholesale — carry the
+    # record across: read before, re-publish after (in the new dir the
+    # chain restarts at v1; read_meta only ever reads the latest).
+    carried = dict(read_meta(path) or {"exclude_mod": None})
+    old = spark.read.parquet(path).localCheckpoint(eager=True)
+    base_bands = spark.read.parquet(band_index_path)
+    updated = extend_components(spark, old, base_bands, delta_bands)
+    tmp = path + "__extending"
+    updated.write.mode("overwrite").parquet(tmp)
+    swap_directory(path, tmp)
+    if source_signature is not None:
+        carried["source_signature"] = source_signature
+    commit_meta(path, carried)
 
 
 @query("dedup_cc_incremental", oracle=_CC_ORACLE)

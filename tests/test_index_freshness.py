@@ -289,3 +289,55 @@ def test_steady_state_admission_loop_two_days(spark, tmp_path, monkeypatch):
             )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ensure_cc_labels_after_extend_serves_without_rebuild(
+    spark, growing_corpus, monkeypatch
+):
+    """The fourth maintained artifact (component labels) gets the same
+    lifecycle contract as bands/IVF/BM25: one maintenance pass per
+    ingest day extends BOTH the band index and the labels derived from
+    it, CAS-advancing both freshness records — after which ensure_*
+    serves with zero rebuild and the served labels equal a from-scratch
+    closure over the grown corpus slice."""
+    from etl_pdf_pipepline_spark.operators import dedup
+
+    band_path = dedup.ensure_lsh_band_index(spark, growing_corpus, exclude_mod=20)
+    label_path = dedup.ensure_cc_labels(spark, growing_corpus, exclude_mod=20)
+    try:
+        delta, new_sig = _ingest_delta(spark, growing_corpus, "documents", "doc_id")
+        delta_bands = dedup.lsh_band_keys(delta).localCheckpoint(eager=True)
+        # one maintenance pass: bands first (labels derive from them)
+        dedup.extend_lsh_band_index(spark, delta, band_path, source_signature=new_sig)
+        dedup.extend_cc_labels(
+            spark, delta_bands, band_path, label_path, source_signature=new_sig
+        )
+
+        _fail_on_call(monkeypatch, dedup, "persist_cc_labels")
+        _fail_on_call(monkeypatch, dedup, "persist_lsh_band_index")
+        assert dedup.ensure_cc_labels(spark, growing_corpus, exclude_mod=20) == label_path
+        assert (
+            dedup.ensure_lsh_band_index(spark, growing_corpus, exclude_mod=20)
+            == band_path
+        )
+        monkeypatch.undo()
+
+        served = {
+            (r.id, r.label)
+            for r in spark.read.parquet(label_path).collect()
+        }
+        docs_now = spark.read.parquet(f"{growing_corpus}/documents.parquet").filter(
+            F.col("doc_id") % 20 != 0
+        )
+        scratch = {
+            (r.id, r.label)
+            for r in dedup.connected_components(
+                dedup.banded_pairs(dedup.lsh_band_keys(docs_now))
+                .select("doc_a", "doc_b")
+                .distinct()
+            ).collect()
+        }
+        assert served == scratch
+    finally:
+        shutil.rmtree(label_path, ignore_errors=True)
+        shutil.rmtree(band_path, ignore_errors=True)
