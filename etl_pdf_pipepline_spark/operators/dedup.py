@@ -17,9 +17,9 @@ training-data pipeline. Design notes per operator:
   only within buckets. The all-pairs O(n²) never materializes; the shuffle
   is on band keys. Skew guard (banded_pairs): a bucket with B members
   would emit B(B−1)/2 pairs, so buckets above MAX_LSH_BUCKET members emit
-  only the consecutive-member chain (B−1 edges, same transitive closure —
-  component consumers are invariant; pair listings and their oracles
-  apply the identical rule).
+  only the star around the bucket min (B−1 edges, diameter 2, same
+  transitive closure — component consumers are invariant; pair listings
+  and their oracles apply the identical rule).
 - SimHash: sign-aggregated bit fingerprint; Hamming-near docs are dup
   candidates. Computed with explode + groupBy — two narrow shuffles.
 - n-gram Jaccard: the exact verification step for LSH candidates,
@@ -301,19 +301,35 @@ _LSH_CTE_BODY = """toks AS (
 # Band-bucket skew cap: a bucket with B members emits B(B−1)/2 pairs, so
 # one boilerplate-collapsed bucket (empty docs, license headers, a
 # scraped template) goes quadratic no matter how good the banding is.
-# Buckets above MAX_LSH_BUCKET members switch from all-pairs to a
-# CONSECUTIVE-MEMBER CHAIN (sorted by id, link rn→rn+1): B−1 edges, so
-# worst case is linear in bucket size, and the chain has the SAME
+# Buckets above MAX_LSH_BUCKET members switch from all-pairs to a STAR
+# around the bucket's min id (hub → every other member): B−1 edges, so
+# worst case is linear in bucket size, and the star has the SAME
 # transitive closure as all-pairs — connected components / keepers /
 # paragraph grouping are bit-identical at any cap; only the raw pair
 # listings (dedup_lsh_candidates, dedup_simhash_pairs) see fewer rows
 # when the cap binds, and their oracles implement the identical rule.
+#
+# r10: the star REPLACED r9's consecutive-member chain. The chain met
+# the linear-edges goal but manufactured DIAMETER-B components, and the
+# closure loop on them was the scale wall: "min-label + one pointer
+# jump" is only O(log d) on friendly id layouts — on the sf30 corpus
+# (chained ~10^5-member buckets overlapping across bands) the closure
+# blew past max_iter=64 outright (and before that, >20 rounds of
+# self-join stat growth overflowed planning's BigInteger — see
+# connected_components' STATS RESET note). A star is diameter 2 by
+# construction: every consumer closure converges in a handful of
+# rounds no matter how pathological the bucket, which is the property
+# a 100 TB boilerplate-heavy corpus actually needs. Hub degree = B−1
+# is rows-not-width skew (a few long ids), handled by AQE like any
+# hot key. Same B−1 edge count, same closure; only WHICH spanning
+# edges are listed changed — the oracles mirror the same rule.
 MAX_LSH_BUCKET = 64
 
 
 def _capped_pairs_sql(bands_cte: str, cap: int = MAX_LSH_BUCKET, id_col: str = "doc_id") -> str:
     """The DuckDB mirror of banded_pairs: same window, same cap, same
-    chain rule, composed over any (id, band_id, band_key) CTE."""
+    star rule (hub = bucket min id → every other member), composed over
+    any (id, band_id, band_key) CTE."""
     return f"""bm AS (
         SELECT {id_col}, band_id, band_key,
                count(*) OVER (PARTITION BY band_id, band_key) AS bsz,
@@ -329,7 +345,7 @@ def _capped_pairs_sql(bands_cte: str, cap: int = MAX_LSH_BUCKET, id_col: str = "
         SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.band_id
         FROM bm a JOIN bm b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND b.rn = a.rn + 1 AND a.bsz > {cap}
+         AND a.rn = 1 AND b.rn > 1 AND a.bsz > {cap}
     )"""
 
 
@@ -349,17 +365,21 @@ def banded_pairs(
     """(doc_a, doc_b, band_id) candidate pairs from an (id, band_id,
     band_key) banding, with the skew cap the module docstring promises:
     buckets with ≤ cap members emit all intra-bucket pairs (exact
-    banding semantics); buckets ABOVE the cap emit only the
-    consecutive-member chain sorted by id — B−1 edges instead of
-    B(B−1)/2, so a corpus where boilerplate collapses thousands of
-    docs into one band bucket stays linear instead of quadratic.
+    banding semantics); buckets ABOVE the cap emit only the STAR around
+    the bucket's min id — B−1 edges instead of B(B−1)/2, so a corpus
+    where boilerplate collapses thousands of docs into one band bucket
+    stays linear instead of quadratic, AND the capped component has
+    diameter 2, so downstream closures converge in a handful of rounds
+    (r10 — the r9 chain rule manufactured diameter-B paths that the
+    sf30 closure could not finish; see MAX_LSH_BUCKET's note).
 
-    The chain preserves the transitive closure (every bucket member is
-    still connected), so connected-components consumers (dedup_keepers,
-    dedup_connected_components) are invariant under the cap; only the
-    raw pair listing changes, and its oracle applies the same rule
-    (_capped_pairs_sql). Plan shape: one shuffle on (band_id, band_key)
-    for the window, reused by both self-joins (same keys)."""
+    The star preserves the transitive closure (every bucket member is
+    still connected through the hub), so connected-components consumers
+    (dedup_keepers, dedup_connected_components) are invariant under the
+    cap; only the raw pair listing changes, and its oracle applies the
+    same rule (_capped_pairs_sql). Plan shape: one shuffle on
+    (band_id, band_key) for the window, reused by both self-joins
+    (same keys)."""
     w = Window.partitionBy("band_id", "band_key")
     b = bands.select(
         id_col,
@@ -384,11 +404,11 @@ def banded_pairs(
             F.col("a.band_id").alias("band_id"),
         )
     )
-    chained = (
-        a_side.filter(F.col("bsz") > cap)
+    starred = (
+        a_side.filter((F.col("bsz") > cap) & (F.col("rn") == 1))
         .join(
-            b_side.filter(F.col("bsz") > cap),
-            on_bucket & (F.col("b.rn") == F.col("a.rn") + 1),
+            b_side.filter((F.col("bsz") > cap) & (F.col("rn") > 1)),
+            on_bucket,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -396,7 +416,7 @@ def banded_pairs(
             F.col("a.band_id").alias("band_id"),
         )
     )
-    return small.unionAll(chained)
+    return small.unionAll(starred)
 
 
 @query("dedup_lsh_candidates", oracle=_LSH_ORACLE)
@@ -405,13 +425,15 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on band key. The join key space is (band_id, band_key), so
     only same-bucket docs ever meet — this is the O(n²)→O(n) cut that
     makes near-dedup feasible at 100 TB. Pathological buckets (boilerplate
-    collapse) are chain-capped by banded_pairs; the oracle applies the
+    collapse) are star-capped by banded_pairs; the oracle applies the
     identical cap.
 
     OUTPUT CONTRACT — the raw pair listing is cap-dependent: in a bucket
-    above MAX_LSH_BUCKET (=64) members only the B−1 consecutive-by-id
-    chain edges are emitted, not all B(B−1)/2 pairs, so `n_bands` and
-    pair recall in over-cap buckets are functions of the cap. The
+    above MAX_LSH_BUCKET (=64) members only the B−1 star edges around
+    the bucket's min id are emitted, not all B(B−1)/2 pairs, so
+    `n_bands` and pair recall in over-cap buckets are functions of the
+    cap (r10: the star replaced r9's consecutive-id chain — same edge
+    count, diameter 2 instead of B, see MAX_LSH_BUCKET's note). The
     transitive CLOSURE is invariant (components/keepers are unchanged —
     property-tested), so consumers deduplicating via
     dedup_connected_components/dedup_keepers see no difference; only
@@ -651,14 +673,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ever compared — the O(n²)→O(n) cut, same shape as MinHash-LSH but
     on fingerprint halves. Verification is an integer popcount on the
     candidate set only. Pathological half-buckets (e.g. the all-zero
-    fingerprint every empty doc lands on) are chain-capped by
+    fingerprint every empty doc lands on) are star-capped by
     banded_pairs; the oracle applies the identical cap.
 
     OUTPUT CONTRACT — the cap weakens the pigeonhole guarantee for the
-    RAW listing: in an over-cap half-bucket only consecutive-by-id chain
-    edges are candidates, so hamming≤1 pairs that are not chain-adjacent
-    there are not emitted; recall in over-cap buckets is a function of
-    MAX_LSH_BUCKET (=64). The transitive closure over emitted pairs is
+    RAW listing: in an over-cap half-bucket only the star edges around
+    the bucket's min id are candidates, so hamming≤1 pairs not touching
+    the hub there are not emitted; recall in over-cap buckets is a
+    function of MAX_LSH_BUCKET (=64) (r10: star replaced the r9 chain —
+    same edge count, diameter 2 instead of B). The transitive closure over emitted pairs is
     invariant (property-tested), so component/keeper consumers are
     unaffected; raw-listing consumers must treat the output as a
     spanning set of each near-dup cluster, not all its pairs (ADVICE
@@ -687,11 +710,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# How many propagation rounds may pass between parquet-backed statistics
+# resets inside connected_components (see its docstring, STATS RESET).
+_STATS_RESET_EVERY = 8
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 64,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the final
     step of near-dedup at scale: LSH/SimHash emit PAIRS, but a dup GROUP
@@ -701,9 +729,16 @@ def connected_components(
     POINTER-JUMPING step replaces each label with its label's label
     (r4, ADVICE r3): propagation distance doubles per round, so
     convergence needs O(log diameter) rounds, not O(diameter) — a
-    chain-shaped candidate graph (A~B~C~…) of length 2^20 still closes
-    within max_iter=20, where plain propagation silently stalled at 20
-    hops. Per round: one shuffle (groupBy dst) + two broadcast-able
+    chain-shaped candidate graph (A~B~C~…) of length 2^64 still closes
+    within max_iter=64, where plain propagation silently stalled at 20
+    hops. The ceiling is not academic: the MAX_LSH_BUCKET chain cap
+    DELIBERATELY manufactures diameter-B chains out of over-cap buckets
+    (B−1 consecutive-by-id edges), so a boilerplate bucket of B members
+    needs ~log2(B)+c rounds — at sf30 a ~10^5-member bucket pushed past
+    the old max_iter=20 (found by the r10 incremental-CC probe). Extra
+    headroom is free: the loop exits on the first no-change round, so
+    converged graphs never pay it. Per round: one shuffle (groupBy dst)
+    + two broadcast-able
     joins — the same shape GraphX/GraphFrames use. localCheckpoint
     truncates the per-iteration lineage (plan growth is otherwise
     exponential); on a cluster with a checkpoint dir, `checkpoint()`
@@ -711,15 +746,35 @@ def connected_components(
     per round — the orchestration is driver-side CONTROL FLOW, not
     driver-side data (labels never collect).
 
+    STATS RESET (r10, found by the sf30 incremental-CC probe):
+    localCheckpoint truncates LINEAGE but PRESERVES the plan's estimated
+    statistics, and each round's label self-join multiplies sizeInBytes
+    estimates — the estimate's BIT LENGTH roughly doubles per round
+    (bits(L⋈L) = 2·bits(L)), so past ~25 rounds the BigInteger estimate
+    exceeds its 2^31-bit magnitude cap and planning itself dies with
+    "BigInteger would overflow supported range" (reproduced: a 5M-link
+    chain converged at 24 rounds; the sf30 corpus, whose chain-capped
+    mega-bucket needs >20 rounds on a bigger base, crashed). Every
+    _STATS_RESET_EVERY rounds the labels round-trip through a real
+    parquet file: the read-back plan's statistics are the file's ACTUAL
+    size, collapsing the doubling back to ~file-size bits — growth
+    between resets is then bounded at ~(bits_adj+bits_labels)·2^8,
+    safe for any diameter max_iter can express.
+
     Raises RuntimeError if the loop exhausts max_iter without reaching
     the fixpoint (ADVICE r3: never return silently-stale labels)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     adj = fwd.unionAll(rev).distinct().localCheckpoint(eager=True)
     labels = (
         adj.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    spark = edges.sparkSession
+    scratch: str | None = None
+    for _it in range(max_iter):
         nbr_min = (
             adj.join(labels, adj["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id2"))
@@ -752,12 +807,27 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if scratch is not None:
+                _shutil.rmtree(scratch, ignore_errors=True)
             return labels
+        if (_it + 1) % _STATS_RESET_EVERY == 0:
+            # parquet round-trip: real file-size statistics replace the
+            # doubly-exponential join estimates (docstring: STATS RESET).
+            # The eager checkpoint after the read materializes the rows
+            # in the block manager, so the scratch files are disposable.
+            if scratch is None:
+                scratch = _tempfile.mkdtemp(prefix="cc_stats_reset_")
+            tmp = f"{scratch}/labels_{_it}"
+            labels.write.mode("overwrite").parquet(tmp)
+            labels = spark.read.parquet(tmp).localCheckpoint(eager=True)
+    if scratch is not None:
+        _shutil.rmtree(scratch, ignore_errors=True)
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
         "rounds; the candidate graph has extreme diameter — raise max_iter "
         "(pointer jumping makes each round double the propagation distance, "
-        "so max_iter=20 already covers diameter ~2^20)"
+        f"so max_iter={max_iter} covers diameter ~2^{max_iter}; note the "
+        "LSH chain cap makes over-cap buckets into diameter-B chains)"
     )
 
 

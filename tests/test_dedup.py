@@ -291,9 +291,11 @@ def test_minhash_affine_family_properties(spark):
 
 def test_banded_pairs_caps_pathological_bucket(spark):
     """The skew cap the module docstring promises: a forged bucket with
-    B members above the cap emits the B-1 consecutive-member chain, not
-    B(B-1)/2 all-pairs; under-cap buckets keep exact all-pairs; and the
-    transitive closure (what CC/keepers consume) is unchanged."""
+    B members above the cap emits the B-1 star edges around the bucket
+    min (r10 — diameter 2; the r9 chain made diameter-B paths the sf30
+    closure couldn't finish), not B(B-1)/2 all-pairs; under-cap buckets
+    keep exact all-pairs; and the transitive closure (what CC/keepers
+    consume) is unchanged."""
     from etl_pdf_pipepline_spark.operators.dedup import banded_pairs, connected_components
 
     rows = [(i, 0, "big") for i in range(10)] + [(i, 0, "small") for i in (100, 101, 102)]
@@ -302,7 +304,7 @@ def test_banded_pairs_caps_pathological_bucket(spark):
     pairs = banded_pairs(bands, cap=4).collect()
     big = sorted((r.doc_a, r.doc_b) for r in pairs if r.doc_b < 100)
     small = sorted((r.doc_a, r.doc_b) for r in pairs if r.doc_b >= 100)
-    assert big == [(i, i + 1) for i in range(9)]  # chain, not 45 pairs
+    assert big == [(0, i) for i in range(1, 10)]  # star around min, not 45 pairs
     assert small == [(100, 101), (100, 102), (101, 102)]  # exact all-pairs
 
     # closure invariance: capped and uncapped pairs give identical components
@@ -431,3 +433,22 @@ def test_extend_components_crafted_topologies(spark):
         ).collect()
     }
     assert got == scratch
+
+
+def test_connected_components_long_chain_stats_reset(spark):
+    """A chain long enough to need >8 propagation rounds exercises the
+    parquet-backed statistics reset (operators/dedup.py STATS RESET —
+    without it, join-estimate bit lengths double per round and planning
+    itself dies past ~25 rounds with a BigInteger overflow; found at
+    sf30 where the chain-capped mega-bucket needs >20 rounds). The cap
+    makes diameter-B chains a DESIGNED topology, so long-chain closure
+    is production behavior, not an adversarial corner."""
+    from etl_pdf_pipepline_spark.operators.dedup import connected_components
+
+    n = 12_000  # ~14 pointer-jumping rounds -> at least one reset
+    edges = spark.range(n).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rows = connected_components(edges).collect()
+    assert len(rows) == n + 1
+    assert all(r.label == 0 for r in rows)
