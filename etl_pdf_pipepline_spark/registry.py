@@ -128,6 +128,11 @@ _GATE_PRIORITY = [
     #   quotient-graph closure (extend_components, operators/dedup.py) —
     #   full-corpus _CC_ORACLE, crafted bridge/singleton topologies
     #   unit-tested in tests/test_dedup.py.
+    # Also entering r11's top-50: dedup_simhash_pairs — its plan AND
+    # oracle changed with the r10 star cap (the only cap-touched row
+    # below this round's cut; every other cap consumer is in the list
+    # above and re-verified: 10 family rows check_oracle-green
+    # in-session after the change, incl. dedup_simhash_pairs itself).
     "dedup_cc_incremental",
 ]
 
