@@ -1362,6 +1362,235 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-substring duplicate spans (suffix-array dedup, Spark-first).
+
+SPAN_K = 8  # token width of the rolling exact-match window
+
+
+def duplicate_spans(docs: DataFrame) -> DataFrame:
+    """Maximal cross-doc duplicated token spans, one row per span:
+    (doc_id, n_tokens, s, e) with 1-based inclusive token positions.
+    Shared plan of doc_duplicate_spans (reporting face) and
+    doc_span_scrub (removal face) — see doc_duplicate_spans for the
+    algorithm and scale notes."""
+    toks = tokens("text")
+    n = F.size(toks)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), n - (SPAN_K - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_K))).alias("h"),
+        ),
+    )
+    grams = (
+        docs.filter(n >= SPAN_K)
+        .select("doc_id", n.alias("n_tokens"), F.explode(gram_structs).alias("g"))
+        .select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brks = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= SPAN_K, 0).otherwise(1),
+    )
+    isl = brks.withColumn("island", F.sum("brk").over(w))
+    return isl.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (SPAN_K - 1)).alias("e")
+    )
+
+
+@query(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    pg AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               [{{'pos': i, 'h': md5(array_to_string(t[i:i+{SPAN_K - 1}], ' '))}}
+                for i in range(1, len(t) - {SPAN_K - 2})] AS g
+        FROM toks WHERE len(t) >= {SPAN_K}
+    ),
+    grams AS (SELECT doc_id, n_tokens, u.pos AS pos, u.h AS h
+              FROM pg, unnest(g) AS s(u)),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (h)),
+    brks AS (
+        SELECT doc_id, n_tokens, pos,
+               CASE WHEN pos - lag(pos) OVER w <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT doc_id, n_tokens, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brks
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens,
+               min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+        FROM isl GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(sum(e - s + 1) AS DOUBLE) / n_tokens, 6) AS dup_frac
+    FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id
+    """,
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup — the suffix-array family
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": remove verbatim token runs repeated across the corpus),
+    re-expressed Spark-first. A suffix array is a single-machine
+    construct; the distributed equivalent used here is rolling K-gram
+    hashing: any exact shared token run of length ≥ K contributes a
+    run of identical K-gram hashes in both documents, so (1) hash every
+    K-token window scan-side (array algebra, md5 — oracle-checkable),
+    (2) find hashes occurring in ≥2 DISTINCT documents (within-doc
+    repetition is doc_repetition_filter's contract, not this one),
+    (3) per document, merge overlapping/adjacent duplicated windows
+    into maximal spans via gaps-and-islands (break when the position
+    gap exceeds K, i.e. covered token ranges no longer touch), and
+    report per-doc span count, duplicated-token total, and duplicated
+    fraction — the quantities a scrub/filter policy consumes.
+
+    Scale posture: gram hashing rides the scan stage; the only wide
+    exchanges carry (doc_id, pos, 32-byte digest) — never text. Pass 1
+    is a groupBy(h) with map-side partial countDistinct; pass 2 joins
+    the (small) duplicated-hash set back to the gram stream — AQE picks
+    broadcast when the dup set is tiny, shuffle-join otherwise; a
+    boilerplate gram shared by B docs fans back out to exactly B rows
+    (linear, the docs genuinely contain it). The island merge windows
+    partition by doc_id over ONLY the duplicated positions, not the
+    token stream. At 100 TB swap md5 for xxhash64 scan-side (the gate
+    pins md5 for cross-engine byte-equality) and K for the 50-token
+    window of the paper."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs)
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(span_len).alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_span_scrub",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    pg AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               [{{'pos': i, 'h': md5(array_to_string(t[i:i+{SPAN_K - 1}], ' '))}}
+                for i in range(1, len(t) - {SPAN_K - 2})] AS g
+        FROM toks WHERE len(t) >= {SPAN_K}
+    ),
+    grams AS (SELECT doc_id, n_tokens, u.pos AS pos, u.h AS h
+              FROM pg, unnest(g) AS s(u)),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (h)),
+    brks AS (
+        SELECT doc_id, n_tokens, pos,
+               CASE WHEN pos - lag(pos) OVER w <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT doc_id, n_tokens, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brks
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens,
+               min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+        FROM isl GROUP BY doc_id, n_tokens, island
+    ),
+    per_doc AS (
+        SELECT doc_id, list({{'s': s, 'e': e}}) AS spans FROM spans GROUP BY doc_id
+    ),
+    scrub AS (
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               [t.t[i] for i in range(1, len(t.t) + 1)
+                if len(list_filter(p.spans, x -> i >= x.s AND i <= x.e)) = 0] AS kept
+        FROM toks t JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS scrubbed_md5
+    FROM scrub ORDER BY doc_id
+    """,
+)
+def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal face of doc_duplicate_spans: rebuild each affected
+    document with every cross-corpus duplicated span EXCISED (the Lee
+    et al. 2021 action — cut the repeated substring, keep the unique
+    prose around it). Output is one row per affected document with the
+    kept-token count and the md5 of the scrubbed text, so the gate
+    proves byte-identical positional removal across engines — the same
+    md5-verified-removal contract as doc_dup_paragraph_removal.
+
+    Scale posture: spans come from the shared duplicate_spans plan
+    (costs documented on doc_duplicate_spans); the scrub itself
+    re-joins the |affected docs| span lists (a few spans per doc —
+    collect_list here is per-doc bounded, nothing like a bucket
+    collect) back to the token arrays and filters positions with one
+    scan-stage HOF — no extra wide exchange beyond the span plan, and
+    the reconstructed text never shuffles (md5 reduces it scan-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("t")).join(per_doc, "doc_id")
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"), lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])
+        ),
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("bigint").alias("kept_tokens"),
+            F.md5(F.concat_ws(" ", F.col("kept"))).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental near-dup check against a persisted LSH band index.
 #
 # The daily-delta economics at 100 TB: re-banding the whole corpus to admit

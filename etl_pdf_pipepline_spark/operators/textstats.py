@@ -385,6 +385,68 @@ def corpus_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_decontaminated",
+    oracle="""
+    WITH probes(probe) AS (VALUES {values}),
+    flagged AS (
+        SELECT d.doc_id, d.source,
+               max(CASE WHEN contains(d.text, p.probe) THEN 1 ELSE 0 END) AS hit
+        FROM documents d CROSS JOIN probes p
+        GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(1 - hit) AS BIGINT) AS n_kept,
+           CAST(sum(hit) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN hit = 0 THEN doc_id END) AS BIGINT) AS kept_id_sum,
+           bit_xor(CASE WHEN hit = 0
+                        THEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                        ELSE 0 END) AS kept_id_xor
+    FROM flagged GROUP BY source ORDER BY source
+    """.format(values=", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)),
+)
+def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination, removal face: drop every document that
+    contains any probe n-gram verbatim (the action corpus_contamination_probe
+    only measures — Lee et al. 2022-style benchmark decontamination). Per
+    source the query reports kept/dropped counts plus two membership
+    checksums over the surviving doc_id set (arithmetic sum + xor of a
+    15-hex-digit md5 prefix per id), so the gate proves the exact KEPT
+    MEMBERSHIP cross-engine, not just survivor counts.
+
+    Scale posture: the probe set broadcasts as a compiled any-match
+    predicate (F.exists over an array literal — one scan-stage pass per
+    row, no cross-join row expansion at all, strictly cheaper than the
+    probe's per-probe counting shape); the only shuffle is the |sources|-
+    group aggregate. At a real 100 TB decontamination the probe list is
+    ~1e5 benchmark 13-grams and contains() upgrades to one Aho-Corasick
+    automaton per executor in a mapInPandas — plan shape unchanged. The
+    xor checksum uses a 60-bit md5 prefix (15 hex chars) so DuckDB's
+    signed-BIGINT cast can never overflow."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe_arr = F.array(*[F.lit(p) for p in CONTAMINATION_PROBES])
+    hit = F.exists(probe_arr, lambda p: F.contains(F.col("text"), p))
+    kept_digest = F.when(
+        ~F.col("hit"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", "source", hit.alias("hit"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~F.col("hit"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(~F.col("hit"), F.col("doc_id"))).alias("kept_id_sum"),
+            F.bit_xor(kept_digest).alias("kept_id_xor"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "corpus_profile",
     oracle="""
     SELECT 'doc_id' AS column_name,

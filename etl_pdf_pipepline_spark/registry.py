@@ -134,6 +134,19 @@ _GATE_PRIORITY = [
     # above and re-verified: 10 family rows check_oracle-green
     # in-session after the change, incl. dedup_simhash_pairs itself).
     "dedup_cc_incremental",
+    # Late-r10 additions with the top-50 already full — all
+    # check_oracle-green in-session at sf0.01; per the standing
+    # invariant they enter r11's top-50:
+    # - corpus_decontaminated: removal face of the contamination probe
+    #   (membership-checksummed kept set), operators/textstats.py.
+    # - doc_duplicate_spans / doc_span_scrub: cross-doc EXACT substring
+    #   dedup (suffix-array family via rolling K-gram hashes + island
+    #   merge) and its md5-verified removal face, operators/dedup.py;
+    #   boundary/merge/within-doc-exclusion unit tests in
+    #   tests/test_dedup.py.
+    "corpus_decontaminated",
+    "doc_duplicate_spans",
+    "doc_span_scrub",
 ]
 
 

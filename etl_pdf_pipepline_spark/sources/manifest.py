@@ -874,6 +874,22 @@ def maintain_lake(
     return report
 
 
+def changed_files(root: str, from_version: int, to_version: int) -> tuple[list[str], list[str]]:
+    """(added, removed) relative data-file lists between two committed
+    versions — the O(manifest) planning core of the change-data-feed
+    reader (Delta's `table_changes` / Iceberg's incremental scan, on
+    this layer). Copy-on-write commits rewrite whole partition
+    directories, so the physical delta between two versions is exactly
+    the file sets referenced by one manifest and not the other; a CDF
+    reader then opens ONLY those files (O(changed partitions) I/O,
+    never O(lake)) and classifies rows by joining the removed-side and
+    added-side reads. Pure manifest arithmetic: two KB-sized JSON reads,
+    no directory walk, no data I/O."""
+    old = set(snapshot_files(_read_manifest(root, from_version)))
+    new = set(snapshot_files(_read_manifest(root, to_version)))
+    return sorted(new - old), sorted(old - new)
+
+
 def rows_changed_since(root: str, since_version: int) -> bool:
     """Did any commit AFTER `since_version` change the table's rows?
     Walks the manifest chain (since, latest] — O(commits since), each a

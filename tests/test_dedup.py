@@ -452,3 +452,95 @@ def test_connected_components_long_chain_stats_reset(spark):
     rows = connected_components(edges).collect()
     assert len(rows) == n + 1
     assert all(r.label == 0 for r in rows)
+
+
+# --- Exact-substring duplicate spans (doc_duplicate_spans / doc_span_scrub) ---
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    """A 10-token run shared by two docs is recovered as EXACTLY that
+    run in each doc (1-based inclusive token positions), regardless of
+    where it sits — the rolling K-gram + island merge must neither leak
+    into the unique prefix/suffix nor clip the run."""
+    from etl_pdf_pipepline_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),   # shared at tokens 4..13
+        (2, "b1 " + shared + " b2 b3 b4"),       # shared at tokens 2..11
+        (3, " ".join(f"c{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.s, r.e) for r in duplicate_spans(df).collect()}
+    assert got == {(1, 4, 13), (2, 2, 11)}
+
+
+def test_duplicate_spans_within_doc_repeat_not_counted(spark):
+    """Repetition confined to ONE document is doc_repetition_filter's
+    contract; the cross-doc span detector must ignore it (the dup-hash
+    filter counts DISTINCT docs)."""
+    from etl_pdf_pipepline_spark.operators.dedup import duplicate_spans
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    rows = [
+        (1, rep + " mid1 mid2 " + rep),  # twice in the same doc only
+        (2, " ".join(f"u{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert duplicate_spans(df).count() == 0
+
+
+def test_duplicate_spans_gap_keeps_two_islands(spark):
+    """Two shared runs separated by a unique token must stay two spans:
+    covered ranges [1..8] and [10..17] do not touch, so the island
+    break (pos gap > K) fires."""
+    from etl_pdf_pipepline_spark.operators.dedup import duplicate_spans
+
+    x = " ".join(f"x{i}" for i in range(8))
+    y = " ".join(f"y{i}" for i in range(8))
+    rows = [
+        (1, x + " ua " + y),
+        (2, x + " ub " + y),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted((r.doc_id, r.s, r.e) for r in duplicate_spans(df).collect())
+    assert got == [(1, 1, 8), (1, 10, 17), (2, 1, 8), (2, 10, 17)]
+
+
+def test_span_scrub_removes_exactly_the_shared_run(spark):
+    """Scrub of the boundary corpus keeps the unique tokens verbatim:
+    kept text for doc 1 is 'a1 a2 a3 a4 a5' and its md5 matches — the
+    byte-verified-removal contract."""
+    import hashlib
+
+    from etl_pdf_pipepline_spark.operators.dedup import SPAN_K, duplicate_spans
+    from pyspark.sql import functions as F  # noqa: F811
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, "b1 " + shared + " b2 b3 b4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(df)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    from etl_pdf_pipepline_spark.functions.text import tokens
+
+    base = df.select("doc_id", tokens("text").alias("t")).join(per_doc, "doc_id")
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"), lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])
+        ),
+    )
+    got = {
+        r.doc_id: r.md5
+        for r in base.select(
+            "doc_id", F.md5(F.concat_ws(" ", kept)).alias("md5")
+        ).collect()
+    }
+    assert got[1] == hashlib.md5(b"a1 a2 a3 a4 a5").hexdigest()
+    assert got[2] == hashlib.md5(b"b1 b2 b3 b4").hexdigest()
+    assert SPAN_K == 8  # boundary corpora above are sized to the K contract
