@@ -144,9 +144,14 @@ _GATE_PRIORITY = [
     #   merge) and its md5-verified removal face, operators/dedup.py;
     #   boundary/merge/within-doc-exclusion unit tests in
     #   tests/test_dedup.py.
+    # - events_change_feed: physical-file-diff CDF between lake versions
+    #   (manifest.changed_files/read_file_list), classified insert/
+    #   delete/update/carryover against the logical CDC oracle;
+    #   partition-locality unit tests in tests/test_manifest.py.
     "corpus_decontaminated",
     "doc_duplicate_spans",
     "doc_span_scrub",
+    "events_change_feed",
 ]
 
 

@@ -890,6 +890,31 @@ def changed_files(root: str, from_version: int, to_version: int) -> tuple[list[s
     return sorted(new - old), sorted(old - new)
 
 
+def read_file_list(
+    spark: SparkSession, root: str, rels: list[str], version: int
+) -> DataFrame:
+    """Open an explicit subset of `version`'s files in that version's
+    committed schema — the data plane under changed_files. basePath-aware
+    so partition-directory values survive the explicit-file read, and
+    schema-pinned so a CDF read across an add-column evolution projects
+    each side in its own width (old side: added columns null), exactly
+    like read_snapshot's time-travel contract. An empty list returns an
+    empty frame in the version's schema, so a partition that existed on
+    only one side diffs cleanly."""
+    from pyspark.sql.types import StructType
+
+    manifest = _read_manifest(root, version)
+    schema = StructType.fromJson(manifest["schema"]) if "schema" in manifest else None
+    if not rels:
+        if schema is None:
+            raise ValueError(f"empty file list for {root} v{version} without a schema")
+        return spark.createDataFrame([], schema)
+    reader = spark.read.option("basePath", root)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*[os.path.join(root, rel) for rel in rels])
+
+
 def rows_changed_since(root: str, since_version: int) -> bool:
     """Did any commit AFTER `since_version` change the table's rows?
     Walks the manifest chain (since, latest] — O(commits since), each a

@@ -909,3 +909,41 @@ def test_autopilot_races_concurrent_ingest(spark, lake):
     from etl_pdf_pipepline_spark.sources.manifest import fragmented_partitions
 
     assert fragmented_partitions(root, 1) == []
+
+
+def test_changed_files_touches_only_rewritten_partitions(spark, lake):
+    """The CDF planning core: the v1→v2 file delta names files ONLY
+    under the partitions the merge rewrote (TARGET_DAY and the
+    insert-shifted day after); every other day's files appear in
+    neither list — the O(changed partitions) I/O bound the reader
+    depends on."""
+    import datetime
+
+    from etl_pdf_pipepline_spark.sources.manifest import changed_files
+
+    root, ev = lake
+    assert _apply_merge(spark, root, ev) == 2
+    added, removed = changed_files(root, 1, 2)
+    assert added and removed
+    d0 = datetime.date.fromisoformat(TARGET_DAY)
+    allowed = {f"event_date={d0}", f"event_date={d0 + datetime.timedelta(days=1)}"}
+    for rel in added + removed:
+        assert rel.split(os.sep)[0] in allowed, rel
+    # the delta is disjoint: a file is added xor removed, never both
+    assert not set(added) & set(removed)
+
+
+def test_read_file_list_partition_values_and_empty_side(spark, lake):
+    """read_file_list keeps partition-directory values (basePath read)
+    and an empty list yields an empty frame in the version's committed
+    schema — the shape a one-sided partition diff needs."""
+    from etl_pdf_pipepline_spark.sources.manifest import changed_files, read_file_list
+
+    root, ev = lake
+    _apply_merge(spark, root, ev)
+    added, removed = changed_files(root, 1, 2)
+    post = read_file_list(spark, root, added, 2)
+    assert "event_date" in post.columns and post.count() > 0
+    empty = read_file_list(spark, root, [], 1)
+    assert empty.count() == 0
+    assert empty.columns == post.columns
