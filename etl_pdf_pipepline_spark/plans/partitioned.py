@@ -794,3 +794,88 @@ def events_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+def mor_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_mor_{tag}")
+
+
+_MOR_ORACLE = f"""
+    WITH day AS (
+        SELECT * FROM events
+        WHERE ts >= TIMESTAMP '{TARGET_DAY} 00:00:00'
+          AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 1 DAY
+    ),
+    del AS (SELECT event_id FROM day WHERE user_id % 13 = 0)
+    SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events
+    WHERE event_id NOT IN (SELECT event_id FROM del)
+      AND ts >= TIMESTAMP '{TARGET_DAY} 00:00:00' - INTERVAL 1 DAY
+      AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 2 DAY
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("events_merge_on_read", oracle=_MOR_ORACLE)
+def events_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE end-to-end (Delta deletion vectors / Iceberg
+    position deletes on the manifest layer): v1 = the versioned lake,
+    v2 = delete_commit of TARGET_DAY's user_id%13 keys — which must
+    rewrite NOTHING (asserted in-plan via changed_files: the v1→v2 data-
+    file delta is empty on both sides; the commit is one small DV parquet
+    + a manifest), then purge_deletes materializes the masks as v3 (a
+    rows_preserved partition rewrite, so downstream freshness survives,
+    asserted via rows_changed_since). The RETURNED rollup time-travels to
+    v2 — the masked read path itself, DV anti-join live — over a window
+    including an untouched day, and the in-plan check pins the masked v2
+    read row-count-equal to the purged v3 read. Oracle: the same rollup
+    with the delete set subtracted logically.
+
+    Scale posture: the delete commits in O(delete batch) I/O (locate via
+    partition-scoped scan with `_metadata`, write one delta-sized DV
+    file) — copy-on-write would rewrite every touched partition for any
+    delete size; the masked read adds one broadcast anti-join; the purge
+    rewrites ONLY partitions holding masked files."""
+    from ..sources.manifest import (
+        changed_files,
+        delete_commit,
+        init_versioned_lake,
+        purge_deletes,
+        read_snapshot,
+        rows_changed_since,
+    )
+
+    root = mor_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    keys = ev.filter(day & (F.col("user_id") % 13 == 0)).select("event_id", "event_date")
+    v2 = delete_commit(spark, root, keys, "event_id")
+    added, removed = changed_files(root, 1, v2)
+    if added or removed:
+        raise RuntimeError(f"merge-on-read rewrote data files: +{added} -{removed}")
+    purged = purge_deletes(spark, root)
+    if purged != [TARGET_DAY]:
+        raise RuntimeError(f"purge touched {purged}, expected [{TARGET_DAY!r}]")
+    if rows_changed_since(root, v2):
+        raise RuntimeError("purge must be rows_preserved for downstream freshness")
+    masked = read_snapshot(spark, root, v2)
+    if masked.count() != read_snapshot(spark, root).count():
+        raise RuntimeError("masked v2 read and purged v3 read disagree")
+    lo = F.lit(TARGET_DAY).cast("date")
+    return (
+        masked.filter(
+            (F.col("event_date") >= F.date_sub(lo, 1))
+            & (F.col("event_date") < F.date_add(lo, 2))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -148,10 +148,15 @@ _GATE_PRIORITY = [
     #   (manifest.changed_files/read_file_list), classified insert/
     #   delete/update/carryover against the logical CDC oracle;
     #   partition-locality unit tests in tests/test_manifest.py.
+    # - events_merge_on_read: deletion-vector DELETE (O(batch) commit,
+    #   masked reads, file-scoped masks, purge as rows_preserved merge);
+    #   DV semantics unit-tested in tests/test_manifest.py and model-
+    #   checked in tests/test_manifest_model.py's op set.
     "corpus_decontaminated",
     "doc_duplicate_spans",
     "doc_span_scrub",
     "events_change_feed",
+    "events_merge_on_read",
 ]
 
 

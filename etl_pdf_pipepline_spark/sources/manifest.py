@@ -423,7 +423,46 @@ def read_snapshot(
                 f"snapshot at {root} has no data files and no committed schema"
             )
         return reader.parquet(os.path.join(root, all_rels[0])).limit(0)
-    return reader.parquet(*[os.path.join(root, rel) for rel in rels])
+    df = reader.parquet(*[os.path.join(root, rel) for rel in rels])
+    return _apply_delete_vectors(spark, root, manifest, df)
+
+
+def _apply_delete_vectors(
+    spark: SparkSession, root: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    """Merge-on-read: subtract the snapshot's deletion vectors (committed
+    by delete_commit) from a file-scan DataFrame. DVs are FILE-scoped —
+    each records (file_name, key) pairs — so the mask binds to the
+    physical file that contained the row when the delete committed:
+    a later MERGE/OPTIMIZE that rewrites the file (with the deletion
+    materialized, since its slice came through this read path) drops the
+    mask with it, and a re-INSERT of the same key lands in a new file
+    the DV never names — no tombstone leakage, the exact semantics of
+    Delta deletion vectors / Iceberg position deletes. The anti-join's
+    right side is the DV row count (delta-sized); AQE broadcasts it, so
+    masked reads cost the scan plus a broadcast probe, never a shuffle
+    of the table."""
+    dels = manifest.get("delete_files")
+    if not dels:
+        return df
+    key = manifest["delete_key"]
+    dv = (
+        spark.read.parquet(*[os.path.join(root, e["path"]) for e in dels])
+        .select(
+            F.col("file_name").alias("__dv_file"), F.col(key).alias("__dv_key")
+        )
+        .distinct()
+    )
+    return (
+        df.withColumn("__file", F.col("_metadata.file_name"))
+        .join(
+            dv,
+            (F.col("__file") == F.col("__dv_file"))
+            & (F.col(key) == F.col("__dv_key")),
+            "left_anti",
+        )
+        .drop("__file")
+    )
 
 
 class SchemaEvolutionError(RuntimeError):
@@ -640,9 +679,22 @@ def _publish_merge(
         if new_schema is not None:
             manifest["schema"] = new_schema
         stats = {**base.get("stats", {}), **(new_stats or {})}
+        live = {rel for rels in files.values() for rel in rels}
         if stats:
-            live = {rel for rels in files.values() for rel in rels}
             manifest["stats"] = {r: s for r, s in stats.items() if r in live}
+        # Deletion-vector carry: scope each vector to its still-live
+        # files. A rewritten file got its masked rows materialized (the
+        # merge slice came through the masked read), so its mask rides
+        # out with it; vectors left naming no live file vanish — this is
+        # what makes purge_deletes a plain rows_preserved merge.
+        carried = []
+        for e in base.get("delete_files", []):
+            kept = [rel for rel in e["files"] if rel in live]
+            if kept:
+                carried.append({"path": e["path"], "files": kept})
+        if carried:
+            manifest["delete_files"] = carried
+            manifest["delete_key"] = base["delete_key"]
         try:
             return _commit_manifest(root, manifest, base_version=base_v)
         except ConcurrentCommitError:
@@ -754,6 +806,12 @@ def append_commit(
             manifest["txn"] = {**base.get("txn", {}), txn[0]: int(txn[1])}
         elif "txn" in base:
             manifest["txn"] = base["txn"]
+        # Appends rewrite nothing, so outstanding deletion vectors carry
+        # forward verbatim — dropping them here would resurrect deleted
+        # rows in the very next snapshot.
+        if base.get("delete_files"):
+            manifest["delete_files"] = base["delete_files"]
+            manifest["delete_key"] = base["delete_key"]
         stats = {**base.get("stats", {}), **new_stats}
         if stats:
             live = {rel for rels in files.values() for rel in rels}
@@ -915,6 +973,112 @@ def read_file_list(
     return reader.parquet(*[os.path.join(root, rel) for rel in rels])
 
 
+def delete_commit(
+    spark: SparkSession, root: str, keys: DataFrame, key_col: str
+) -> int:
+    """Merge-on-read DELETE: commit a deletion-vector version instead of
+    rewriting data files. Where merge_commit materializes a delete by
+    rewriting every touched partition (copy-on-write — write cost
+    O(touched partitions) even for one row), this writes only a small
+    (file_name, key) parquet under `_deletes/` plus a manifest that
+    carries the data-file list FORWARD UNCHANGED — commit cost O(delete
+    batch), the Delta deletion-vector / Iceberg position-delete
+    trade: cheap deletes now, a read-side anti-join until
+    purge_deletes materializes them.
+
+    The DV is file-scoped: the keys are located by scanning ONLY the
+    partitions the key batch names (`keys` should carry the partition
+    column — CDC delete feeds do) with the hidden `_metadata` columns,
+    so each mask row binds to the physical file holding the victim row.
+    Keys matching no live row commit nothing and return the base
+    version (idempotent replays are free). Reads of PRIOR versions are
+    untouched (time travel shows the rows); reads of this version and
+    later subtract the vectors until a rewrite drops them."""
+    base_v = latest_version(root)
+    base = _read_manifest(root, base_v)
+    part_col = base["partition_col"]
+    snap = read_snapshot(spark, root, base_v)
+    if part_col in keys.columns:
+        vals = [str(r[0]) for r in keys.select(part_col).distinct().collect()]
+        snap = snap.filter(F.col(part_col).cast("string").isin(vals))
+    hits = (
+        snap.select(
+            F.col(key_col),
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_path").alias("file_path"),
+        )
+        .join(keys.select(key_col).distinct(), key_col)
+    )
+    # Driver sees only the DISTINCT affected-file list (O(files), bounded
+    # by the touched partitions' file counts); the DV rows themselves are
+    # written distributed. Two scans of the touched partitions (locate +
+    # write) — still no rewrite, which is the point of merge-on-read.
+    paths = [r[0] for r in hits.select("file_path").distinct().collect()]
+    if not paths:
+        return base_v
+    root_abs = os.path.abspath(root)
+    affected_rels = sorted(
+        os.path.relpath(p[p.find(root_abs) :], root_abs) for p in paths
+    )
+    rel_dv = os.path.join("_deletes", f"dv-{base_v + 1:08d}-{uuid.uuid4().hex[:8]}")
+    (
+        hits.select("file_name", key_col)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, rel_dv))
+    )
+    manifest = {k: v for k, v in base.items() if k != "rows_preserved"}
+    manifest["delete_files"] = base.get("delete_files", []) + [
+        {"path": rel_dv, "files": affected_rels}
+    ]
+    manifest["delete_key"] = key_col
+    return _commit_manifest(root, manifest, base_version=base_v)
+
+
+def purge_deletes(
+    spark: SparkSession, root: str, stats_cols: tuple | None = None
+) -> list[str]:
+    """Materialize every outstanding deletion vector: rewrite ONLY the
+    partitions holding DV-masked files (the masked read path supplies
+    the already-subtracted rows) through the standard merge_commit swap,
+    tagged `rows_preserved` — the committed ROWS are identical to the
+    base snapshot's masked read, so downstream freshness
+    (rows_changed_since, matview maintenance) survives the purge just
+    like an OPTIMIZE. The rewrite drops the masked files from the
+    manifest, and the DV carry rule (_publish_merge) scopes each vector
+    to its still-live files — after a full purge no vector names a live
+    file, so `delete_files` disappears and reads are mask-free again.
+    `stats_cols` defaults to the columns the manifest already carries
+    stats for (maintain_lake's auto-carry rule). Returns the rewritten
+    partition values."""
+    base_v = latest_version(root)
+    base = _read_manifest(root, base_v)
+    dels = base.get("delete_files") or []
+    if not dels:
+        return []
+    if stats_cols is None:
+        stats_cols = tuple(
+            sorted({c for st in base.get("stats", {}).values() for c in st})
+        )
+    part_col = base["partition_col"]
+    affected_vals = sorted(
+        {_entry_value(rel.split(os.sep)[0]) for e in dels for rel in e["files"]}
+    )
+    snap = read_snapshot(spark, root, base_v).filter(
+        F.col(part_col).cast("string").isin(affected_vals)
+    )
+    merge_commit(
+        snap,
+        root,
+        part_col,
+        changed_partitions=affected_vals,
+        base_version=base_v,
+        stats_cols=stats_cols,
+        rows_preserved=True,
+    )
+    return affected_vals
+
+
 def rows_changed_since(root: str, since_version: int) -> bool:
     """Did any commit AFTER `since_version` change the table's rows?
     Walks the manifest chain (since, latest] — O(commits since), each a
@@ -1044,12 +1208,15 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     latest = latest_version(root)
     keep = {v for v in range(max(1, latest - keep_versions + 1), latest + 1)}
     live: set[str] = set()
+    live_dvs: set[str] = set()
     part_col = None
     for v in keep:
         m = _read_manifest(root, v)
         part_col = m["partition_col"]
         for rels in m["files"].values():
             live.update(rels)
+        for e in m.get("delete_files", []):
+            live_dvs.add(e["path"])
     deleted = []
     for entry in sorted(os.listdir(root)):
         if not entry.startswith(f"{part_col}="):
@@ -1058,6 +1225,15 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
             rel = os.path.join(entry, f)
             if f.endswith(".parquet") and rel not in live:
                 os.unlink(os.path.join(root, rel))
+                deleted.append(rel)
+    # Deletion-vector files referenced by no kept manifest (purged or
+    # expired) go the same way as unreferenced data files.
+    dv_dir = os.path.join(root, "_deletes")
+    if os.path.isdir(dv_dir):
+        for f in sorted(os.listdir(dv_dir)):
+            rel = os.path.join("_deletes", f)
+            if rel not in live_dvs:
+                shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
                 deleted.append(rel)
     d = _manifest_dir(root)
     for f in sorted(os.listdir(d)):

@@ -947,3 +947,135 @@ def test_read_file_list_partition_values_and_empty_side(spark, lake):
     empty = read_file_list(spark, root, [], 1)
     assert empty.count() == 0
     assert empty.columns == post.columns
+
+
+# --- Merge-on-read deletion vectors -------------------------------------
+
+
+def _dv_keys(ev):
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    return ev.filter(day & (F.col("user_id") % 13 == 0)).select("event_id", "event_date")
+
+
+def test_delete_commit_rewrites_nothing_and_masks_reads(spark, lake):
+    """A DV delete commits without touching any data file (empty
+    changed_files delta), masks the keys in the new snapshot, and leaves
+    the prior version time-travel-readable with the rows present."""
+    from etl_pdf_pipepline_spark.sources.manifest import changed_files, delete_commit
+
+    root, ev = lake
+    keys = {r[0] for r in _dv_keys(ev).collect()}
+    assert keys
+    v2 = delete_commit(spark, root, _dv_keys(ev), "event_id")
+    assert v2 == 2
+    assert changed_files(root, 1, 2) == ([], [])
+    now = {r[0] for r in read_snapshot(spark, root).select("event_id").collect()}
+    before = {r[0] for r in read_snapshot(spark, root, 1).select("event_id").collect()}
+    assert keys <= before
+    assert not keys & now
+    assert before - keys == now
+
+
+def test_delete_commit_idempotent_on_no_hits(spark, lake):
+    """Keys matching no live row commit nothing (replay-safe)."""
+    from etl_pdf_pipepline_spark.sources.manifest import delete_commit
+
+    root, ev = lake
+    ghost = ev.select((F.col("event_id") + 10**15).alias("event_id"), "event_date")
+    assert delete_commit(spark, root, ghost, "event_id") == 1
+    # and a replay of a real delete after it landed is also a no-op
+    from etl_pdf_pipepline_spark.sources.manifest import latest_version
+
+    assert delete_commit(spark, root, _dv_keys(ev), "event_id") == 2
+    assert delete_commit(spark, root, _dv_keys(ev), "event_id") == 2
+    assert latest_version(root) == 2
+
+
+def test_purge_materializes_and_is_rows_preserved(spark, lake):
+    """purge_deletes rewrites only the masked partitions, clears
+    delete_files, keeps rows identical to the masked read, and is
+    rows_preserved — downstream freshness survives like an OPTIMIZE."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        _read_manifest,
+        changed_files,
+        delete_commit,
+        latest_version,
+        purge_deletes,
+        rows_changed_since,
+    )
+
+    root, ev = lake
+    v2 = delete_commit(spark, root, _dv_keys(ev), "event_id")
+    masked = sorted(tuple(r) for r in read_snapshot(spark, root, v2).collect())
+    assert purge_deletes(spark, root) == [TARGET_DAY]
+    v3 = latest_version(root)
+    assert v3 == v2 + 1
+    assert "delete_files" not in _read_manifest(root, v3)
+    assert not rows_changed_since(root, v2)
+    after = sorted(tuple(r) for r in read_snapshot(spark, root, v3).collect())
+    assert masked == after
+    added, removed = changed_files(root, v2, v3)
+    assert {rel.split(os.sep)[0] for rel in added + removed} == {
+        f"event_date={TARGET_DAY}"
+    }
+    # nothing left to purge
+    assert purge_deletes(spark, root) == []
+
+
+def test_dv_is_file_scoped_reinsert_visible_after_rewrite(spark, lake):
+    """The mask binds to the file, not the key: after a rewrite of the
+    masked partition re-inserts a deleted key, the key is visible again
+    (its new file is one the DV never names) — no tombstone leakage."""
+    from etl_pdf_pipepline_spark.sources.manifest import delete_commit, merge_commit
+
+    root, ev = lake
+    victim = _dv_keys(ev).limit(1).collect()[0]
+    one_key = spark.createDataFrame(
+        [(victim["event_id"], victim["event_date"])], ["event_id", "event_date"]
+    )
+    v2 = delete_commit(spark, root, one_key, "event_id")
+    snap = read_snapshot(spark, root, v2)
+    assert snap.filter(F.col("event_id") == victim["event_id"]).count() == 0
+    # rewrite the partition from the masked read, re-inserting the row
+    reinserted = ev.filter(F.col("event_id") == victim["event_id"])
+    part = snap.filter(F.col("event_date") == victim["event_date"]).unionByName(
+        reinserted
+    )
+    merge_commit(
+        part, root, "event_date",
+        changed_partitions=[str(victim["event_date"])], base_version=v2,
+    )
+    now = read_snapshot(spark, root)
+    assert now.filter(F.col("event_id") == victim["event_id"]).count() == 1
+
+
+def test_append_carries_deletion_vectors(spark, lake):
+    """An append after a DV delete must keep the mask (appends rewrite
+    nothing, so dropping the vectors would resurrect the rows)."""
+    from etl_pdf_pipepline_spark.sources.manifest import append_commit, delete_commit
+
+    root, ev = lake
+    keys = {r[0] for r in _dv_keys(ev).collect()}
+    delete_commit(spark, root, _dv_keys(ev), "event_id")
+    extra = ev.limit(50).withColumn("event_id", F.col("event_id") + 10**12)
+    append_commit(extra, root, "event_date")
+    now = {r[0] for r in read_snapshot(spark, root).select("event_id").collect()}
+    assert not keys & now
+    assert {r[0] + 10**12 for r in ev.limit(50).select("event_id").collect()} <= now
+
+
+def test_vacuum_reclaims_orphaned_dv_files(spark, lake):
+    """After purge + retention expiry, the DV parquet is referenced by
+    no kept manifest and vacuum removes it with the dead data files."""
+    from etl_pdf_pipepline_spark.sources.manifest import delete_commit, purge_deletes
+
+    root, ev = lake
+    delete_commit(spark, root, _dv_keys(ev), "event_id")
+    purge_deletes(spark, root)
+    dv_dir = os.path.join(root, "_deletes")
+    assert os.listdir(dv_dir)
+    deleted = vacuum(root, keep_versions=1)
+    assert any(rel.startswith("_deletes") for rel in deleted)
+    assert not os.listdir(dv_dir)
+    # the purged snapshot still reads clean
+    assert read_snapshot(spark, root).count() > 0

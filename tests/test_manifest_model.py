@@ -1,6 +1,7 @@
 """Model-checked commit protocol (hypothesis): random interleavings of
 append / merge / evolve / optimize / vacuum / maintain (the r9
-autopilot) against a pure-Python reference model.
+autopilot) / dv_delete / purge (the r10 merge-on-read deletion vectors)
+against a pure-Python reference model.
 
 The manifest layer's unit tests each pin ONE property; this test pins
 the composition — any sequence of the six verbs must keep the latest
@@ -23,11 +24,13 @@ from pyspark.sql import types as T
 
 from etl_pdf_pipepline_spark.sources.manifest import (
     append_commit,
+    delete_commit,
     init_versioned_lake,
     latest_version,
     maintain_lake,
     merge_commit,
     optimize_commit,
+    purge_deletes,
     read_snapshot,
     rows_changed_since,
     vacuum,
@@ -68,6 +71,16 @@ SCHEMA_EVOLVED = T.StructType(
 #                                      (threshold 1 so any multi-file
 #                                      partition actually triggers the
 #                                      compaction branch)
+#   ("dv_delete", day_idx, keep_mod) — merge-on-read DELETE: deletion-
+#                                      vector commit of the day's rows
+#                                      with event_id % 2 == keep_mod;
+#                                      no data file rewritten, every
+#                                      later snapshot must mask the keys
+#                                      (incl. across append/optimize/
+#                                      evolve — the carry rules)
+#   ("purge",)                       — materialize outstanding vectors
+#                                      (rows_preserved rewrite of only
+#                                      the masked partitions)
 OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 2), st.integers(1, 3)),
@@ -76,6 +89,8 @@ OPS = st.lists(
         st.tuples(st.just("optimize")),
         st.tuples(st.just("vacuum")),
         st.tuples(st.just("maintain")),
+        st.tuples(st.just("dv_delete"), st.integers(0, 2), st.integers(0, 1)),
+        st.tuples(st.just("purge")),
     ),
     min_size=1,
     max_size=5,
@@ -153,6 +168,21 @@ def _run_ops(spark, root: str, ops) -> None:
                 model[day] = rewritten
             # empty day: schema still evolves; the entry stays absent
             last_row_change_v = latest_version(root)
+        elif op[0] == "dv_delete":
+            _, di, keep_mod = op
+            day = DAYS[di]
+            dead = sorted(i for i in model.get(day, {}) if i % 2 == keep_mod)
+            keys = spark.createDataFrame(
+                [(i, day) for i in dead], "event_id long, event_date string"
+            )
+            delete_commit(spark, root, keys, "event_id")
+            for i in dead:
+                model[day].pop(i)
+            if day in model and not model[day]:
+                model.pop(day)
+            last_row_change_v = latest_version(root)
+        elif op[0] == "purge":
+            purge_deletes(spark, root)
         elif op[0] == "optimize":
             optimize_commit(spark, root)
         elif op[0] == "maintain":
@@ -248,6 +278,30 @@ def test_autopilot_interleaved_with_ingest(spark, tmp_path_factory):
             ("vacuum",),
             ("merge", 0, 0),
             ("maintain",),
+        ],
+    )
+
+
+def test_deletion_vectors_interleaved_with_lifecycle(spark, tmp_path_factory):
+    """Directed DV schedule (derandomized hypothesis may not hit the
+    full chain): DV-delete, append beside it (carry rule), maintain
+    (compaction materializes the masks it rewrites), evolve the masked
+    day, a second DV delete THROUGH the evolved schema, purge, vacuum,
+    then a plain merge — the snapshot must equal the model after every
+    op, proving the masks neither resurrect rows nor leak tombstones
+    across any maintenance verb."""
+    _run_ops(
+        spark,
+        str(tmp_path_factory.mktemp("dv") / "lake"),
+        [
+            ("dv_delete", 0, 1),
+            ("append", 0, 3),
+            ("maintain",),
+            ("evolve", 0),
+            ("dv_delete", 0, 0),
+            ("purge",),
+            ("vacuum",),
+            ("merge", 0, 0),
         ],
     )
 
