@@ -373,6 +373,62 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_rollup_from_cdf", oracle=MERGE_ORACLE)
+def events_rollup_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance DRIVEN BY THE TABLE'S OWN VERSION
+    HISTORY: where events_rollup_incremental's refresher is handed the
+    touched days by the writer (same process, side-channel list), this
+    refresher is a decoupled maintenance daemon — it knows only the
+    version the view last absorbed (the freshness record) and the lake's
+    current version, and recovers the days to recompute from the
+    manifests alone via changed_partitions_between (O(manifest), no data
+    I/O, no writer cooperation). That is the production shape: ingest
+    and view maintenance are separate jobs, and the change feed — not an
+    RPC from the writer — is the contract between them. Fifth face of
+    MERGE_ORACLE: the daemon-refreshed view must agree with the
+    flat-table CDC semantics, the two merge paths, and the handed-off
+    refresh.
+
+    Scale posture: identical to events_rollup_incremental once the days
+    are known (O(touched days' facts) recompute + one manifest commit);
+    the discovery adds two KB-sized JSON reads. The asserted routing
+    check makes a silent discovery miss impossible — an unabsorbed
+    row-changing commit flips rollup_view_fresh to False and this query
+    raises instead of serving stale totals."""
+    from ..sources.manifest import (
+        changed_partitions_between,
+        init_versioned_lake,
+        latest_version,
+        read_meta,
+    )
+
+    root = _warehouse_path(sf_dir, "events_cdf_mv_base")
+    view_root = _warehouse_path(sf_dir, "events_rollup_cdf_mv")
+    meta_root = view_root + "_meta"
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    build_rollup_view(spark, root, sf_dir, view_root=view_root, meta_root=meta_root)
+    apply_versioned_cdc(spark, root, ev)  # writer: return value deliberately unused
+    # --- maintenance daemon: no state from the writer beyond the lake ---
+    absorbed = int(read_meta(meta_root)["base_version"])
+    now = latest_version(root)
+    days = changed_partitions_between(root, absorbed, now)
+    refresh_rollup_view(
+        spark, root, sf_dir, days, view_root=view_root, meta_root=meta_root
+    )
+    if not rollup_view_fresh(root, sf_dir, meta_root=meta_root):
+        raise RuntimeError("CDF-driven refresh failed to absorb the merge")
+    lo = F.lit(TARGET_DAY).cast("date")
+    return (
+        serve_rollup(spark, sf_dir, view_root=view_root)
+        .filter(
+            (F.col("event_date") >= F.date_sub(lo, 1))
+            & (F.col("event_date") < F.date_add(lo, 2))
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
 def _hourly_rollup(facts: DataFrame) -> DataFrame:
     """The hourly view definition the streaming-served rollup maintains:
     per-(hour, type) count + exact integer-cent total, with event_date

@@ -152,11 +152,15 @@ _GATE_PRIORITY = [
     #   masked reads, file-scoped masks, purge as rows_preserved merge);
     #   DV semantics unit-tested in tests/test_manifest.py and model-
     #   checked in tests/test_manifest_model.py's op set.
+    # - events_rollup_from_cdf: view maintenance as a decoupled daemon —
+    #   touched days recovered from the manifest diff
+    #   (changed_partitions_between), no writer side-channel.
     "corpus_decontaminated",
     "doc_duplicate_spans",
     "doc_span_scrub",
     "events_change_feed",
     "events_merge_on_read",
+    "events_rollup_from_cdf",
 ]
 
 

@@ -973,6 +973,27 @@ def read_file_list(
     return reader.parquet(*[os.path.join(root, rel) for rel in rels])
 
 
+def changed_partitions_between(root: str, from_version: int, to_version: int) -> list[str]:
+    """Partition VALUES whose file lists differ between two committed
+    versions — changed_files rolled up to partition granularity. This is
+    the hand-off a DECOUPLED maintenance daemon needs: a refresher that
+    only observes "the table moved from v_a to v_b" recovers exactly the
+    partitions every intervening commit touched from the manifests alone
+    (O(manifest), no data I/O, no side-channel from the writer). Covers
+    rewrites, appends, deletes, and dropped-entry partition deletions;
+    rows_preserved layout rewrites DO show up (their partitions changed
+    files), so callers that refresh aggregates should route through
+    rows_changed_since first — identical rows aggregate identically."""
+    old_m = _read_manifest(root, from_version)
+    new_m = _read_manifest(root, to_version)
+    old_f = {e: sorted(rels) for e, rels in old_m["files"].items()}
+    new_f = {e: sorted(rels) for e, rels in new_m["files"].items()}
+    touched = {
+        e for e in set(old_f) | set(new_f) if old_f.get(e) != new_f.get(e)
+    }
+    return sorted(_entry_value(e) for e in touched)
+
+
 def delete_commit(
     spark: SparkSession, root: str, keys: DataFrame, key_col: str
 ) -> int:

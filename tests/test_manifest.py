@@ -1079,3 +1079,27 @@ def test_vacuum_reclaims_orphaned_dv_files(spark, lake):
     assert not os.listdir(dv_dir)
     # the purged snapshot still reads clean
     assert read_snapshot(spark, root).count() > 0
+
+
+def test_changed_partitions_between_recovers_touched_days(spark, lake):
+    """The decoupled-refresher hand-off: from versions alone, the
+    manifest diff names exactly the merge's touched days; an OPTIMIZE
+    also shows (its partitions changed files) — callers gate on
+    rows_changed_since for aggregate freshness, not on this list."""
+    import datetime
+
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        changed_partitions_between,
+        optimize_commit,
+    )
+
+    root, ev = lake
+    assert _apply_merge(spark, root, ev) == 2
+    d0 = datetime.date.fromisoformat(TARGET_DAY)
+    assert changed_partitions_between(root, 1, 2) == sorted(
+        [str(d0), str(d0 + datetime.timedelta(days=1))]
+    )
+    v3 = optimize_commit(spark, root, partition_values=[str(d0)])
+    assert changed_partitions_between(root, 2, v3) == [str(d0)]
+    # spanning diff covers both commits
+    assert str(d0 + datetime.timedelta(days=1)) in changed_partitions_between(root, 1, v3)
