@@ -158,9 +158,12 @@ _GATE_PRIORITY = [
     "corpus_decontaminated",
     "doc_duplicate_spans",
     "doc_span_scrub",
+    # - streaming_cdc_dv_ingest: per-micro-batch append + DV-delete
+    #   interleaving with an in-plan append-only file-history assert.
     "events_change_feed",
     "events_merge_on_read",
     "events_rollup_from_cdf",
+    "streaming_cdc_dv_ingest",
 ]
 
 

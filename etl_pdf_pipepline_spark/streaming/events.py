@@ -432,3 +432,95 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DV_INGEST_ORACLE = """
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM events WHERE user_id % 13 <> 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("streaming_cdc_dv_ingest", oracle=_DV_INGEST_ORACLE)
+def streaming_cdc_dv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingest whose DELETE leg is merge-on-read: each
+    micro-batch lands through append_commit's transaction ledger
+    (exactly-once across replays), then the batch's delete instructions
+    (user_id % 13 — a PII-erasure feed shadowing the ingest) commit as
+    deletion vectors — one small DV parquet per batch, NO data-file
+    rewrite, which is the only delete a high-rate stream can afford
+    (copy-on-write would rewrite every touched partition every batch).
+    The drain runs four maxFilesPerTrigger=1 micro-batches, so
+    append → DV → append → DV interleavings (the carry rules) are
+    exercised for real; replayed deletes are naturally idempotent (the
+    masked read yields no hits the second time). After the drain the
+    plan ASSERTS the merge-on-read property over the whole history —
+    every version's file set is a superset of its parent's, i.e. no
+    commit in the stream ever rewrote a data file — then serves the
+    full-history rollup from the masked snapshot against a flat-table
+    oracle that never saw the deleted rows.
+
+    Scale posture (100 TB): per batch, O(batch) append staging + one
+    manifest CAS + O(batch) DV locate/write; masked reads add one
+    broadcast anti-join whose right side is the total outstanding DV
+    rows — bounded by purge cadence (purge_deletes folds them in as a
+    rows_preserved rewrite off the hot path)."""
+    import hashlib
+    import shutil
+
+    from ..functions.money import cents as _cents
+    from ..sources.catalog import load_table
+    from ..sources.manifest import (
+        _read_manifest,
+        append_commit,
+        delete_commit,
+        latest_version,
+        read_snapshot,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = os.path.join(repo_root, "spark-warehouse", f"stream_events_dvlake_{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh deterministic ingest per gate run
+    root = os.path.join(base, "table")
+    src = os.path.join(base, "src")
+
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _ingest(batch: DataFrame, bid: int) -> None:
+        batch = batch.withColumn("event_date", F.to_date("ts"))
+        append_commit(batch, root, "event_date", txn=("dv_ingest", bid))
+        dels = batch.filter(F.col("user_id") % 13 == 0).select("event_id", "event_date")
+        delete_commit(spark, root, dels, "event_id")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    prev: set[str] = set()
+    for v in range(1, latest_version(root) + 1):
+        cur = {r for rels in _read_manifest(root, v)["files"].values() for r in rels}
+        if not prev <= cur:
+            raise RuntimeError(f"v{v} rewrote data files — merge-on-read violated")
+        prev = cur
+
+    return (
+        read_snapshot(spark, root)
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
