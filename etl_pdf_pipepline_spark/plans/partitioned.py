@@ -879,3 +879,84 @@ def events_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+def count_lake_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"events_count_{tag}")
+
+
+_COUNT_SERVED_ORACLE = f"""
+    WITH day AS (
+        SELECT * FROM events
+        WHERE ts >= TIMESTAMP '{TARGET_DAY} 00:00:00'
+          AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 1 DAY
+    ),
+    upd AS (SELECT event_id FROM day WHERE user_id % 7 = 0),
+    ins AS (SELECT event_id + {MERGE_INS_OFFSET} AS event_id,
+                   ts + INTERVAL 1 DAY AS ts, user_id
+            FROM day WHERE user_id % 11 = 0),
+    del AS (SELECT event_id FROM day WHERE user_id % 13 = 0),
+    merged AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_id NOT IN (SELECT event_id FROM del)
+        UNION ALL
+        SELECT event_id, ts, user_id FROM ins
+    ),
+    dv AS (
+        SELECT event_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '{TARGET_DAY}' - 1 AND user_id % 13 = 0
+    )
+    SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n
+    FROM merged WHERE event_id NOT IN (SELECT event_id FROM dv)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("events_count_served", oracle=_COUNT_SERVED_ORACLE)
+def events_count_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition COUNT(*) answered from METADATA ALONE
+    (manifest.partition_row_counts): the lake's manifests record each
+    file's footer row count at commit time (Iceberg's record_count), so
+    after a CDC MERGE **and** with a deletion-vector delete still
+    outstanding, the per-day counts come from one manifest read plus the
+    delta-sized DV parquets — zero data files opened. The plan drives
+    the full lifecycle first (init → versioned CDC merge → DV delete of
+    the PRIOR day, a partition the merge never touched), so the served
+    numbers must survive file rewrite, entry drop, carry rules, and
+    mask subtraction; the oracle recomputes the same counts logically
+    from the flat table. At 100 TB this is the difference between
+    ingest-monitoring dashboards scanning years of history and reading
+    a JSON file.
+
+    Note the update leg cancels out of pure counts (upserts replace
+    rows 1:1) — the oracle keeps only inserts, deletes, and the DV
+    subtraction, which is exactly why count-serving never needs the
+    rewritten files' contents, only their footers."""
+    from ..sources.manifest import (
+        delete_commit,
+        init_versioned_lake,
+        partition_row_counts,
+    )
+    from .matview import apply_versioned_cdc
+
+    root = count_lake_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    apply_versioned_cdc(spark, root, ev)
+    prior = F.date_sub(F.lit(TARGET_DAY).cast("date"), 1)
+    keys = ev.filter(
+        (F.col("event_date") == prior) & (F.col("user_id") % 13 == 0)
+    ).select("event_id", "event_date")
+    delete_commit(spark, root, keys, "event_id")
+    counts = partition_row_counts(spark, root)
+    if counts is None:
+        raise RuntimeError("metadata row counts unavailable — recording broke")
+    return (
+        spark.createDataFrame(
+            sorted(counts.items()), "event_date string, n long"
+        )
+        .select(F.to_date("event_date").alias("event_date"), "n")
+        .orderBy("event_date")
+    )

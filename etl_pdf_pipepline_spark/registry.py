@@ -164,6 +164,10 @@ _GATE_PRIORITY = [
     "events_merge_on_read",
     "events_rollup_from_cdf",
     "streaming_cdc_dv_ingest",
+    # - events_count_served: per-partition COUNT(*) from manifest row
+    #   counts (footer-recorded at commit, DV-subtracted) — zero data
+    #   files opened after a full merge+DV lifecycle.
+    "events_count_served",
 ]
 
 

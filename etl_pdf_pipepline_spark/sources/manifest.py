@@ -236,6 +236,25 @@ def _collect_file_stats(
         return {rel: agg for rel, agg in ex.map(one, rels) if agg}
 
 
+def _collect_file_rows(root: str, rels: list[str]) -> dict[str, int]:
+    """Per-file row counts from parquet footers — same write-side,
+    O(new files) collection model as _collect_file_stats. Recorded in
+    the manifest under "rows" so COUNT-class queries can be answered
+    from metadata alone (Iceberg's record_count; see
+    partition_row_counts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def one(rel: str) -> tuple[str, int]:
+        return rel, pq.ParquetFile(os.path.join(root, rel)).metadata.num_rows
+
+    if not rels:
+        return {}
+    with ThreadPoolExecutor(max_workers=min(16, len(rels))) as ex:
+        return dict(ex.map(one, rels))
+
+
 def init_versioned_lake(
     df: DataFrame,
     root: str,
@@ -273,14 +292,15 @@ def init_versioned_lake(
         .parquet(root)
     )
     files = _list_partition_files(root, partition_col)
+    all_rels = [rel for rels_ in files.values() for rel in rels_]
     manifest: dict = {
         "partition_col": partition_col,
         "files": files,
         "schema": df.schema.jsonValue(),
+        "rows": _collect_file_rows(root, all_rels),
     }
     if stats_cols:
-        rels = [rel for rels_ in files.values() for rel in rels_]
-        manifest["stats"] = _collect_file_stats(root, rels, stats_cols)
+        manifest["stats"] = _collect_file_stats(root, all_rels, stats_cols)
     return _commit_manifest(root, manifest)
 
 
@@ -427,12 +447,23 @@ def read_snapshot(
     return _apply_delete_vectors(spark, root, manifest, df)
 
 
+def _rel_file_expr() -> F.Column:
+    """The scanned row's file as a partition-relative path
+    ('col=value/part-….parquet'), from the hidden `_metadata` columns.
+    This — not the bare file NAME — is the DV identity: partitionBy
+    writes the same part-NNNNN-<job-uuid> basename into EVERY partition
+    directory a task emits, so basenames collide across partitions and
+    only the (partition dir, name) pair is unique within a snapshot."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+
+
 def _apply_delete_vectors(
     spark: SparkSession, root: str, manifest: dict, df: DataFrame
 ) -> DataFrame:
     """Merge-on-read: subtract the snapshot's deletion vectors (committed
     by delete_commit) from a file-scan DataFrame. DVs are FILE-scoped —
-    each records (file_name, key) pairs — so the mask binds to the
+    each records (file_rel, key) pairs — so the mask binds to the
     physical file that contained the row when the delete committed:
     a later MERGE/OPTIMIZE that rewrites the file (with the deletion
     materialized, since its slice came through this read path) drops the
@@ -449,12 +480,12 @@ def _apply_delete_vectors(
     dv = (
         spark.read.parquet(*[os.path.join(root, e["path"]) for e in dels])
         .select(
-            F.col("file_name").alias("__dv_file"), F.col(key).alias("__dv_key")
+            F.col("file_rel").alias("__dv_file"), F.col(key).alias("__dv_key")
         )
         .distinct()
     )
     return (
-        df.withColumn("__file", F.col("_metadata.file_name"))
+        df.withColumn("__file", _rel_file_expr())
         .join(
             dv,
             (F.col("__file") == F.col("__dv_file"))
@@ -626,6 +657,9 @@ def merge_commit(
         new_stats,
         new_schema,
         rows_preserved,
+        _collect_file_rows(
+            root, [rel for rels in new_entries.values() for rel in rels]
+        ),
     )
 
 
@@ -648,6 +682,7 @@ def _publish_merge(
     new_stats: dict[str, dict[str, list]] | None = None,
     new_schema: dict | None = None,
     rows_preserved: bool = False,
+    new_rows: dict[str, int] | None = None,
 ) -> int:
     """The optimistic-concurrency publish loop (separated from the
     staging/linking so the interleaving can be tested directly): commit
@@ -682,6 +717,9 @@ def _publish_merge(
         live = {rel for rels in files.values() for rel in rels}
         if stats:
             manifest["stats"] = {r: s for r, s in stats.items() if r in live}
+        rows = {**base.get("rows", {}), **(new_rows or {})}
+        if rows:
+            manifest["rows"] = {r: n for r, n in rows.items() if r in live}
         # Deletion-vector carry: scope each vector to its still-live
         # files. A rewritten file got its masked rows materialized (the
         # merge slice came through the masked read), so its mask rides
@@ -788,6 +826,9 @@ def append_commit(
         if stats_cols
         else {}
     )
+    new_rows = _collect_file_rows(
+        root, [rel for rels in new_entries.values() for rel in rels]
+    )
 
     for _ in range(max_retries + 1):
         if txn is not None and int(base.get("txn", {}).get(txn[0], -1)) >= int(txn[1]):
@@ -812,10 +853,13 @@ def append_commit(
         if base.get("delete_files"):
             manifest["delete_files"] = base["delete_files"]
             manifest["delete_key"] = base["delete_key"]
+        live = {rel for rels in files.values() for rel in rels}
         stats = {**base.get("stats", {}), **new_stats}
         if stats:
-            live = {rel for rels in files.values() for rel in rels}
             manifest["stats"] = {r: s for r, s in stats.items() if r in live}
+        rows = {**base.get("rows", {}), **new_rows}
+        if rows:
+            manifest["rows"] = {r: n for r, n in rows.items() if r in live}
         try:
             return _commit_manifest(root, manifest, base_version=base_v)
         except ConcurrentCommitError:
@@ -973,6 +1017,48 @@ def read_file_list(
     return reader.parquet(*[os.path.join(root, rel) for rel in rels])
 
 
+def partition_row_counts(
+    spark: SparkSession, root: str, version: int | None = None
+) -> dict[str, int] | None:
+    """COUNT(*) per partition served from METADATA: sum the manifest's
+    per-file row counts (recorded from parquet footers at commit time,
+    Iceberg's record_count model) and subtract outstanding deletion-
+    vector rows — no data file is opened. Planning cost is one manifest
+    JSON read plus the (delta-sized) DV parquets when masks are
+    outstanding; at 100 TB this turns per-partition row accounting — the
+    backbone of ingest monitoring, retention audits, and CBO cardinality
+    — from a full scan into a metadata lookup. Returns None when any
+    live file predates row recording (the caller falls back to a scan:
+    a wrong count is never worth a saved read — same conservatism as
+    the stats pruning)."""
+    manifest = _read_manifest(root, version or latest_version(root))
+    rows = manifest.get("rows", {})
+    counts: dict[str, int] = {}
+    for entry, rels in manifest["files"].items():
+        n = 0
+        for rel in rels:
+            if rel not in rows:
+                return None
+            n += rows[rel]
+        counts[_entry_value(entry)] = n
+    dels = manifest.get("delete_files")
+    if dels:
+        # DV rows are (file_rel, key); the rel path's partition directory
+        # maps each mask straight back to its partition.
+        dv = (
+            spark.read.parquet(*[os.path.join(root, e["path"]) for e in dels])
+            .distinct()
+            .groupBy("file_rel")
+            .count()
+            .collect()
+        )
+        live = {rel for rels in manifest["files"].values() for rel in rels}
+        for r in dv:
+            if r["file_rel"] in live:
+                counts[_entry_value(r["file_rel"].split("/")[0])] -= r["count"]
+    return {p: n for p, n in counts.items() if n > 0}
+
+
 def changed_partitions_between(root: str, from_version: int, to_version: int) -> list[str]:
     """Partition VALUES whose file lists differ between two committed
     versions — changed_files rolled up to partition granularity. This is
@@ -1001,7 +1087,7 @@ def delete_commit(
     rewriting data files. Where merge_commit materializes a delete by
     rewriting every touched partition (copy-on-write — write cost
     O(touched partitions) even for one row), this writes only a small
-    (file_name, key) parquet under `_deletes/` plus a manifest that
+    (file_rel, key) parquet under `_deletes/` plus a manifest that
     carries the data-file list FORWARD UNCHANGED — commit cost O(delete
     batch), the Delta deletion-vector / Iceberg position-delete
     trade: cheap deletes now, a read-side anti-join until
@@ -1022,28 +1108,19 @@ def delete_commit(
     if part_col in keys.columns:
         vals = [str(r[0]) for r in keys.select(part_col).distinct().collect()]
         snap = snap.filter(F.col(part_col).cast("string").isin(vals))
-    hits = (
-        snap.select(
-            F.col(key_col),
-            F.col("_metadata.file_name").alias("file_name"),
-            F.col("_metadata.file_path").alias("file_path"),
-        )
-        .join(keys.select(key_col).distinct(), key_col)
+    hits = snap.select(F.col(key_col), _rel_file_expr().alias("file_rel")).join(
+        keys.select(key_col).distinct(), key_col
     )
     # Driver sees only the DISTINCT affected-file list (O(files), bounded
     # by the touched partitions' file counts); the DV rows themselves are
     # written distributed. Two scans of the touched partitions (locate +
     # write) — still no rewrite, which is the point of merge-on-read.
-    paths = [r[0] for r in hits.select("file_path").distinct().collect()]
-    if not paths:
+    affected_rels = sorted(r[0] for r in hits.select("file_rel").distinct().collect())
+    if not affected_rels:
         return base_v
-    root_abs = os.path.abspath(root)
-    affected_rels = sorted(
-        os.path.relpath(p[p.find(root_abs) :], root_abs) for p in paths
-    )
     rel_dv = os.path.join("_deletes", f"dv-{base_v + 1:08d}-{uuid.uuid4().hex[:8]}")
     (
-        hits.select("file_name", key_col)
+        hits.select("file_rel", key_col)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(root, rel_dv))

@@ -1103,3 +1103,30 @@ def test_changed_partitions_between_recovers_touched_days(spark, lake):
     assert changed_partitions_between(root, 2, v3) == [str(d0)]
     # spanning diff covers both commits
     assert str(d0 + datetime.timedelta(days=1)) in changed_partitions_between(root, 1, v3)
+
+
+def test_dv_scoped_by_partition_relative_path_not_basename(spark, tmp_path):
+    """partitionBy writes the SAME part-file basename into every
+    partition directory of a write job, so a DV keyed by bare file name
+    would mask rows in sibling partitions. Regression: the same key
+    value lives in two partitions (written in one job → colliding
+    basenames); deleting it scoped to ONE partition must leave the
+    other partition's row visible."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        delete_commit,
+        init_versioned_lake,
+    )
+
+    root = str(tmp_path / "twinlake")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "y"), (2, "a", "z")],
+        "k long, part string, payload string",
+    ).coalesce(1)
+    init_versioned_lake(df, root, "part")
+    keys = spark.createDataFrame([(1, "a")], "k long, part string")
+    v2 = delete_commit(spark, root, keys, "k")
+    assert v2 == 2
+    got = {
+        (r.k, r.part) for r in read_snapshot(spark, root).select("k", "part").collect()
+    }
+    assert got == {(1, "b"), (2, "a")}
