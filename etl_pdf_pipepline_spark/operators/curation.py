@@ -768,3 +768,69 @@ def doc_dup_paragraph_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Deterministic global shuffle (training-order assignment) -------------
+
+SHUFFLE_SEED = "graft-r10"
+SHUFFLE_SHARDS = 8
+_SHUF_KEY = f"md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "corpus_seeded_shuffle",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY {_SHUF_KEY}, doc_id) AS BIGINT) AS pos
+        FROM documents
+    )
+    SELECT CAST((pos - 1) % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(pos * doc_id) AS BIGINT) AS perm_checksum
+    FROM ordered GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle — the reproducible training-order
+    assignment every pretraining run needs (seeded permutation of the
+    corpus, stable across re-runs and engines, so a resumed job and a
+    re-built pipeline feed batches in the same order). Each doc's sort
+    key is md5(seed || doc_id); its global POSITION is the rank in that
+    order, and round-robin over positions yields balanced shards. The
+    gate aggregates per shard with a permutation-sensitive checksum
+    (sum of position×doc_id): both engines must produce the IDENTICAL
+    global permutation, not merely the same membership.
+
+    Scale posture — global rank WITHOUT a global window: a naive
+    row_number() over the full order is a single-reducer sort (the
+    classic 100 TB faceplant). Instead the md5 key's first two hex
+    chars give 256 ORDERED range buckets (uniform by construction);
+    per-bucket counts collect to the driver (256 longs — an
+    O(partitions)-class scalar list), a cumulative-sum map broadcasts
+    back, and each row's position = bucket offset + its rank WITHIN the
+    bucket (partition-local window). One narrow shuffle on the bucket
+    key, 256-way parallel sort, no global exchange — the distributed
+    zipWithIndex pattern in pure DataFrame ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("k"), F.substring(key, 1, 2).alias("b"))
+    sizes = {r["b"]: r["n"] for r in keyed.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    off_map = F.create_map(*[x for b, o in sorted(offsets.items()) for x in (F.lit(b), F.lit(o))])
+    w = Window.partitionBy("b").orderBy("k", "doc_id")
+    pos = (off_map[F.col("b")] + F.row_number().over(w)).cast("bigint")
+    return (
+        keyed.select("doc_id", pos.alias("pos"))
+        .groupBy(((F.col("pos") - 1) % SHUFFLE_SHARDS).alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -168,6 +168,10 @@ _GATE_PRIORITY = [
     #   counts (footer-recorded at commit, DV-subtracted) — zero data
     #   files opened after a full merge+DV lifecycle.
     "events_count_served",
+    # - corpus_seeded_shuffle: deterministic global training order via
+    #   the distributed-rank pattern (256 ordered md5 buckets + local
+    #   windows), permutation-checksummed per shard.
+    "corpus_seeded_shuffle",
 ]
 
 

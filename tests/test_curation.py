@@ -181,3 +181,37 @@ def test_dup_paragraph_removal_conservation(spark):
     for r in rows:
         assert fracs[r.doc_id].n_paras == r.n_paras
         assert 0 <= r.n_kept <= r.n_paras
+
+
+def test_seeded_shuffle_is_a_permutation_and_stable(spark):
+    """The distributed-rank position assignment must be a bijection onto
+    1..N (no collisions across bucket boundaries) and byte-stable across
+    plans — two independent evaluations yield identical positions."""
+    from etl_pdf_pipepline_spark.operators.curation import SHUFFLE_SEED
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("k"), F.substring(key, 1, 2).alias("b"))
+    sizes = {r["b"]: r["n"] for r in keyed.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    off_map = F.create_map(*[x for b, o in sorted(offsets.items()) for x in (F.lit(b), F.lit(o))])
+    w = Window.partitionBy("b").orderBy("k", "doc_id")
+    pos_df = keyed.select("doc_id", (off_map[F.col("b")] + F.row_number().over(w)).alias("pos"))
+    got = {r.doc_id: r.pos for r in pos_df.collect()}
+    n = len(got)
+    assert sorted(got.values()) == list(range(1, n + 1))  # bijection onto 1..N
+    # global order by position == global order by (k, doc_id)
+    by_pos = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1])]
+    expect = [
+        r.doc_id for r in keyed.orderBy("k", "doc_id").select("doc_id").collect()
+    ]
+    assert by_pos == expect
+    # stability: re-evaluation reproduces identical positions
+    again = {r.doc_id: r.pos for r in pos_df.collect()}
+    assert again == got
