@@ -1866,3 +1866,93 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def docs_lake_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"docs_lake_{tag}")
+
+
+@query("docs_lake_cdf_admission", oracle=_INCR_ORACLE)
+def docs_lake_cdf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance loop CLOSED THROUGH THE TABLE FORMAT: the
+    corpus lives in a manifest-versioned lake (partitioned by source),
+    the LSH band index records WHICH LAKE VERSION it absorbed, and the
+    admission daemon discovers the delta from the manifests alone —
+    changed_files names the files the ingest commit added, read_file_list
+    opens exactly those, and the new docs are banded and checked against
+    the index, then their bands extend it with the freshness record
+    CAS-advanced to the ingested version. No mod-predicate, no corpus
+    rescan, no writer side-channel anywhere: `ingest commits → CDF names
+    the new rows → O(delta) admission + extension` is the loop
+    near_dup_admission prices and events_rollup_from_cdf proves for
+    aggregates, now for the index family. In-plan asserts pin the
+    append-only file delta and that a second daemon pass would see an
+    empty feed (freshness == lake head). Same oracle as
+    near_dup_admission: the lake round-trip plus CDF discovery must be
+    invisible in the results.
+
+    Scale posture: the daemon reads two manifest JSONs + only the
+    ingest's new files (O(delta) I/O); banding and the (band_id,
+    band_key) index join are the adjudicated near_dup_admission shape;
+    the extension appends at most one file per band directory
+    (compaction folds them back)."""
+    from ..sources.manifest import (
+        append_commit,
+        changed_files,
+        commit_meta,
+        init_versioned_lake,
+        latest_version,
+        read_file_list,
+        read_meta,
+        read_snapshot,
+        update_meta,
+    )
+
+    root = docs_lake_path(sf_dir)
+    idx = root + "_lsh_index"
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = init_versioned_lake(docs.filter(F.col("doc_id") % 20 != 0), root, "source")
+    (
+        lsh_band_keys(read_snapshot(spark, root, v1))
+        .repartition(F.col("band_id"))
+        .write.partitionBy("band_id")
+        .mode("overwrite")
+        .parquet(idx)
+    )
+    commit_meta(idx, {"lake_version": v1})
+    v2 = append_commit(docs.filter(F.col("doc_id") % 20 == 0), root, "source")
+
+    # --- admission daemon: knows only the index meta and the lake ---
+    absorbed = int(read_meta(idx)["lake_version"])
+    added, removed = changed_files(root, absorbed, latest_version(root))
+    if removed:
+        raise RuntimeError(f"ingest should be append-only, removed={removed}")
+    new_docs = read_file_list(spark, root, added, v2).select("doc_id", "text")
+    delta_bands = lsh_band_keys(new_docs)
+    idx_df = spark.read.parquet(idx).select(
+        "band_id", "band_key", F.col("doc_id").alias("dup_id")
+    )
+    out = (
+        delta_bands.join(idx_df, ["band_id", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("dup_id").alias("n_dup_candidates"),
+            F.min("dup_id").alias("min_dup_id"),
+        )
+        .orderBy("doc_id")
+        # pin the pre-extension index read: the extension below appends
+        # to the same directory this lazy plan would otherwise re-list
+        .localCheckpoint(eager=True)
+    )
+    delta_bands.repartition(F.col("band_id")).write.partitionBy("band_id").mode(
+        "append"
+    ).parquet(idx)
+    update_meta(idx, lambda m: {**(m or {}), "lake_version": v2})
+    if int(read_meta(idx)["lake_version"]) != latest_version(root):
+        raise RuntimeError("freshness record did not reach the lake head")
+    return out

@@ -172,6 +172,11 @@ _GATE_PRIORITY = [
     #   the distributed-rank pattern (256 ordered md5 buckets + local
     #   windows), permutation-checksummed per shard.
     "corpus_seeded_shuffle",
+    # - docs_lake_cdf_admission: the index-maintenance loop closed
+    #   through the table format — delta discovered via changed_files,
+    #   admission + O(delta) index extension, freshness CAS'd to the
+    #   lake head; same oracle as near_dup_admission.
+    "docs_lake_cdf_admission",
 ]
 
 
