@@ -1125,12 +1125,37 @@ def delete_commit(
         .write.mode("overwrite")
         .parquet(os.path.join(root, rel_dv))
     )
-    manifest = {k: v for k, v in base.items() if k != "rows_preserved"}
-    manifest["delete_files"] = base.get("delete_files", []) + [
-        {"path": rel_dv, "files": affected_rels}
-    ]
-    manifest["delete_key"] = key_col
-    return _commit_manifest(root, manifest, base_version=base_v)
+    # Optimistic-concurrency publish: a DV commutes with any commit that
+    # keeps its masked files live (appends always; merges/OPTIMIZE of
+    # OTHER partitions), so a lost CAS rebases onto the new head and
+    # retries — the same rule the other commit verbs run. If an
+    # interleaved commit REWROTE a masked file, this vector's row
+    # locations are stale (the rewrite may even have been a purge that
+    # materialized other masks); raise MergeConflictError for the caller
+    # to re-read and re-delete — re-running is cheap (O(delta) locate)
+    # and naturally idempotent (already-masked rows yield no hits).
+    affected = set(affected_rels)
+    for _ in range(4):
+        manifest = {k: v for k, v in base.items() if k != "rows_preserved"}
+        manifest["delete_files"] = base.get("delete_files", []) + [
+            {"path": rel_dv, "files": affected_rels}
+        ]
+        manifest["delete_key"] = key_col
+        try:
+            return _commit_manifest(root, manifest, base_version=base_v)
+        except ConcurrentCommitError:
+            head_v = latest_version(root)
+            head = _read_manifest(root, head_v)
+            head_live = {rel for rels in head["files"].values() for rel in rels}
+            if not affected <= head_live:
+                raise MergeConflictError(
+                    f"concurrent commit at {root} rewrote file(s) this delete "
+                    f"masks ({sorted(affected - head_live)}); re-read and re-delete"
+                ) from None
+            base_v, base = head_v, head  # masked files survive: rebase
+    raise ConcurrentCommitError(
+        f"gave up after 4 rebases at {root}: the version slot kept being claimed"
+    )
 
 
 def purge_deletes(

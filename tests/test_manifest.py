@@ -1130,3 +1130,54 @@ def test_dv_scoped_by_partition_relative_path_not_basename(spark, tmp_path):
         (r.k, r.part) for r in read_snapshot(spark, root).select("k", "part").collect()
     }
     assert got == {(1, "b"), (2, "a")}
+
+
+def test_delete_commit_rebases_over_interleaved_append(spark, lake, monkeypatch):
+    """A DV commutes with an append: when another writer claims the
+    version slot between the delete's snapshot pin and its publish, the
+    delete rebases onto the new head and lands — both commits survive,
+    masked keys stay masked, appended rows stay visible."""
+    import etl_pdf_pipepline_spark.sources.manifest as M
+
+    root, ev = lake
+    keys = {r[0] for r in _dv_keys(ev).collect()}
+    extra = ev.limit(10).withColumn("event_id", F.col("event_id") + 10**12)
+    real = M._commit_manifest
+    state = {"fired": False}
+
+    def racy(root_, manifest, base_version=None):
+        if not state["fired"]:
+            state["fired"] = True
+            M.append_commit(extra, root_, "event_date")
+        return real(root_, manifest, base_version=base_version)
+
+    monkeypatch.setattr(M, "_commit_manifest", racy)
+    v = M.delete_commit(spark, root, _dv_keys(ev), "event_id")
+    assert v == M.latest_version(root) == 3  # append took v2, delete rebased to v3
+    now = {r[0] for r in read_snapshot(spark, root).select("event_id").collect()}
+    assert not keys & now
+    assert {r[0] + 10**12 for r in ev.limit(10).select("event_id").collect()} <= now
+
+
+def test_delete_commit_conflicts_when_masked_file_rewritten(spark, lake, monkeypatch):
+    """When the interleaved commit REWRITES a file the vector masks, the
+    delete's row locations are stale — it must raise MergeConflictError
+    (re-running after a re-read is cheap and idempotent), never publish
+    a mask over a file the snapshot no longer references."""
+    import pytest as _pytest
+
+    import etl_pdf_pipepline_spark.sources.manifest as M
+
+    root, ev = lake
+    real = M._commit_manifest
+    state = {"fired": False}
+
+    def racy(root_, manifest, base_version=None):
+        if not state["fired"]:
+            state["fired"] = True
+            _apply_merge(spark, root_, ev)  # rewrites TARGET_DAY's files
+        return real(root_, manifest, base_version=base_version)
+
+    monkeypatch.setattr(M, "_commit_manifest", racy)
+    with _pytest.raises(M.MergeConflictError):
+        M.delete_commit(spark, root, _dv_keys(ev), "event_id")
