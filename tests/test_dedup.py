@@ -544,3 +544,47 @@ def test_span_scrub_removes_exactly_the_shared_run(spark):
     assert got[1] == hashlib.md5(b"a1 a2 a3 a4 a5").hexdigest()
     assert got[2] == hashlib.md5(b"b1 b2 b3 b4").hexdigest()
     assert SPAN_K == 8  # boundary corpora above are sized to the K contract
+
+
+def _brute_spans(corpus: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+    """Single-machine reference for duplicate_spans: gram→docs map, dup
+    grams (≥2 distinct docs), per-doc island merge with gap > k."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in corpus.items()}
+    gram_docs: dict[tuple, set[int]] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            gram_docs.setdefault(tuple(ts[i : i + k]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    out = set()
+    for d, ts in toks.items():
+        hits = [i + 1 for i in range(len(ts) - k + 1) if tuple(ts[i : i + k]) in dup]
+        if not hits:
+            continue
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev > k:
+                out.add((d, start, prev + k - 1))
+                start = p
+            prev = p
+        out.add((d, start, prev + k - 1))
+    return out
+
+
+def test_duplicate_spans_matches_brute_force_reference(spark):
+    """Randomized corpora (tiny vocab → heavy accidental overlap, the
+    adversarial case for boundary math) must agree exactly with the
+    single-machine reference: same docs, same span boundaries."""
+    import random
+
+    from etl_pdf_pipepline_spark.operators.dedup import SPAN_K, duplicate_spans
+
+    rng = random.Random(12021)
+    vocab = [f"w{i}" for i in range(6)]  # 6 words → many shared 8-gram runs
+    for trial in range(4):
+        corpus = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for d in range(1, 7)
+        }
+        df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+        got = {(r.doc_id, r.s, r.e) for r in duplicate_spans(df).collect()}
+        assert got == _brute_spans(corpus, SPAN_K), f"trial {trial}: {corpus}"
