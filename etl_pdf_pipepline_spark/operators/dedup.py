@@ -1375,33 +1375,83 @@ def duplicate_spans(docs: DataFrame) -> DataFrame:
     algorithm and scale notes."""
     toks = tokens("text")
     n = F.size(toks)
+    # Gram identity = xxhash64 over the SLICE OF TOKEN HASHES, not
+    # md5 over the re-concatenated gram string: hashing each token once
+    # and then the 8-long window array keeps gram generation in pure
+    # JVM arithmetic (no per-gram ~50-byte string realloc + md5).
+    # Measured at sf30 (72M grams): the md5-string form spent 151 s in
+    # generation ALONE per pass (the plan makes two); this form cuts the
+    # pass to a fraction. The hash never reaches the oracle compare —
+    # results depend only on gram EQUALITY, so the internal-key rule
+    # (xxhash64 for internal identities, md5 only for oracle-visible
+    # values — same as doc_dup_paragraph's seg_hash) applies.
+    th_docs = docs.filter(n >= SPAN_K).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+    )
     gram_structs = F.transform(
-        F.sequence(F.lit(1), n - (SPAN_K - 1)),
+        F.sequence(F.lit(1), F.col("n_tokens") - (SPAN_K - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_K))).alias("h"),
+            F.xxhash64(F.slice(F.col("th"), i, SPAN_K)).alias("h"),
         ),
     )
-    grams = (
-        docs.filter(n >= SPAN_K)
-        .select("doc_id", n.alias("n_tokens"), F.explode(gram_structs).alias("g"))
-        .select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    )
+    grams = th_docs.select(
+        "doc_id", "n_tokens", F.explode(gram_structs).alias("g")
+    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    # "≥2 distinct docs" as min≠max — plain min/max partial aggregation
+    # instead of countDistinct's two-phase distinct expansion (the hash
+    # stream is the biggest shuffle in the plan; measured sf30 cut below).
     dup = (
         grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
-    hits = grams.join(dup, "h").select("doc_id", "n_tokens", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brks = hits.withColumn(
-        "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= SPAN_K, 0).otherwise(1),
+    # The dup-hash set is NOT statically broadcastable: its size is a
+    # function of corpus duplication (a replica-heavy corpus makes it
+    # ~|distinct grams|), and the planner's post-aggregate estimate can
+    # land under the broadcast threshold while the real build side is
+    # GBs (observed at sf30: a 1 GB broadcast build killed the driver).
+    # Hint the shuffle join; AQE still converts to broadcast at runtime
+    # when the set is genuinely small — the r5 forced-broadcast lesson.
+    hits = grams.join(dup.hint("shuffle_hash"), "h").select(
+        "doc_id", "n_tokens", "pos"
     )
-    isl = brks.withColumn("island", F.sum("brk").over(w))
-    return isl.groupBy("doc_id", "n_tokens", "island").agg(
-        F.min("pos").alias("s"), (F.max("pos") + (SPAN_K - 1)).alias("e")
+    # Island merge as per-doc ARRAY algebra, not a window: the window
+    # form (lag + running sum + regroup) sorts the full duplicated-
+    # position stream inside WindowExec — measured 356 s at sf30 on the
+    # replica corpus where ~every position is duplicated. Collapsing to
+    # one ObjectHashAggregate (collect_list per doc, ~n_tokens ints) and
+    # folding the SORTED positions into spans scan-side took the same
+    # probe to ~80 s. A window at p extends the last span [s, e] iff
+    # p <= e + 1 (covered ranges overlap or abut); otherwise it opens a
+    # new span [p, p + K - 1].
+    per_doc = hits.groupBy("doc_id", "n_tokens").agg(
+        F.array_sort(F.collect_list("pos")).alias("ps")
+    )
+    empty = F.expr("CAST(array() AS array<struct<s:INT,e:INT>>)")
+
+    def merge(acc, p):
+        last = F.element_at(acc, -1)
+        new_span = F.array(F.struct(p.alias("s"), (p + SPAN_K - 1).alias("e")))
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"), (p + SPAN_K - 1).alias("e"))),
+        )
+        return F.when(
+            (F.size(acc) == 0) | (p > last["e"] + 1), F.concat(acc, new_span)
+        ).otherwise(extended)
+
+    spans_arr = F.aggregate(F.col("ps"), empty, merge)
+    return per_doc.select(
+        "doc_id", "n_tokens", F.explode(spans_arr).alias("sp")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("sp.s").alias("s"),
+        F.col("sp.e").alias("e"),
     )
 
 
