@@ -1122,10 +1122,14 @@ def delete_commit(
     hits = snap.select(F.col(key_col), _rel_file_expr().alias("file_rel")).join(
         keys.select(key_col).distinct(), key_col
     )
+    # One locate pass: `hits` is delta-sized (the delete batch), so pin
+    # it with a localCheckpoint — the affected-file listing and the DV
+    # write below would otherwise each re-scan the touched partitions.
     # Driver sees only the DISTINCT affected-file list (O(files), bounded
     # by the touched partitions' file counts); the DV rows themselves are
-    # written distributed. Two scans of the touched partitions (locate +
-    # write) — still no rewrite, which is the point of merge-on-read.
+    # written distributed. No data-file rewrite anywhere — the point of
+    # merge-on-read.
+    hits = hits.localCheckpoint(eager=True)
     affected_rels = sorted(r[0] for r in hits.select("file_rel").distinct().collect())
     if not affected_rels:
         return base_v
