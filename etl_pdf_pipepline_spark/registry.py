@@ -178,6 +178,10 @@ _GATE_PRIORITY = [
     #   lake head; same oracle as near_dup_admission.
     "docs_lake_cdf_admission",
 ]
+# r11 bench-headline candidate: doc_duplicate_spans — dedicated sf30
+# Spark-vs-DuckDB 71.3 s vs 169.5 s (0.42×, SCALING.md late-r10). Left
+# out of THIS round's HEADLINE so the three recorded r10 sweep artifacts
+# stay one comparable 24-row set.
 
 
 def _gate_order(names: list[str]) -> list[str]:
