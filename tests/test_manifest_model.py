@@ -208,6 +208,18 @@ def _run_ops(spark, root: str, ops) -> None:
             )
         assert got == model, f"after {op}: {got} != {model}"
 
+        # Invariant 1b: the metadata-served per-partition counts (footer
+        # row records minus outstanding DV masks, zero data files opened)
+        # must equal the model after EVERY verb — this is what makes
+        # events_count_served trustworthy under arbitrary append/merge/
+        # evolve/optimize/dv/purge/vacuum/maintain interleavings.
+        from etl_pdf_pipepline_spark.sources.manifest import partition_row_counts
+
+        served = partition_row_counts(spark, root)
+        assert served == {d: len(ids) for d, ids in model.items()}, (
+            f"after {op}: metadata counts {served} != model sizes"
+        )
+
     # Invariant 2: rows_preserved honesty — nothing after the last
     # row-changing commit changed rows (any suffix is optimize-only;
     # vacuum commits no version), unless vacuum erased the evidence,
