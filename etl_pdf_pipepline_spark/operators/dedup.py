@@ -1504,7 +1504,10 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     construct; the distributed equivalent used here is rolling K-gram
     hashing: any exact shared token run of length ≥ K contributes a
     run of identical K-gram hashes in both documents, so (1) hash every
-    K-token window scan-side (array algebra, md5 — oracle-checkable),
+    K-token window scan-side (array algebra; the gram key is xxhash64
+    over token-hash slices — an equality-only internal key that never
+    reaches the output, so the oracle checks the SPAN algebra, not the
+    hash function),
     (2) find hashes occurring in ≥2 DISTINCT documents (within-doc
     repetition is doc_repetition_filter's contract, not this one),
     (3) per document, merge overlapping/adjacent duplicated windows
@@ -1521,9 +1524,9 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate gram shared by B docs fans back out to exactly B rows
     (linear, the docs genuinely contain it). The island merge windows
     partition by doc_id over ONLY the duplicated positions, not the
-    token stream. At 100 TB swap md5 for xxhash64 scan-side (the gate
-    pins md5 for cross-engine byte-equality) and K for the 50-token
-    window of the paper."""
+    token stream. xxhash64 is already the 100 TB-grade choice (8-byte
+    keys, no cryptographic overhead); at production scale widen K to
+    the 50-token window of the paper."""
     docs = load_table(spark, sf_dir, "documents")
     spans = duplicate_spans(docs)
     span_len = F.col("e") - F.col("s") + 1

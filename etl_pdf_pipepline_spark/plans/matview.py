@@ -154,6 +154,13 @@ def refresh_rollup_view(
     from ..sources.manifest import commit_meta, latest_version, merge_commit, read_snapshot
 
     base_v = latest_version(base_root)
+    # A decoupled daemon legitimately hands us an empty list (e.g. every
+    # commit since the absorbed version was rows_preserved): nothing to
+    # recompute, but still advance the freshness record so serving
+    # doesn't keep routing to the fact scan.
+    if not changed_days:
+        commit_meta(meta_root or _mv_meta_root(sf_dir), {"base_version": base_v})
+        return []
     day_strs = sorted(str(d) for d in changed_days)
     touched = read_snapshot(
         spark, base_root, bounds={"event_date": (day_strs[0], day_strs[-1])}

@@ -697,6 +697,19 @@ def _publish_merge(
     adding DIFFERENT columns is a conflicting evolution and raises
     (this writer's slice lacks the other's column)."""
     touched = set(new_entries) | dropped
+    # Pin the deletion vectors visible when this merge READ its slice.
+    # A delete_commit interleaving after the pin leaves `files` untouched
+    # (it only adds a vector), so the file-level disjointness check below
+    # would happily rebase — but this merge's slice came through the
+    # PRE-delete read, and rewriting/dropping a partition the new vector
+    # masks would re-materialize the deleted rows and silently drop the
+    # committed delete (the carry rule scopes vectors to still-live files,
+    # and the rewritten files are new). Detect that on rebase and raise.
+    pinned_dv_pairs = {
+        (e["path"], rel)
+        for e in base.get("delete_files", [])
+        for rel in e["files"]
+    }
     for _ in range(max_retries + 1):
         files = dict(base["files"])
         files.update(new_entries)
@@ -750,6 +763,25 @@ def _publish_merge(
                     f"concurrent commit at {root} modified partition(s) "
                     f"{sorted(conflicting)} this merge also changes; "
                     "re-read the table and re-merge"
+                ) from None
+            # Vectors committed since this merge's read that mask a file
+            # in a partition we rewrite/drop: the delete would be lost
+            # (see pinned_dv_pairs above). The reverse race already
+            # raises in delete_commit; this direction must too.
+            dv_conflicts = sorted(
+                {
+                    rel.split("/", 1)[0]
+                    for e in head.get("delete_files", [])
+                    for rel in e["files"]
+                    if (e["path"], rel) not in pinned_dv_pairs
+                    and rel.split("/", 1)[0] in touched
+                }
+            )
+            if dv_conflicts:
+                raise MergeConflictError(
+                    f"concurrent delete_commit at {root} masked rows in "
+                    f"partition(s) {dv_conflicts} this merge rewrites from "
+                    "a pre-delete read; re-read the table and re-merge"
                 ) from None
             base_v, base = new_head, head  # disjoint: rebase and retry
     raise ConcurrentCommitError(
@@ -1056,13 +1088,28 @@ def partition_row_counts(
             for entry, rels in manifest["files"].items()
             for rel in rels
         }
-        pairs: set[tuple[str, object]] = set()
+        # Each DV pair carries the number of data rows it matched
+        # (n_rows, written by delete_commit); the masked read removes ALL
+        # rows matching the pair, so subtracting n_rows — not 1 — keeps
+        # metadata counts exact even for non-unique keys. Pre-n_rows DVs
+        # (unique-key era) fall back to 1 per pair.
+        per_pair: dict[tuple[str, object], int] = {}
         for e in dels:
-            t = pq.read_table(os.path.join(root, e["path"]), columns=["file_rel", key])
-            pairs.update(zip(t.column("file_rel").to_pylist(), t.column(key).to_pylist()))
+            t = pq.read_table(os.path.join(root, e["path"]))
+            frels = t.column("file_rel").to_pylist()
+            keys_ = t.column(key).to_pylist()
+            ns = (
+                t.column("n_rows").to_pylist()
+                if "n_rows" in t.column_names
+                else [1] * len(frels)
+            )
+            for fr, k, n in zip(frels, keys_, ns):
+                # distinct-pair semantics: a replayed vector naming the
+                # same pair masks the same rows once, not twice
+                per_pair[(fr, k)] = max(per_pair.get((fr, k), 0), n)
         per_file: dict[str, int] = {}
-        for file_rel, _k in pairs:
-            per_file[file_rel] = per_file.get(file_rel, 0) + 1
+        for (file_rel, _k), n in per_pair.items():
+            per_file[file_rel] = per_file.get(file_rel, 0) + n
         for file_rel, n in per_file.items():
             part = live_part.get(file_rel)
             if part is not None:
@@ -1134,8 +1181,13 @@ def delete_commit(
     if not affected_rels:
         return base_v
     rel_dv = os.path.join("_deletes", f"dv-{base_v + 1:08d}-{uuid.uuid4().hex[:8]}")
+    # One DV row per (file, key) pair, carrying how many data rows the
+    # pair matched: the masked read anti-joins the PAIR (removing every
+    # matching row), so metadata-served counts must subtract n_rows, not
+    # 1 — with a non-unique key the two would otherwise disagree.
     (
-        hits.select("file_rel", key_col)
+        hits.groupBy("file_rel", key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(root, rel_dv))

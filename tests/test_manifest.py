@@ -1181,3 +1181,105 @@ def test_delete_commit_conflicts_when_masked_file_rewritten(spark, lake, monkeyp
     monkeypatch.setattr(M, "_commit_manifest", racy)
     with _pytest.raises(M.MergeConflictError):
         M.delete_commit(spark, root, _dv_keys(ev), "event_id")
+
+
+def test_merge_conflicts_with_interleaved_dv(spark, lake, monkeypatch):
+    """The reverse of the previous race (ADVICE r10, high): a
+    delete_commit lands BETWEEN a merge's read and its publish. Files
+    are unchanged by the DV, so the file-level disjointness check alone
+    would rebase — but the merge slice was read pre-delete, and its
+    rewrite of the masked partition would re-materialize the deleted
+    rows while the carry rule drops the vector (its file is no longer
+    live). The publish must raise MergeConflictError, never silently
+    lose a committed delete."""
+    import pytest as _pytest
+
+    import etl_pdf_pipepline_spark.sources.manifest as M
+
+    root, ev = lake
+    real = M._commit_manifest
+    state = {"fired": False}
+
+    def racy(root_, manifest, base_version=None):
+        # fire the interleaved DV only on the MERGE's publish attempt
+        # (the delete_commit inside recurses through this patch)
+        if not state["fired"] and "delete_files" not in manifest:
+            state["fired"] = True
+            M.delete_commit(spark, root_, _dv_keys(ev), "event_id")
+        return real(root_, manifest, base_version=base_version)
+
+    monkeypatch.setattr(M, "_commit_manifest", racy)
+    with _pytest.raises(M.MergeConflictError):
+        _apply_merge(spark, root, ev)  # rewrites TARGET_DAY, which the DV masks
+    # the committed delete survived: masked keys absent from the head
+    keys = {r[0] for r in _dv_keys(ev).collect()}
+    now = {r[0] for r in read_snapshot(spark, root).select("event_id").collect()}
+    assert not keys & now
+
+
+def test_merge_rebases_over_disjoint_dv(lake):
+    """A DV masking only OTHER partitions commutes with the merge: the
+    publish rebases, lands, and carries the vector forward — raising
+    here would serialize every delete against every merge."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        _publish_merge,
+        _read_manifest,
+    )
+
+    root, _ = lake
+    base = _read_manifest(root, 1)
+    day15 = f"event_date={TARGET_DAY}"
+    day16 = "event_date=2024-01-16"
+    masked_rel = base["files"][day16][0]
+
+    # interleaved delete_commit-shaped manifest: files unchanged, one
+    # vector over a day-16 file
+    _commit_manifest(
+        root,
+        {
+            "partition_col": "event_date",
+            "files": dict(base["files"]),
+            "delete_files": [{"path": "_deletes/dv-test", "files": [masked_rel]}],
+            "delete_key": "event_id",
+        },
+    )
+
+    a_entry = [os.path.join(day15, "v00000002-a.parquet")]
+    v = _publish_merge(
+        root, "event_date", 1, base, {day15: a_entry}, set(), max_retries=3
+    )
+    assert v == 3
+    head = _read_manifest(root, 3)
+    assert head["files"][day15] == a_entry
+    assert head["delete_files"] == [
+        {"path": "_deletes/dv-test", "files": [masked_rel]}
+    ]
+
+
+def test_dv_metadata_counts_with_non_unique_key(spark, tmp_path):
+    """ADVICE r10 (low): the masked read's anti-join removes EVERY row
+    matching a (file, key) pair, so with a non-unique key the
+    metadata-served counts must subtract the pair's matched-row count
+    (recorded in the DV parquet at delete time), not 1."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        delete_commit,
+        init_versioned_lake,
+        partition_row_counts,
+    )
+
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "d1"), (1, "d1"), (1, "d1"), (2, "d1"), (3, "d2")],
+        "event_id long, event_date string",
+    ).coalesce(1)
+    assert init_versioned_lake(df, root, "event_date") == 1
+    keys = spark.createDataFrame([(1, "d1")], "event_id long, event_date string")
+    assert delete_commit(spark, root, keys, "event_id") == 2
+
+    masked = read_snapshot(spark, root)
+    got = {
+        r["event_date"]: r["n"]
+        for r in masked.groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"d1": 1, "d2": 1}
+    assert partition_row_counts(spark, root) == got
