@@ -60,6 +60,12 @@ INDEX_SERVED = [
     "shipping_priority_top10",
     "near_dup_admission",
     "events_zorder_served",
+    # r11: the keyword family routes to the persisted postings index
+    # when fresh (ensure_bm25_index in the prepare slot) — the
+    # reference's steady state, where every search reads the
+    # once-per-ingest Tantivy index. Scan-path walls published below.
+    "bm25_search",
+    "hybrid_rrf_search",
     # Serving face of streaming_hourly_rollup: reads the streaming-
     # maintained hourly view (built/maintained in the untimed prepare
     # pass) instead of re-draining the stream; the rollup row above
@@ -123,6 +129,13 @@ def main() -> None:
     from etl_pdf_pipepline_spark.operators.multimodal import ensure_media_manifest
 
     ensure_media_manifest(spark, sf_dir)
+    # The persisted BM25 postings index the keyword family serves from
+    # (r11) — the same ingest lifecycle slot as the reference's Tantivy
+    # build (pipeline.py:164-165). Serve-or-build: a warm warehouse skips
+    # the build entirely.
+    from etl_pdf_pipepline_spark.retrieval.queries import ensure_bm25_index
+
+    ensure_bm25_index(spark, sf_dir)
 
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -166,7 +179,12 @@ def main() -> None:
     from etl_pdf_pipepline_spark.plans.bucketed import force_scan_path
 
     scan_path: dict[str, float] = {}
-    for name in ("revenue_by_nation", "shipping_priority_top10"):
+    for name in (
+        "revenue_by_nation",
+        "shipping_priority_top10",
+        "bm25_search",
+        "hybrid_rrf_search",
+    ):
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -337,12 +337,12 @@ def _capped_pairs_sql(bands_cte: str, cap: int = MAX_LSH_BUCKET, id_col: str = "
         FROM {bands_cte}
     ),
     pairs AS (
-        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.band_id
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.band_id, FALSE AS capped
         FROM bm a JOIN bm b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.{id_col} < b.{id_col} AND a.bsz <= {cap}
         UNION ALL
-        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.band_id
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.band_id, TRUE AS capped
         FROM bm a JOIN bm b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.rn = 1 AND b.rn > 1 AND a.bsz > {cap}
@@ -352,7 +352,8 @@ def _capped_pairs_sql(bands_cte: str, cap: int = MAX_LSH_BUCKET, id_col: str = "
 _LSH_ORACLE = f"""
     WITH {_LSH_CTE_BODY},
     {_capped_pairs_sql("bands")}
-    SELECT doc_a, doc_b, count(DISTINCT band_id) AS n_bands
+    SELECT doc_a, doc_b, count(DISTINCT band_id) AS n_bands,
+           bool_or(capped) AS capped
     FROM pairs
     GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b
@@ -362,8 +363,11 @@ _LSH_ORACLE = f"""
 def banded_pairs(
     bands: DataFrame, id_col: str = "doc_id", cap: int = MAX_LSH_BUCKET
 ) -> DataFrame:
-    """(doc_a, doc_b, band_id) candidate pairs from an (id, band_id,
-    band_key) banding, with the skew cap the module docstring promises:
+    """(doc_a, doc_b, band_id, capped) candidate pairs from an (id,
+    band_id, band_key) banding — `capped` is True when the emitting
+    bucket exceeded the cap, i.e. the pair is a star edge from a
+    recall-truncated bucket (the consumer-visible cap flag, ADVICE
+    r9/VERDICT r10) — with the skew cap the module docstring promises:
     buckets with ≤ cap members emit all intra-bucket pairs (exact
     banding semantics); buckets ABOVE the cap emit only the STAR around
     the bucket's min id — B−1 edges instead of B(B−1)/2, so a corpus
@@ -402,6 +406,7 @@ def banded_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.col("a.band_id").alias("band_id"),
+            F.lit(False).alias("capped"),
         )
     )
     starred = (
@@ -414,6 +419,7 @@ def banded_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.col("a.band_id").alias("band_id"),
+            F.lit(True).alias("capped"),
         )
     )
     return small.unionAll(starred)
@@ -438,12 +444,18 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested), so consumers deduplicating via
     dedup_connected_components/dedup_keepers see no difference; only
     consumers of the raw listing itself must treat it as a spanning set,
-    not an exhaustive enumeration (ADVICE r9)."""
+    not an exhaustive enumeration (ADVICE r9). The trade is visible IN
+    the output (r11): each pair carries `capped` = True when any of its
+    emitting buckets was over-cap, so a consumer can tell exact-recall
+    pairs from star edges row by row."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         banded_pairs(lsh_band_keys(docs))
         .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band_id").alias("n_bands"))
+        .agg(
+            F.countDistinct("band_id").alias("n_bands"),
+            F.bool_or("capped").alias("capped"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -656,9 +668,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, 1 AS band_id, simhash & 255 AS band_key FROM sig
     ),
     {{capped}},
-    cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs)
+    cand AS (
+        SELECT doc_a, doc_b, bool_or(capped) AS capped
+        FROM pairs GROUP BY doc_a, doc_b
+    )
     SELECT c.doc_a, c.doc_b,
-           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming,
+           c.capped
     FROM cand c
     JOIN sig sa ON c.doc_a = sa.doc_id
     JOIN sig sb ON c.doc_b = sb.doc_id
@@ -685,7 +701,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant (property-tested), so component/keeper consumers are
     unaffected; raw-listing consumers must treat the output as a
     spanning set of each near-dup cluster, not all its pairs (ADVICE
-    r9)."""
+    r9). The trade is visible IN the output (r11): each pair carries
+    `capped` = True when any emitting half-bucket was over-cap, so
+    consumers can tell guaranteed-pigeonhole pairs from star edges."""
     docs = load_table(spark, sf_dir, "documents")
     sig = simhash_signatures(docs).cache()
     bands = (
@@ -697,14 +715,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cand = banded_pairs(bands).select("doc_a", "doc_b").distinct()
+    cand = (
+        banded_pairs(bands)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.bool_or("capped").alias("capped"))
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"), "capped")
         .filter(F.col("hamming") <= 1)
         .orderBy("doc_a", "doc_b")
     )
@@ -742,8 +764,10 @@ def connected_components(
     joins — the same shape GraphX/GraphFrames use. localCheckpoint
     truncates the per-iteration lineage (plan growth is otherwise
     exponential); on a cluster with a checkpoint dir, `checkpoint()`
-    gives the durable equivalent. The convergence probe costs one count
-    per round — the orchestration is driver-side CONTROL FLOW, not
+    gives the durable equivalent. Each round runs exactly ONE driver
+    job: the lazy checkpoint is materialized by the convergence count
+    itself (label != old over the carried round-start label), so the
+    probe is free — the orchestration is driver-side CONTROL FLOW, not
     driver-side data (labels never collect).
 
     STATS RESET (r10, found by the sf30 incremental-CC probe):
@@ -769,20 +793,29 @@ def connected_components(
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     adj = fwd.unionAll(rev).distinct().localCheckpoint(eager=True)
+    # Lazy checkpoint: round 1's convergence probe is the first action
+    # over `labels`, and it materializes the blocks as a side effect —
+    # one driver job instead of two (r11 floor work; each job is ~0.1 s
+    # of scheduling at local scale, and the closure runs O(log d) rounds).
     labels = (
         adj.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     spark = edges.sparkSession
     scratch: str | None = None
     for _it in range(max_iter):
+        # Carry the round-start label through as `old`: the convergence
+        # probe is then a column compare on the checkpointed rows, not a
+        # re-join of two label tables (one fewer join per round).
+        base = labels.select("id", F.col("label").alias("old"))
         nbr_min = (
-            adj.join(labels, adj["src"] == labels["id"])
+            adj.join(base, adj["src"] == base["id"])
             .groupBy(F.col("dst").alias("id2"))
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("old").alias("nbr_label"))
         )
-        propagated = labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left").select(
+        propagated = base.join(nbr_min, base["id"] == nbr_min["id2"], "left").select(
             "id",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            "old",
+            F.least(F.col("old"), F.coalesce("nbr_label", "old")).alias("label"),
         )
         # Pointer jump: label <- min(label, label[label]). Every label IS
         # a node id with its own row, so the self-join always matches;
@@ -790,22 +823,21 @@ def connected_components(
         parents = propagated.select(
             F.col("id").alias("pid"), F.col("label").alias("plabel")
         )
-        new_labels = (
+        new_full = (
             propagated.join(parents, propagated["label"] == parents["pid"], "left")
             .select(
                 "id",
+                "old",
                 F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # ONE action per round: the full count scans every partition, so
+        # it materializes the lazy checkpoint AND measures convergence in
+        # the same job (limit(1) would compute only some partitions and
+        # leave the checkpoint partial).
+        changed = new_full.filter(F.col("label") != F.col("old")).count()
+        labels = new_full.select("id", "label")
         if changed == 0:
             if scratch is not None:
                 _shutil.rmtree(scratch, ignore_errors=True)
@@ -1151,9 +1183,11 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") % 20 != 0)
     delta = docs.filter(F.col("doc_id") % 20 == 0)
     base_bands = lsh_band_keys(base)
+    # connected_components already returns checkpointed rows — no extra
+    # localCheckpoint needed for the three re-reads inside the extender.
     base_labels = connected_components(
         banded_pairs(base_bands).select("doc_a", "doc_b").distinct()
-    ).localCheckpoint(eager=True)
+    )
     labels = extend_components(spark, base_labels, base_bands, lsh_band_keys(delta))
     w = Window.partitionBy("component")
     return (

@@ -67,7 +67,23 @@ def _bm25_ctes(doc_filter: str = "", qterms: str = _QTERMS_SQL) -> str:
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Q2 keyword search
     (/root/reference/src/load/lancedb_store.py:192-222) as an explicit
-    postings-join BM25, top-15."""
+    postings-join BM25, top-15.
+
+    r11 routing (same contract as revenue_by_nation's bucketed layout):
+    when this corpus's persisted postings index is FRESH (built at
+    ingest — bench.py's prepare slot, or any ensure_bm25_index call),
+    serve from it (literal term pushdown into the postings scan, dl
+    inline, no tokenization) — the reference's actual steady state, where
+    every search reads the once-per-ingest Tantivy index. Cold corpus or
+    stale index falls back to the live scan plan; both paths answer the
+    identical oracle (the shared gate row of bm25_topk_from_index), and
+    bench.py publishes the scan-path wall beside the served one."""
+    if bm25_index_servable(spark, sf_dir):
+        from .bm25 import bm25_topk_from_index
+
+        return bm25_topk_from_index(
+            spark, _bm25_index_path(sf_dir), QUERY_TERMS, 15
+        ).withColumnRenamed("doc_key", "doc_id")
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", QUERY_TERMS, 15).withColumnRenamed("doc_key", "doc_id")
 
@@ -269,23 +285,69 @@ def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_bm25_index(spark: SparkSession, sf_dir: str) -> str:
-    """Persist the BM25 index for this corpus under the repo warehouse
-    (path keyed by corpus dir) and return its path."""
+def _bm25_index_path(sf_dir: str) -> str:
+    """This corpus's shared BM25 index location under the repo warehouse
+    (path keyed by corpus dir so gate runs at different sf don't collide)."""
     import hashlib
     import os
 
-    from .bm25 import persist_index
-
-    docs = load_table(spark, sf_dir, "documents")
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(
+    return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
         f"bm25_index_{tag}",
     )
+
+
+def _build_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the BM25 index for this corpus under the repo warehouse
+    (path keyed by corpus dir) and return its path."""
+    from .bm25 import persist_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _bm25_index_path(sf_dir)
     persist_index(docs, "doc_id", "text", path)
     return path
+
+
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Serve-or-build for the shared corpus BM25 index — the ingest-time
+    lifecycle slot (reference: Tantivy index built once per ingest batch,
+    /root/reference/src/pipeline.py:164-165). Persists WITH a freshness
+    signature, so bm25_index_servable can route steady-state searches to
+    the files; reuses the index while the documents table is unchanged."""
+    from ..sources.catalog import table_stat_signature
+    from .bm25 import ensure_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ensure_index(
+        docs,
+        "doc_id",
+        "text",
+        _bm25_index_path(sf_dir),
+        table_stat_signature(sf_dir, ("documents",)),
+    )
+
+
+def bm25_index_servable(spark: SparkSession, sf_dir: str) -> bool:
+    """Routing predicate for the keyword-search family, the FTS twin of
+    plans/bucketed.bucketed_layout_exists: True when this corpus's
+    persisted postings index carries a freshness signature matching the
+    current documents table. Honors force_scan_path (the same override
+    bench.py uses to publish the scan-path walls beside the served
+    ones), and never triggers a build — a serving query must not hide an
+    index build inside its wall; ensure_bm25_index is the ingest-slot
+    verb."""
+    from ..plans import bucketed
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import read_meta
+
+    if bucketed._force_scan:
+        return False
+    meta = read_meta(_bm25_index_path(sf_dir)) or {}
+    return meta.get("source_signature") == table_stat_signature(
+        sf_dir, ("documents",)
+    )
 
 
 @query(
@@ -353,11 +415,20 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Q3 hybrid search
     (/root/reference/src/load/lancedb_store.py:154-190): overfetch 20 from
     each modality, full-outer join, RRF(k=60) fusion, top-10. Both ranked
-    inputs are k rows, so the fusion join is trivially broadcast."""
+    inputs are k rows, so the fusion join is trivially broadcast.
+
+    r11: the keyword leg routes through the persisted postings index when
+    fresh (bm25_index_servable — same routing/fallback/oracle contract as
+    bm25_search; hybrid_rrf_from_index stays the always-build gate row)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
+    if bm25_index_servable(spark, sf_dir):
+        from .bm25 import bm25_scores_from_index
+
+        kw = bm25_scores_from_index(spark, _bm25_index_path(sf_dir), QUERY_TERMS)
+    else:
+        kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
     kw_rank = rank_top(kw, 20, "doc_key")
 
     qdf = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))

@@ -83,21 +83,71 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_events_ts(stream)
 
 
-def run_available_now(stage: DataFrame, output_mode: str) -> DataFrame:
+def _stream_state_partitions(sf_dir: str) -> int:
+    """State-store partition count for a drain over this corpus's events.
+
+    `spark.sql.shuffle.partitions` at query start fixes the number of
+    state store instances for the streaming query's lifetime, and AQE
+    is DISABLED in stateful workloads — so unlike batch, nothing
+    re-coalesces 32 near-empty state partitions at small scale. Each
+    instance costs per-micro-batch task scheduling + store setup,
+    measured 1.61 s → 0.82 s on the sf0.1 hourly rollup by sizing
+    32 → 4. Scale with the events input like the batch knob (64 MB of
+    compressed source per state partition, power of two), floored at 4:
+    sf0.1 → 4, sf100 (~7 GB events) → 128 — the same monotone growth a
+    cluster deployment gets from executors×cores."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    total = 0
+    if _os.path.isdir(path):
+        for root, _dirs, files in _os.walk(path):
+            total += sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    elif _os.path.exists(path):
+        total = _os.path.getsize(path)
+    p = 4
+    while p < total // (64 * 1024 * 1024) and p < 2048:
+        p *= 2
+    return p
+
+
+def run_available_now(
+    stage: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Drain the stream into a memory sink and return the result table.
+
+    `state_partitions` (from _stream_state_partitions) sizes
+    spark.sql.shuffle.partitions for THIS drain: the conf is captured
+    into the query's offset metadata when its first micro-batch plans,
+    so it is set before .start() and restored only after the drain
+    fully terminates (restoring at .start()-return would race the
+    first batch's conf read). The drain is synchronous, so nothing
+    else plans against the session in between.
 
     Each drain registers one in-memory temp view; long-lived sessions
     should call release_stream_tables(spark) after consuming results —
     the views otherwise pin their rows for the session's lifetime."""
     name = f"stream_result_{next(_SINK_COUNTER)}"
-    q = (
-        stage.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stage.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stage.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     _SINK_TABLES.append(name)
     return stage.sparkSession.table(name)
 
@@ -151,7 +201,9 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_available_now(agg, "complete").orderBy("window_start", "event_type")
+    return run_available_now(
+        agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
+    ).orderBy("window_start", "event_type")
 
 
 _SESSION_STATE_SCHEMA = T.StructType(
@@ -236,7 +288,9 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_available_now(staged, "update").orderBy("user_id")
+    return run_available_now(
+        staged, "update", state_partitions=_stream_state_partitions(sf_dir)
+    ).orderBy("user_id")
 
 
 @query(
@@ -256,7 +310,9 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     deduped = ev.dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
-    return run_available_now(agg, "complete").orderBy("event_type")
+    return run_available_now(
+        agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
+    ).orderBy("event_type")
 
 
 @query(
@@ -307,9 +363,9 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
-    return run_available_now(joined, "append").orderBy(
-        "user_id", "click_id", "purchase_id"
-    )
+    return run_available_now(
+        joined, "append", state_partitions=_stream_state_partitions(sf_dir)
+    ).orderBy("user_id", "click_id", "purchase_id")
 
 
 # NOTE (r4): the Spark 4 successor API to applyInPandasWithState —

@@ -306,6 +306,10 @@ def test_banded_pairs_caps_pathological_bucket(spark):
     small = sorted((r.doc_a, r.doc_b) for r in pairs if r.doc_b >= 100)
     assert big == [(0, i) for i in range(1, 10)]  # star around min, not 45 pairs
     assert small == [(100, 101), (100, 102), (101, 102)]  # exact all-pairs
+    # the consumer-visible cap flag (VERDICT r10 #4): star edges from the
+    # over-cap bucket say so; exact all-pairs from under-cap buckets don't
+    assert all(r.capped for r in pairs if r.doc_b < 100)
+    assert not any(r.capped for r in pairs if r.doc_b >= 100)
 
     # closure invariance: capped and uncapped pairs give identical components
     capped = banded_pairs(bands, cap=4).select("doc_a", "doc_b").distinct()

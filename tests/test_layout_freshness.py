@@ -211,3 +211,45 @@ def test_lsh_plane_divergence_warns():
         assert not caught
         _warn_if_oracle_diverges(big, 8193)
         assert len(caught) == 1 and "oracle" in str(caught[0].message)
+
+
+def test_bm25_routing_serves_fresh_and_falls_back(spark, corpus_copy):
+    """r11 keyword-family routing: bm25_search serves from the persisted
+    postings index while its freshness signature matches, matches the
+    live-scan result exactly, honors force_scan_path, and invalidates on
+    a source rewrite (same contract as the bucketed fact layout)."""
+    import shutil as _shutil
+
+    from etl_pdf_pipepline_spark.plans.bucketed import force_scan_path
+    from etl_pdf_pipepline_spark.retrieval.queries import (
+        _bm25_index_path,
+        bm25_index_servable,
+        bm25_search,
+        ensure_bm25_index,
+    )
+
+    path = _bm25_index_path(corpus_copy)
+    try:
+        assert not bm25_index_servable(spark, corpus_copy)  # no index yet
+        scan = [tuple(r) for r in bm25_search(spark, corpus_copy).collect()]
+
+        ensure_bm25_index(spark, corpus_copy)
+        assert bm25_index_servable(spark, corpus_copy)
+        served = [tuple(r) for r in bm25_search(spark, corpus_copy).collect()]
+        assert served == scan  # routed path is result-identical
+
+        # the routed plan reads the postings parquet, not the corpus
+        plan = bm25_search(spark, corpus_copy)._jdf.queryExecution().toString()
+        assert "postings" in plan and "documents.parquet" not in plan
+
+        with force_scan_path():
+            assert not bm25_index_servable(spark, corpus_copy)
+            forced = bm25_search(spark, corpus_copy)
+            fplan = forced._jdf.queryExecution().toString()
+            assert "documents.parquet" in fplan
+
+        # a source rewrite invalidates the route
+        _touch(os.path.join(corpus_copy, "documents.parquet"))
+        assert not bm25_index_servable(spark, corpus_copy)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
