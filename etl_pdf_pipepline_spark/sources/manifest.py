@@ -1118,15 +1118,26 @@ def partition_row_counts(
 
 
 def changed_partitions_between(root: str, from_version: int, to_version: int) -> list[str]:
-    """Partition VALUES whose file lists differ between two committed
-    versions — changed_files rolled up to partition granularity. This is
-    the hand-off a DECOUPLED maintenance daemon needs: a refresher that
-    only observes "the table moved from v_a to v_b" recovers exactly the
-    partitions every intervening commit touched from the manifests alone
-    (O(manifest), no data I/O, no side-channel from the writer). Covers
-    rewrites, appends, deletes, and dropped-entry partition deletions;
-    rows_preserved layout rewrites DO show up (their partitions changed
-    files), so callers that refresh aggregates should route through
+    """Partition VALUES whose rows may differ between two committed
+    versions — changed_files rolled up to partition granularity, PLUS
+    partitions whose deletion-vector coverage changed (r11): a
+    delete_commit carries the file lists forward UNCHANGED, so a
+    file-only diff would report [] across it while the masked read
+    differs — a decoupled daemon refreshing from this hand-off would
+    then advance its freshness record past a delete it never absorbed
+    and serve the deleted rows from the aggregate. DV coverage is
+    compared as the set of (vector, masked-file) pairs per partition:
+    a vector added (delete) or dropped (purge rewrote the file — the
+    file diff catches that partition anyway) both mark the partition.
+
+    This is the hand-off a DECOUPLED maintenance daemon needs: a
+    refresher that only observes "the table moved from v_a to v_b"
+    recovers exactly the partitions every intervening commit touched
+    from the manifests alone (O(manifest), no data I/O, no side-channel
+    from the writer). Covers rewrites, appends, deletes, dropped-entry
+    partition deletions, and merge-on-read DV deletes; rows_preserved
+    layout rewrites DO show up (their partitions changed files), so
+    callers that refresh aggregates should route through
     rows_changed_since first — identical rows aggregate identically."""
     old_m = _read_manifest(root, from_version)
     new_m = _read_manifest(root, to_version)
@@ -1134,6 +1145,20 @@ def changed_partitions_between(root: str, from_version: int, to_version: int) ->
     new_f = {e: sorted(rels) for e, rels in new_m["files"].items()}
     touched = {
         e for e in set(old_f) | set(new_f) if old_f.get(e) != new_f.get(e)
+    }
+
+    def dv_cover(m: dict) -> dict[str, set]:
+        cover: dict[str, set] = {}
+        for e in m.get("delete_files", []):
+            for rel in e["files"]:
+                cover.setdefault(rel.split("/", 1)[0], set()).add((e["path"], rel))
+        return cover
+
+    old_dv, new_dv = dv_cover(old_m), dv_cover(new_m)
+    touched |= {
+        e
+        for e in set(old_dv) | set(new_dv)
+        if old_dv.get(e, set()) != new_dv.get(e, set())
     }
     return sorted(_entry_value(e) for e in touched)
 

@@ -1283,3 +1283,79 @@ def test_dv_metadata_counts_with_non_unique_key(spark, tmp_path):
     }
     assert got == {"d1": 1, "d2": 1}
     assert partition_row_counts(spark, root) == got
+
+
+def test_changed_partitions_between_sees_dv_deletes(spark, lake):
+    """r11: a delete_commit leaves the file lists untouched, so a
+    file-only diff reported [] across it — a decoupled daemon would then
+    refresh nothing, advance its freshness record, and serve the deleted
+    rows from its aggregate. The DV-aware diff reports the masked
+    partitions; purge's rewrite shows up via the file diff as before."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        changed_partitions_between,
+        delete_commit,
+        purge_deletes,
+    )
+
+    root, ev = lake
+    v2 = delete_commit(spark, root, _dv_keys(ev), "event_id")
+    assert v2 == 2
+    assert changed_partitions_between(root, 1, 2) == [TARGET_DAY]
+    purged = purge_deletes(spark, root)
+    assert purged == [TARGET_DAY]
+    # vector dropped + file rewritten: still exactly that day, once
+    assert changed_partitions_between(root, 2, 3) == [TARGET_DAY]
+    # spanning diff stable
+    assert changed_partitions_between(root, 1, 3) == [TARGET_DAY]
+
+
+def test_optimize_between_cdf_read_and_masked_serve(spark, lake):
+    """VERDICT r10 #8: OPTIMIZE lands between a CDF consumer's change
+    discovery and its DV-masked serve. The consumer pinned (v1 -> v2=DV)
+    and computed its day list; OPTIMIZE then materializes the masks it
+    rewrites (v3). The serve at latest must show the delete exactly once
+    (no resurrection, no double-subtraction), the pinned CDF diff must
+    still answer from the retained manifests, and the metadata-served
+    counts must agree with the masked read at every version."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        changed_partitions_between,
+        delete_commit,
+        optimize_commit,
+        partition_row_counts,
+    )
+
+    root, ev = lake
+    before = read_snapshot(spark, root).count()
+    dead = {r[0] for r in _dv_keys(ev).collect()}
+    assert dead
+    assert delete_commit(spark, root, _dv_keys(ev), "event_id") == 2
+
+    # consumer discovers its work list at the pinned versions
+    days = changed_partitions_between(root, 1, 2)
+    assert days == [TARGET_DAY]
+
+    # OPTIMIZE interleaves: materializes the masks in the files it rewrites
+    v3 = optimize_commit(spark, root)
+    assert v3 == 3
+
+    # serve at latest: delete visible exactly once
+    now = read_snapshot(spark, root)
+    ids = {r[0] for r in now.select("event_id").collect()}
+    assert not (dead & ids)
+    assert now.count() == before - len(dead)
+
+    # pinned CDF diff still answers; spanning diff still names the day
+    assert changed_partitions_between(root, 1, 2) == [TARGET_DAY]
+    assert TARGET_DAY in changed_partitions_between(root, 1, 3)
+
+    # metadata counts agree with the masked read at v2 AND at v3
+    for v in (2, 3):
+        served = partition_row_counts(spark, root, v)
+        got = {
+            str(r["event_date"]): r["n"]
+            for r in read_snapshot(spark, root, v)
+            .groupBy("event_date")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert served == got, f"v{v}: {served} != {got}"

