@@ -436,6 +436,81 @@ def events_rollup_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DV_ROLLUP_ORACLE = f"""
+    WITH del AS (
+        SELECT event_id FROM events
+        WHERE ts >= TIMESTAMP '{TARGET_DAY} 00:00:00'
+          AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 1 DAY
+          AND user_id % 13 = 0
+    ),
+    kept AS (
+        SELECT * FROM events WHERE event_id NOT IN (SELECT event_id FROM del)
+    )
+    SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS total_value
+    FROM kept
+    WHERE ts >= TIMESTAMP '{TARGET_DAY} 00:00:00' - INTERVAL 1 DAY
+      AND ts <  TIMESTAMP '{TARGET_DAY} 00:00:00' + INTERVAL 2 DAY
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("events_rollup_after_dv", oracle=_DV_ROLLUP_ORACLE)
+def events_rollup_after_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 hand-off gap, gated end-to-end: a MERGE-ON-READ delete
+    (deletion-vector commit — file lists unchanged) followed by the
+    DECOUPLED maintenance daemon (changed_partitions_between → scoped
+    refresh → freshness assert → serve FROM THE VIEW). Before the
+    DV-aware diff, discovery returned [] across the delete, the daemon
+    advanced its freshness record having absorbed nothing, and the view
+    served the deleted rows as live — this row makes that regression
+    impossible to reintroduce silently. Oracle is the flat-table rollup
+    over events minus the deleted keys; the three-day window includes an
+    untouched day on each side, proving the refresh stayed scoped.
+
+    Scale posture: identical to events_rollup_from_cdf — two manifest
+    JSON reads for discovery, O(touched day's facts) recompute through
+    the DV-masked snapshot read, one view commit."""
+    from ..sources.manifest import (
+        changed_partitions_between,
+        delete_commit,
+        init_versioned_lake,
+        latest_version,
+        read_meta,
+    )
+
+    root = _warehouse_path(sf_dir, "events_dv_mv_base")
+    view_root = _warehouse_path(sf_dir, "events_rollup_dv_mv")
+    meta_root = view_root + "_meta"
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    init_versioned_lake(ev, root, "event_date")
+    build_rollup_view(spark, root, sf_dir, view_root=view_root, meta_root=meta_root)
+    # writer: merge-on-read delete of TARGET_DAY's user_id%13 rows
+    day = F.col("event_date") == F.lit(TARGET_DAY).cast("date")
+    keys = ev.filter(day & (F.col("user_id") % 13 == 0)).select(
+        "event_id", "event_date"
+    )
+    delete_commit(spark, root, keys, "event_id")
+    # --- decoupled daemon: discovery from the manifests alone ---
+    absorbed = int(read_meta(meta_root)["base_version"])
+    days = changed_partitions_between(root, absorbed, latest_version(root))
+    refresh_rollup_view(
+        spark, root, sf_dir, days, view_root=view_root, meta_root=meta_root
+    )
+    if not rollup_view_fresh(root, sf_dir, meta_root=meta_root):
+        raise RuntimeError("daemon refresh failed to absorb the DV delete")
+    lo = F.lit(TARGET_DAY).cast("date")
+    return (
+        serve_rollup(spark, sf_dir, view_root=view_root)
+        .filter(
+            (F.col("event_date") >= F.date_sub(lo, 1))
+            & (F.col("event_date") < F.date_add(lo, 2))
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
 def _hourly_rollup(facts: DataFrame) -> DataFrame:
     """The hourly view definition the streaming-served rollup maintains:
     per-(hour, type) count + exact integer-cent total, with event_date

@@ -50,138 +50,94 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r10 ordering, same invariant since
+# of the contract, so it is explicit. r11 ordering, same invariant since
 # r3 (any query whose plan/oracle changes enters the next gate's top-50):
-# the two late-r9 rows with ZERO driver history top the list (VERDICT r9
-# ask #1) plus the one NEW r10 row; then ALL 40 remaining r7-latest rows
-# — the oldest green rows, so min-latest marches to r8 after this gate;
-# then the 7 r8-latest rows in the families r10's index-freshness work
-# touched (IVF/BM25/LSH extend+ensure paths — serving plans and results
-# unchanged, re-verified via check_oracle in-session, but the lifecycle
-# code they execute changed, so they re-gate). 3 + 40 + 7 = 50, counted
-# by test_registry's gate-budget assertion.
+#
+# 1. The 12 ZERO-driver-history rows (VERDICT r10 ask #1: the 11
+#    late-r10 additions the rotation never sampled, all re-verified
+#    check_oracle-green at sf0.01 this session, plus the one NEW r11
+#    row, events_rollup_after_dv — the DV-aware decoupled-daemon gate).
+# 2. The 14 rows whose PLAN or ORACLE changed in r11:
+#    - dedup_lsh_candidates / dedup_simhash_pairs: new `capped` output
+#      column, oracle mirrored (VERDICT r10 ask #4);
+#    - bm25_search / hybrid_rrf_search: route to the persisted postings
+#      index when fresh (scan fallback answers the same oracle);
+#    - dedup_connected_components / dedup_keepers /
+#      corpus_curation_stats / embedding_cluster_components /
+#      semantic_dedup_keepers: closure internals reworked (one job per
+#      round) and/or banded_pairs now carries the capped column;
+#    - streaming_hourly_rollup / streaming_session_counts /
+#      streaming_dedup_counts / streaming_click_purchase_join: drains
+#      size state-store partitions from the input;
+#    - events_rollup_incremental: changed_partitions_between is now
+#      DV-aware (its sibling events_rollup_from_cdf is in group 1).
+# 3. 24 of the 37 remaining r8-latest rows — the oldest green rows —
+#    manifest-lifecycle rows first (they execute the r11-changed
+#    _publish_merge/delete_commit code paths), then alphabetical. The
+#    13 r8-latest rows left below the cut march into r12's top-50.
+# 12 + 14 + 24 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
-    # zero-driver-history rows (VERDICT r9 ask #1) — r9's lifecycle
-    # flagships + r10's new digest-at-ingest serving face
-    "ivf_probe_served",         # serve-or-build IVF reader (ensure_ivf_index)
-    "events_lake_autopilot",    # maintain_lake policy pass
-    "media_metadata_served",    # NEW r10: digest-at-ingest media manifest
-    # ALL 40 remaining r7-latest rows — oldest green rows; min-latest → r8
-    "approx_distinct_users",
-    "approx_value_quantiles",
-    "bm25_search",
-    "bm25_search_title_filtered",
-    "bm25_search_title_weighted",
-    "brand_price_stats",
-    "chunk_fixed_window",
-    "chunk_markdown_hybrid",
-    "context_distinct_sources",
-    "customer_order_profile",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "dedup_ngram_jaccard",
-    "dedup_winnowing_pairs",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_token_stats",
-    "doc_unigram_logprob",
-    "docs_stats_by_source",
-    "embedding_lsh_pairs",
-    "events_cube_day_type",
-    "events_json_props",
-    "events_sliding_window",
-    "events_top_users",
-    "events_type_pivot",
-    "events_user_rank_dist",
-    "fts_phrase_search",
-    "hybrid_rrf_search",
-    "ivf_assignment",
-    "ivf_probe_topk",
-    "media_image_features",
-    "media_resize",
-    "ocr_document_text",
-    "q22_sales_opportunity",
-    "q8_market_share",
-    "revenue_by_nation_scan",
-    "running_spend_budget",
-    "shipping_priority_scan",
-    "top_orders_by_value",
-    # r8-latest rows in the r10-touched index families (extenders now
-    # CAS-advance the freshness record; ensure_ivf_index variant check
-    # strictened; bm25 ensure_index added)
-    "ivf_incremental_index",
-    "ivf_probe_from_index",
-    "bm25_incremental_index",
-    "bm25_topk_from_index",
-    "near_dup_incremental",
-    "near_dup_admission",
-    "dedup_simhash",            # LSH cap family (contract doc'd, ADVICE r9)
-    # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut: everything else is r8/r9-latest and untouched this
-    # round (media_metadata's r10 work is a dedicated probe + the NEW
-    # served face above; its own plan and oracle are byte-identical),
-    # plus ONE new late-r10 row added with the top-50 already full —
-    # per the standing invariant it enters r11's top-50;
-    # check_oracle-green in-session at sf0.001 AND sf0.01:
-    # - dedup_cc_incremental: O(delta) component maintenance via the
-    #   quotient-graph closure (extend_components, operators/dedup.py) —
-    #   full-corpus _CC_ORACLE, crafted bridge/singleton topologies
-    #   unit-tested in tests/test_dedup.py.
-    # Also entering r11's top-50: dedup_simhash_pairs — its plan AND
-    # oracle changed with the r10 star cap (the only cap-touched row
-    # below this round's cut; every other cap consumer is in the list
-    # above and re-verified: 10 family rows check_oracle-green
-    # in-session after the change, incl. dedup_simhash_pairs itself).
-    "dedup_cc_incremental",
-    # Late-r10 additions with the top-50 already full — all
-    # check_oracle-green in-session at sf0.01; per the standing
-    # invariant they enter r11's top-50:
-    # - corpus_decontaminated: removal face of the contamination probe
-    #   (membership-checksummed kept set), operators/textstats.py.
-    # - doc_duplicate_spans / doc_span_scrub: cross-doc EXACT substring
-    #   dedup (suffix-array family via rolling K-gram hashes + island
-    #   merge) and its md5-verified removal face, operators/dedup.py;
-    #   boundary/merge/within-doc-exclusion unit tests in
-    #   tests/test_dedup.py.
-    # - events_change_feed: physical-file-diff CDF between lake versions
-    #   (manifest.changed_files/read_file_list), classified insert/
-    #   delete/update/carryover against the logical CDC oracle;
-    #   partition-locality unit tests in tests/test_manifest.py.
-    # - events_merge_on_read: deletion-vector DELETE (O(batch) commit,
-    #   masked reads, file-scoped masks, purge as rows_preserved merge);
-    #   DV semantics unit-tested in tests/test_manifest.py and model-
-    #   checked in tests/test_manifest_model.py's op set.
-    # - events_rollup_from_cdf: view maintenance as a decoupled daemon —
-    #   touched days recovered from the manifest diff
-    #   (changed_partitions_between), no writer side-channel.
+    # -- group 1: zero driver history ------------------------------------
     "corpus_decontaminated",
+    "corpus_seeded_shuffle",
+    "dedup_cc_incremental",
     "doc_duplicate_spans",
     "doc_span_scrub",
-    # - streaming_cdc_dv_ingest: per-micro-batch append + DV-delete
-    #   interleaving with an in-plan append-only file-history assert.
+    "docs_lake_cdf_admission",
     "events_change_feed",
+    "events_count_served",
     "events_merge_on_read",
+    "events_rollup_after_dv",   # NEW r11
     "events_rollup_from_cdf",
     "streaming_cdc_dv_ingest",
-    # - events_count_served: per-partition COUNT(*) from manifest row
-    #   counts (footer-recorded at commit, DV-subtracted) — zero data
-    #   files opened after a full merge+DV lifecycle.
-    "events_count_served",
-    # - corpus_seeded_shuffle: deterministic global training order via
-    #   the distributed-rank pattern (256 ordered md5 buckets + local
-    #   windows), permutation-checksummed per shard.
-    "corpus_seeded_shuffle",
-    # - docs_lake_cdf_admission: the index-maintenance loop closed
-    #   through the table format — delta discovered via changed_files,
-    #   admission + O(delta) index extension, freshness CAS'd to the
-    #   lake head; same oracle as near_dup_admission.
-    "docs_lake_cdf_admission",
+    # -- group 2: r11 plan/oracle changes ---------------------------------
+    "dedup_lsh_candidates",
+    "dedup_simhash_pairs",
+    "bm25_search",
+    "hybrid_rrf_search",
+    "dedup_connected_components",
+    "dedup_keepers",
+    "corpus_curation_stats",
+    "embedding_cluster_components",
+    "semantic_dedup_keepers",
+    "streaming_hourly_rollup",
+    "streaming_session_counts",
+    "streaming_dedup_counts",
+    "streaming_click_purchase_join",
+    "events_rollup_incremental",
+    # -- group 3: oldest-latest (r8) rows — lifecycle first ---------------
+    "docs_after_source_purge",
+    "lineitem_after_order_purge",
+    "events_partitioned_merge",
+    "events_versioned_merge",
+    "events_partition_pruned_day",
+    "events_zorder_pruned",
+    "events_zorder_served",
+    "streaming_near_dup_ingest",
+    "streaming_partitioned_ingest",
+    "hybrid_rrf_from_index",
+    "context_assembly",
+    "corpus_contamination_probe",
+    "corpus_mixture_sample",
+    "corpus_profile",
+    "corpus_top_terms_per_lang",
+    "dedup_exact",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_stratified_sample",
+    "events_asof_purchase_click",
+    "events_sessionization",
+    # ---- 50 entries; driver caps at ~50 ----
+    # Below the cut, still r8-latest, march into r12's top-50:
+    # label_centroids, media_frame_sample, order_sequence_window,
+    # q12_shipmode_priority, q1_pricing_summary, q21_waiting_suppliers,
+    # revenue_by_nation, revenue_by_nation_bucketed, routed_search,
+    # salted_skew_join, segment_acctbal_stats, shipping_priority_bucketed,
+    # shipping_priority_top10.
 ]
-# r11 bench-headline candidate: doc_duplicate_spans — dedicated sf30
-# Spark-vs-DuckDB 71.3 s vs 169.5 s (0.42×, SCALING.md late-r10). Left
-# out of THIS round's HEADLINE so the three recorded r10 sweep artifacts
-# stay one comparable 24-row set.
 
 
 def _gate_order(names: list[str]) -> list[str]:
