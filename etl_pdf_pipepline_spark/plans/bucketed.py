@@ -173,6 +173,15 @@ def force_scan_path():
         _force_scan = False
 
 
+def scan_forced() -> bool:
+    """Public face of the force_scan_path override — the routing
+    predicates of every layout/index family (bucketed facts here, the
+    BM25 postings in retrieval/queries.py) consult this instead of the
+    private module global, so the override has one name and one
+    semantics across families."""
+    return _force_scan
+
+
 def bucketed_layout_exists(spark: SparkSession, sf_dir: str) -> bool:
     """True when this corpus's bucketed fact layout is registered in the
     session catalog AND its freshness tag matches the current source

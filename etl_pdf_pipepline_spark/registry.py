@@ -69,8 +69,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    - streaming_hourly_rollup / streaming_session_counts /
 #      streaming_dedup_counts / streaming_click_purchase_join: drains
 #      size state-store partitions from the input;
-#    - events_rollup_incremental: changed_partitions_between is now
-#      DV-aware (its sibling events_rollup_from_cdf is in group 1).
+#    - events_rollup_incremental: executes refresh_rollup_view, whose
+#      r11 empty-list early-return changed the lifecycle code it runs
+#      (its sibling events_rollup_from_cdf — the row that ALSO consumes
+#      the now-DV-aware changed_partitions_between — is in group 1).
 # 3. 24 of the 37 remaining r8-latest rows — the oldest green rows —
 #    manifest-lifecycle rows first (they execute the r11-changed
 #    _publish_merge/delete_commit code paths), then alphabetical. The

@@ -301,12 +301,24 @@ def _bm25_index_path(sf_dir: str) -> str:
 
 def _build_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     """Persist the BM25 index for this corpus under the repo warehouse
-    (path keyed by corpus dir) and return its path."""
+    (path keyed by corpus dir) and return its path. The freshness
+    signature is recorded too: the index just built IS fresh, and the
+    always-build gate rows (bm25_topk_from_index, hybrid_rrf_from_index)
+    share this path with the r11 routing — omitting the signature here
+    would silently flip bm25_index_servable off for every later
+    bm25_search in the session (code-review r11 finding)."""
+    from ..sources.catalog import table_stat_signature
     from .bm25 import persist_index
 
     docs = load_table(spark, sf_dir, "documents")
     path = _bm25_index_path(sf_dir)
-    persist_index(docs, "doc_id", "text", path)
+    persist_index(
+        docs,
+        "doc_id",
+        "text",
+        path,
+        source_signature=table_stat_signature(sf_dir, ("documents",)),
+    )
     return path
 
 
@@ -338,11 +350,11 @@ def bm25_index_servable(spark: SparkSession, sf_dir: str) -> bool:
     ones), and never triggers a build — a serving query must not hide an
     index build inside its wall; ensure_bm25_index is the ingest-slot
     verb."""
-    from ..plans import bucketed
+    from ..plans.bucketed import scan_forced
     from ..sources.catalog import table_stat_signature
     from ..sources.manifest import read_meta
 
-    if bucketed._force_scan:
+    if scan_forced():
         return False
     meta = read_meta(_bm25_index_path(sf_dir)) or {}
     return meta.get("source_signature") == table_stat_signature(

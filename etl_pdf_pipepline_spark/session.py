@@ -32,6 +32,38 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 _BYTES_PER_PARTITION = 64 * 1024 * 1024
 
 
+def parquet_bytes(path: str) -> int:
+    """Compressed parquet bytes under `path` (a directory walked
+    recursively, or a single file) — the input-volume probe every
+    derived-sizing knob shares."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def partitions_for_bytes(total: int, floor: int, cap: int = 2048) -> int:
+    """The ONE sizing rule: one partition per _BYTES_PER_PARTITION of
+    compressed input, rounded up to a power of two, clamped to
+    [floor, cap]. Shared by the batch shuffle knob (floor 32 — the
+    gate-tuned default) and the streaming state-store knob (floor 4 —
+    AQE can't coalesce stateful stages, so small corpora must not
+    inherit the batch floor). Powers of two keep counts stable under
+    small input-size jitter."""
+    need = total // _BYTES_PER_PARTITION
+    p = floor
+    while p < need and p < cap:
+        p *= 2
+    return p
+
+
 def derive_shuffle_partitions(data_dir: str) -> int:
     """Size `spark.sql.shuffle.partitions` from the data, not a constant.
 
@@ -49,31 +81,11 @@ def derive_shuffle_partitions(data_dir: str) -> int:
     stable under small data-size jitter. Measured mapping: sf0.1→32,
     sf10→32, sf30→128, sf100 (15 GB)→256 — reproducing the matrix's
     winning static value at every measured point without env vars."""
-    total = 0
-    for root, _dirs, files in os.walk(data_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-    need = total // _BYTES_PER_PARTITION
-    p = 32
-    while p < need and p < 2048:
-        p *= 2
-    return p
+    return partitions_for_bytes(parquet_bytes(data_dir), floor=32)
 
 
 def _input_bytes(data_dir: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(data_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-    return total
+    return parquet_bytes(data_dir)
 
 
 # derive_scan_conf: below this input volume, Spark's scan defaults stand

@@ -92,27 +92,16 @@ def _stream_state_partitions(sf_dir: str) -> int:
     re-coalesces 32 near-empty state partitions at small scale. Each
     instance costs per-micro-batch task scheduling + store setup,
     measured 1.61 s → 0.82 s on the sf0.1 hourly rollup by sizing
-    32 → 4. Scale with the events input like the batch knob (64 MB of
-    compressed source per state partition, power of two), floored at 4:
+    32 → 4. Sized by the ONE shared rule (session.partitions_for_bytes:
+    64 MB of compressed source per partition, power of two) over the
+    events input alone, floored at 4 instead of the batch knob's 32:
     sf0.1 → 4, sf100 (~7 GB events) → 128 — the same monotone growth a
     cluster deployment gets from executors×cores."""
-    import os as _os
+    from ..session import parquet_bytes, partitions_for_bytes
 
-    path = _os.path.join(sf_dir, "events.parquet")
-    total = 0
-    if _os.path.isdir(path):
-        for root, _dirs, files in _os.walk(path):
-            total += sum(
-                _os.path.getsize(_os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
-    elif _os.path.exists(path):
-        total = _os.path.getsize(path)
-    p = 4
-    while p < total // (64 * 1024 * 1024) and p < 2048:
-        p *= 2
-    return p
+    return partitions_for_bytes(
+        parquet_bytes(os.path.join(sf_dir, "events.parquet")), floor=4
+    )
 
 
 def run_available_now(
