@@ -72,12 +72,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    - events_rollup_incremental: executes refresh_rollup_view, whose
 #      r11 empty-list early-return changed the lifecycle code it runs
 #      (its sibling events_rollup_from_cdf — the row that ALSO consumes
-#      the now-DV-aware changed_partitions_between — is in group 1).
-# 3. 24 of the 37 remaining r8-latest rows — the oldest green rows —
+#      the now-DV-aware changed_partitions_between — is in group 1);
+#    - dedup_minhash_signatures / dedup_simhash: route to the
+#      signature-at-ingest manifests when fresh (late-r11; scan
+#      fallback answers the same oracle).
+# 3. The remaining slots go to the oldest green (r8-latest) rows —
 #    manifest-lifecycle rows first (they execute the r11-changed
 #    _publish_merge/delete_commit code paths), then alphabetical. The
-#    13 r8-latest rows left below the cut march into r12's top-50.
-# 12 + 14 + 24 = 50, counted by test_registry's gate-budget assertion.
+#    15 r8-latest rows left below the cut march into r12's top-50.
+# 12 + 16 + 22 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
     # -- group 1: zero driver history ------------------------------------
     "corpus_decontaminated",
@@ -107,6 +110,8 @@ _GATE_PRIORITY = [
     "streaming_dedup_counts",
     "streaming_click_purchase_join",
     "events_rollup_incremental",
+    "dedup_minhash_signatures",   # late-r11 signature-manifest routing
+    "dedup_simhash",              # late-r11 signature-manifest routing
     # -- group 3: oldest-latest (r8) rows — lifecycle first ---------------
     "docs_after_source_purge",
     "lineitem_after_order_purge",
@@ -130,10 +135,9 @@ _GATE_PRIORITY = [
     "doc_quality_scores",
     "doc_repetition_filter",
     "doc_stratified_sample",
-    "events_asof_purchase_click",
-    "events_sessionization",
     # ---- 50 entries; driver caps at ~50 ----
     # Below the cut, still r8-latest, march into r12's top-50:
+    # events_asof_purchase_click, events_sessionization,
     # label_centroids, media_frame_sample, order_sequence_window,
     # q12_shipmode_priority, q1_pricing_summary, q21_waiting_suppliers,
     # revenue_by_nation, revenue_by_nation_bucketed, routed_search,

@@ -253,3 +253,54 @@ def test_bm25_routing_serves_fresh_and_falls_back(spark, corpus_copy):
         assert not bm25_index_servable(spark, corpus_copy)
     finally:
         _shutil.rmtree(path, ignore_errors=True)
+
+
+def test_signature_manifests_serve_fresh_and_fall_back(spark, corpus_copy):
+    """r11 signature-at-ingest routing: dedup_minhash_signatures /
+    dedup_simhash serve the persisted signature manifests while fresh,
+    match the recompute exactly, honor force_scan_path, and invalidate
+    on a source rewrite."""
+    import shutil as _shutil
+
+    from etl_pdf_pipepline_spark.operators.dedup import (
+        dedup_minhash_signatures,
+        dedup_simhash,
+        ensure_minhash_signatures,
+        ensure_simhash_signatures,
+        signature_manifest_path,
+        signatures_servable,
+    )
+    from etl_pdf_pipepline_spark.plans.bucketed import force_scan_path
+
+    paths = [
+        signature_manifest_path(corpus_copy, "minhash"),
+        signature_manifest_path(corpus_copy, "simhash"),
+    ]
+    try:
+        for fam in ("minhash", "simhash"):
+            assert not signatures_servable(spark, corpus_copy, fam)
+        mh_scan = sorted(tuple(r) for r in dedup_minhash_signatures(spark, corpus_copy).collect())
+        sh_scan = sorted(tuple(r) for r in dedup_simhash(spark, corpus_copy).collect())
+
+        ensure_minhash_signatures(spark, corpus_copy)
+        ensure_simhash_signatures(spark, corpus_copy)
+        for fam in ("minhash", "simhash"):
+            assert signatures_servable(spark, corpus_copy, fam)
+        assert sorted(tuple(r) for r in dedup_minhash_signatures(spark, corpus_copy).collect()) == mh_scan
+        assert sorted(tuple(r) for r in dedup_simhash(spark, corpus_copy).collect()) == sh_scan
+
+        # served plan reads the manifest, not the corpus
+        plan = dedup_minhash_signatures(spark, corpus_copy)._jdf.queryExecution().toString()
+        assert "minhash_sigs_" in plan and "documents.parquet" not in plan
+
+        with force_scan_path():
+            assert not signatures_servable(spark, corpus_copy, "minhash")
+            fplan = dedup_minhash_signatures(spark, corpus_copy)._jdf.queryExecution().toString()
+            assert "documents.parquet" in fplan
+
+        _touch(os.path.join(corpus_copy, "documents.parquet"))
+        for fam in ("minhash", "simhash"):
+            assert not signatures_servable(spark, corpus_copy, fam)
+    finally:
+        for p in paths:
+            _shutil.rmtree(p, ignore_errors=True)
