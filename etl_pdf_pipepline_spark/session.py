@@ -76,12 +76,40 @@ def derive_shuffle_partitions(data_dir: str) -> int:
     with the compute that scales with the data; the local analogue is to
     scale it with the input: one footer-less directory walk sums the
     compressed parquet bytes, and partitions grow as the next power of two
-    of bytes/64 MB, floored at 32 (sf≤10 keeps the gate-tuned default
-    exactly) and capped at 2048. Powers of two keep partition counts
-    stable under small data-size jitter. Measured mapping: sf0.1→32,
-    sf10→32, sf30→128, sf100 (15 GB)→256 — reproducing the matrix's
-    winning static value at every measured point without env vars."""
-    return partitions_for_bytes(parquet_bytes(data_dir), floor=32)
+    of bytes/64 MB, floored at 8 and capped at 2048. Powers of two keep
+    partition counts stable under small data-size jitter. Measured
+    mapping: sf0.1→8, sf10→32, sf30→128, sf100 (15 GB)→256 — identical to
+    the r6 matrix's winning static value at every ≥sf10 point; the sub-
+    512 MB regime dropped from the old floor of 32 to 8 together with the
+    r11 AQE toggle below (derive_aqe_enabled): with AQE off, 8 static
+    partitions measured fastest at sf0.1 and nothing re-coalesces 32
+    near-empty shuffles."""
+    return partitions_for_bytes(parquet_bytes(data_dir), floor=8)
+
+
+# Compressed-input volume below which AQE costs more than it saves: with
+# the floor of 8 partitions × _BYTES_PER_PARTITION, inputs under this fit
+# the floor partition count in a single task wave.
+_AQE_MIN_BYTES = 8 * _BYTES_PER_PARTITION
+
+
+def derive_aqe_enabled(data_dir: str) -> bool:
+    """Data-sized AQE toggle, the third knob of the one sizing rule.
+
+    AQE re-plans at QueryStage boundaries, and each materialized stage is
+    a separate driver job round-trip. At ≥sf30 that buys real wins
+    (runtime coalesce, skew-join splitting — the sf100 matrix), but below
+    ~512 MB compressed input every shuffle already fits the floor
+    partition count in one task wave: there is no spill, skew, or
+    mis-sized exchange for AQE to fix, and the round-trips dominate the
+    wall (profiled sf0.1: 102 driver jobs across the 24-query headline,
+    9 jobs for a single 80-doc Jaccard query). Measured A/B at sf0.1,
+    same session, min-of-2 per query: AQE off + 8 static partitions
+    improved EVERY headline query, whole-headline −30%. Static planning
+    still broadcasts every small dim (parquet stats +
+    autoBroadcastJoinThreshold), which is all the plan choice this
+    volume needs."""
+    return parquet_bytes(data_dir) >= _AQE_MIN_BYTES
 
 
 def _input_bytes(data_dir: str) -> int:
@@ -147,10 +175,11 @@ def get_spark(
             shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
         elif data_dir is not None:
             shuffle_partitions = derive_shuffle_partitions(data_dir)
+    aqe_enabled = derive_aqe_enabled(data_dir) if data_dir is not None else True
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe_enabled).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE re-coalesce the output partitioning of cached plans
@@ -202,6 +231,19 @@ def get_spark(
             # A pin must hold on a REUSED session too (builder confs are
             # ignored then), so apply it at runtime like the derivation.
             spark.conf.set(k, pinned if pinned is not None else scan_conf.get(k, dflt))
+        # The AQE toggle and shuffle sizing are runtime confs like the
+        # scan splits: a reused session re-entered with a different
+        # data_dir must flip to THAT volume's regime (small corpus →
+        # AQE off / floor partitions; large → AQE on / derived count).
+        for k, v in (
+            ("spark.sql.adaptive.enabled", str(aqe_enabled).lower()),
+            (
+                "spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            ),
+        ):
+            pinned = (extra_conf or {}).get(k)
+            spark.conf.set(k, pinned if pinned is not None else v)
     else:
         for k, v in scan_conf.items():
             if (extra_conf or {}).get(k) is None:

@@ -8,9 +8,10 @@ from etl_pdf_pipepline_spark.session import _BYTES_PER_PARTITION, derive_shuffle
 
 
 def test_derived_partitions_floor_and_growth(tmp_path):
-    """Empty/small dirs keep the gate-tuned floor of 32; partitions grow
-    as the next power of two of bytes/64MB and honor the cap."""
-    assert derive_shuffle_partitions(str(tmp_path)) == 32
+    """Empty/small dirs keep the small-regime floor of 8 (r11: paired
+    with AQE off below _AQE_MIN_BYTES); partitions grow as the next
+    power of two of bytes/64MB and honor the cap."""
+    assert derive_shuffle_partitions(str(tmp_path)) == 8
     # fake a "4.5 GB" dir without writing 4.5 GB: sparse file
     big = tmp_path / "lineitem.parquet"
     with open(big, "wb") as f:
@@ -24,12 +25,31 @@ def test_derived_partitions_floor_and_growth(tmp_path):
 
 
 def test_derived_partitions_known_dirs():
-    """The measured mapping from SCALING.md r5 must hold for the real
-    test-data dirs (the gate keeps 32)."""
-    assert derive_shuffle_partitions("/root/testdata/sf0.01") == 32
-    assert derive_shuffle_partitions("/root/testdata/sf0.1") == 32
+    """The measured mapping must hold for the real test-data dirs (small
+    regime → 8; the ≥sf10 points keep their r6-matrix winning values)."""
+    assert derive_shuffle_partitions("/root/testdata/sf0.01") == 8
+    assert derive_shuffle_partitions("/root/testdata/sf0.1") == 8
     if os.path.isdir("/root/repo/.scale/sf100"):
         assert derive_shuffle_partitions("/root/repo/.scale/sf100") == 256
+
+
+def test_derive_aqe_enabled_threshold(tmp_path):
+    """AQE off below 8×64 MB compressed input (the floor partition count
+    fits one task wave — nothing to re-plan), on at/above it."""
+    from etl_pdf_pipepline_spark.session import _AQE_MIN_BYTES, derive_aqe_enabled
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert derive_aqe_enabled(str(small)) is False
+    assert derive_aqe_enabled("/root/testdata/sf0.1") is False
+
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "t.parquet", "wb") as fh:
+        fh.seek(_AQE_MIN_BYTES - 1)
+        fh.write(b"\0")
+    assert derive_aqe_enabled(str(big)) is True
 
 
 def test_derive_scan_conf_thresholds(tmp_path):
@@ -75,15 +95,23 @@ def test_reused_session_resets_scan_conf_below_threshold(spark, tmp_path):
 
     mpb_key = "spark.sql.files.maxPartitionBytes"
     oc_key = "spark.sql.files.openCostInBytes"
-    before = {k: spark.conf.get(k) for k in (mpb_key, oc_key)}
+    aqe_key = "spark.sql.adaptive.enabled"
+    shuf_key = "spark.sql.shuffle.partitions"
+    before = {k: spark.conf.get(k) for k in (mpb_key, oc_key, aqe_key, shuf_key)}
     try:
         s = get_spark(data_dir=str(big))  # reused session, tuned knobs
         assert s is spark
         assert s.conf.get(mpb_key) == str(16 * 1024**3 // (3 * 256))
+        # large regime: AQE on, derived partition count (r11 runtime apply)
+        assert s.conf.get(aqe_key) == "true"
+        assert s.conf.get(shuf_key) == "256"
         # below-threshold re-entry → stock defaults restored
         get_spark(data_dir=str(small))
         assert spark.conf.get(mpb_key) == _SCAN_CONF_DEFAULTS[mpb_key]
         assert spark.conf.get(oc_key) == _SCAN_CONF_DEFAULTS[oc_key]
+        # small regime: AQE off, floor partitions
+        assert spark.conf.get(aqe_key) == "false"
+        assert spark.conf.get(shuf_key) == "8"
         # an explicit extra_conf pin survives the reset
         get_spark(data_dir=str(small), extra_conf={mpb_key: "33554432"})
         assert spark.conf.get(mpb_key) == "33554432"
