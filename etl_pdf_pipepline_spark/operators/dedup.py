@@ -258,15 +258,28 @@ def lsh_band_keys(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     shared banding step of every minhash-LSH consumer (candidate pairs,
     CC grouping, keepers, the persisted band index)."""
     sig = minhash_signature(df, id_col, text_col)
-    bands = None
-    for bi, (a, b) in enumerate(_LSH_BANDS):
-        band = sig.select(
-            id_col,
-            F.lit(bi).alias("band_id"),
-            F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
-    return bands
+    # ONE signature pass, then explode into the 4 band rows. The obvious
+    # alternative — unionAll of one select per band — re-executes the
+    # whole scan→shingle→md5→min-agg subtree per band (Spark plans Union
+    # branches independently; no common-subexpression reuse), i.e. the
+    # minhash compute ×N_BANDS. Profiled at sf0.1 it was 4 scans / 4
+    # exchanges for near_dup_admission; at sf100 the same 4× sat on the
+    # 39.9 s admission wall. Explode keeps it one Generate over the
+    # aggregated signature — same (id, band_id, band_key) rows.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias(
+                    "band_key"
+                ),
+            )
+            for bi, (a, b) in enumerate(_LSH_BANDS)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("__b")).select(
+        id_col, F.col("__b.band_id").alias("band_id"), F.col("__b.band_key").alias("band_key")
+    )
 
 # Shared CTE chain: documents → shingles → minhash signatures → band keys.
 # Every minhash-family oracle (_LSH_ORACLE, _CC_ORACLE, curation) composes

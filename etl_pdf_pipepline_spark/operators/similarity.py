@@ -859,15 +859,39 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _warn_if_oracle_diverges(planes, n_rows)
     sig = emb.select("vec_id", as_double("embedding").alias("v"))
 
-    cand = None
-    for band in range(_LSH_BANDS):
-        keyed = sig.select("vec_id", lsh_band_bucket(F.col("v"), band, planes).alias("k"))
-        a = keyed.select(F.col("vec_id").alias("vec_a"), "k")
-        b = keyed.select(F.col("vec_id").alias("vec_b"), F.col("k").alias("k_r"))
-        pairs = a.join(
-            b, (F.col("k") == F.col("k_r")) & (F.col("vec_a") < F.col("vec_b"))
-        ).select("vec_a", "vec_b")
-        cand = pairs if cand is None else cand.unionAll(pairs)
+    # One keyed pass, one composite-key self-join. The per-band
+    # join-then-unionAll alternative re-executes the scan→sign subtree
+    # per band (Union branches plan independently) and shuffles the
+    # corpus once per band; keying every (band, bucket) in one explode
+    # and self-joining on the composite key produces the identical
+    # OR-of-bands pair set with a single exchange pattern — the same r11
+    # rewrite as dedup.lsh_band_keys.
+    keyed = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_band_bucket(F.col("v"), band, planes).alias("k"),
+                    )
+                    for band in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("vec_id", F.col("__bk.band").alias("band"), F.col("__bk.k").alias("k"))
+    a = keyed.select(F.col("vec_id").alias("vec_a"), "band", "k")
+    b = keyed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("band").alias("band_r"),
+        F.col("k").alias("k_r"),
+    )
+    cand = a.join(
+        b,
+        (F.col("band") == F.col("band_r"))
+        & (F.col("k") == F.col("k_r"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).select("vec_a", "vec_b")
     cand = cand.dropDuplicates(["vec_a", "vec_b"])
     va = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))

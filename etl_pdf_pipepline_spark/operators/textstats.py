@@ -481,29 +481,47 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column; values stringified so heterogenous column types share one
     tidy schema).
 
-    Scale posture: expressed as one aggregate per column unioned — each
-    is a single scan + partial/final aggregate, and Spark schedules the
-    independent aggregates' stages concurrently (the union's children
-    share no shuffle). The exact countDistinct per column is the gate
-    contract (the oracle must match bit-for-bit); at 100 TB the same
-    query swaps in approx_count_distinct (operators/approx.py's HLL
-    contract) per column — the plan shape is unchanged and the scan stays
-    one pass per column either way. Text itself is profiled by the
-    doc_token_stats / doc_quality_scores family, not min/max'd here."""
+    Scale posture (r11): ONE scan. All four columns' statistics compute
+    in a single aggregate — Spark plans the multiple countDistincts via
+    one Expand over the scanned batch, so the table is read and decoded
+    once instead of once per column (the previous per-column-agg union
+    re-scanned documents ×4; at 100 TB the scan IS the cost). The wide
+    one-row aggregate then explodes into the tidy long format. The exact
+    countDistinct per column is the gate contract (the oracle must match
+    bit-for-bit); at 100 TB the same query swaps in approx_count_distinct
+    (operators/approx.py's HLL contract) per column — that variant needs
+    no Expand at all. Text itself is profiled by the doc_token_stats /
+    doc_quality_scores family, not min/max'd here."""
     docs = load_table(spark, sf_dir, "documents")
-
-    def col_profile(c: str) -> DataFrame:
-        return docs.agg(
-            F.lit(c).alias("column_name"),
-            F.count("*").alias("n_rows"),
-            (F.count("*") - F.count(c)).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
-            F.min(c).cast("string").alias("min_value"),
-            F.max(c).cast("string").alias("max_value"),
-        )
-
-    out = None
-    for c in ("doc_id", "lang", "source", "n_chars"):
-        p = col_profile(c)
-        out = p if out is None else out.unionByName(p)
-    return out.orderBy("column_name")
+    cols = ("doc_id", "lang", "source", "n_chars")
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            expr
+            for c in cols
+            for expr in (
+                F.count(c).alias(f"__nn_{c}"),
+                F.countDistinct(c).alias(f"__nd_{c}"),
+                F.min(c).cast("string").alias(f"__mn_{c}"),
+                F.max(c).cast("string").alias(f"__mx_{c}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("__p"))
+        .select("__p.*")
+        .orderBy("column_name")
+    )
