@@ -57,7 +57,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    late-r10 additions the rotation never sampled, all re-verified
 #    check_oracle-green at sf0.01 this session, plus the one NEW r11
 #    row, events_rollup_after_dv — the DV-aware decoupled-daemon gate).
-# 2. The 14 rows whose PLAN or ORACLE changed in r11:
+# 2. The 19 rows whose PLAN or ORACLE changed in r11:
 #    - dedup_lsh_candidates / dedup_simhash_pairs: new `capped` output
 #      column, oracle mirrored (VERDICT r10 ask #4);
 #    - bm25_search / hybrid_rrf_search: route to the persisted postings
@@ -79,8 +79,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 3. The remaining slots go to the oldest green (r8-latest) rows —
 #    manifest-lifecycle rows first (they execute the r11-changed
 #    _publish_merge/delete_commit code paths), then alphabetical. The
-#    15 r8-latest rows left below the cut march into r12's top-50.
-# 12 + 16 + 22 = 50, counted by test_registry's gate-budget assertion.
+#    18 r8-latest rows left below the cut march into r12's top-50.
+# 12 + 19 + 19 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
     # -- group 1: zero driver history ------------------------------------
     "corpus_decontaminated",
@@ -112,6 +112,14 @@ _GATE_PRIORITY = [
     "events_rollup_incremental",
     "dedup_minhash_signatures",   # late-r11 signature-manifest routing
     "dedup_simhash",              # late-r11 signature-manifest routing
+    # late-r11 union-purge rewrites: lsh_band_keys computes the minhash
+    # signature once and explodes bands (these two rows exercise the
+    # rewritten banding against the persisted index), and
+    # embedding_lsh_pairs replaced per-band self-joins + unionAll with
+    # one composite-key join.
+    "near_dup_admission",
+    "near_dup_incremental",
+    "embedding_lsh_pairs",
     # -- group 3: oldest-latest (r8) rows — lifecycle first ---------------
     "docs_after_source_purge",
     "lineitem_after_order_purge",
@@ -132,11 +140,10 @@ _GATE_PRIORITY = [
     "doc_bpe_token_counts",
     "doc_fingerprints",
     "doc_language_id",
-    "doc_quality_scores",
-    "doc_repetition_filter",
-    "doc_stratified_sample",
     # ---- 50 entries; driver caps at ~50 ----
     # Below the cut, still r8-latest, march into r12's top-50:
+    # doc_quality_scores, doc_repetition_filter, doc_stratified_sample
+    # (displaced by the three late-r11 union-purge rows above),
     # events_asof_purchase_click, events_sessionization,
     # label_centroids, media_frame_sample, order_sequence_window,
     # q12_shipmode_priority, q1_pricing_summary, q21_waiting_suppliers,
