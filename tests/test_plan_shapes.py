@@ -1,0 +1,73 @@
+"""Plan-shape regression guards for the r11 union-purge rewrites.
+
+Spark plans unionAll branches independently — N selects over one
+expensive subtree execute it N times. These tests pin the fixed shapes
+(one scan of the expensive input) so the defect can't silently return
+via a refactor that reintroduces a per-band / per-column union.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_band_keys_single_signature_pass(spark):
+    """Banding must compute the minhash signature ONCE and explode, not
+    union per-band selects (each of which re-runs scan+shingle+md5+agg).
+    Pin: exactly one parquet scan and one Generate (explode), no Union."""
+    from etl_pdf_pipepline_spark.operators.dedup import lsh_band_keys
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _executed_plan(lsh_band_keys(docs))
+    assert "Union" not in plan, "per-band union re-executes the signature subtree"
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert plan.count("Generate") >= 1  # shingle explode + band explode
+
+
+def test_embedding_lsh_candidates_single_keyed_join(spark):
+    """Sign-LSH candidate generation: one composite-key (band, bucket)
+    self-join, not a per-band join + union. The full query re-attaches
+    vectors by id afterwards (two more scans, linear by design), so pin
+    the absence of Union — the signature of the per-band shape."""
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    df = all_queries()["embedding_lsh_pairs"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Union" not in plan
+
+
+def test_corpus_profile_single_scan(spark):
+    """The ANALYZE-style profile must read documents ONCE (a wide
+    multi-distinct aggregate planned via Expand), not once per column."""
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    df = all_queries()["corpus_profile"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Union" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Expand" in plan  # multi-countDistinct plans as one Expand
+
+
+def test_lsh_band_keys_rows_unchanged(spark):
+    """The explode rewrite emits exactly the same (id, band_id, band_key)
+    rows as N_BANDS rows per doc with distinct band ids."""
+    from etl_pdf_pipepline_spark.operators.dedup import _LSH_BANDS, lsh_band_keys
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 20)
+    n_docs = docs.count()
+    bands = lsh_band_keys(docs)
+    assert bands.count() == n_docs * len(_LSH_BANDS)
+    per_doc = bands.groupBy("doc_id").agg(
+        F.countDistinct("band_id").alias("n_bands")
+    )
+    assert per_doc.filter(F.col("n_bands") != len(_LSH_BANDS)).count() == 0
