@@ -79,8 +79,9 @@ def chunk_fixed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("chunk").alias("chunk_md5"),
             (F.col("chunk_index") == 0).alias("is_section_start"),
         )
-        .localCheckpoint(eager=False)
-        .orderBy("doc_id", "chunk_index")
+        # r12: unbounded per-chunk listing — the terminal orderBy (and the
+        # localCheckpoint that existed to keep its sample pass from
+        # re-running the chunker) is gone; order-insensitive compare.
     )
 
 

@@ -240,14 +240,19 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest recomputes (the honest fallback, same oracle either way,
     and bench publishes the scan wall beside the served one). At sf100
     the recompute is ~51 s of md5 per query; the serve is one 6 M-row
-    9-column read."""
+    9-column read.
+
+    r12: no terminal sort — this is an unbounded full listing, the
+    driver/oracle compare is order-insensitive, and a global orderBy
+    here is a pure full-shuffle range sort (sample job + exchange) that
+    costs nothing at sf0.01 and everything at 100×. Consumers that need
+    an order say so (tests/test_plan_shapes.py pins sort-free serves)."""
     if signatures_servable(spark, sf_dir, "minhash"):
-        return (
-            spark.read.parquet(signature_manifest_path(sf_dir, "minhash"))
-            .orderBy("doc_id")
-        )
+        from ..sources.catalog import read_parquet_cached
+
+        return read_parquet_cached(spark, signature_manifest_path(sf_dir, "minhash"))
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signature(docs, "doc_id", "text").orderBy("doc_id")
+    return minhash_signature(docs, "doc_id", "text")
 
 
 _LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
@@ -543,9 +548,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on, so the cap adds one aggregate, not a new exchange
     pattern. Jaccard is computed over the capped vocabulary on both
     engines (tests/test_dedup.py pins the stopword-dense case)."""
+    from ..sources.catalog import table_scalar_cached
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    # DF cap as a driver-side literal, memoized per documents-table
+    # signature (r12): the probe's doc count is a bounded scalar; folding
+    # it in drops the per-call single-row-aggregate broadcast job.
+    n_docs = table_scalar_cached(
+        spark, sf_dir, "documents", "n_docs_lt80", docs.count
+    )
+    cap = max(1, int(MAX_DF_FRAC * n_docs))
     return (
-        token_jaccard_pairs(docs, "doc_id", "text")
+        token_jaccard_pairs(docs, "doc_id", "text", max_df_count=cap)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(20)
     )
@@ -556,22 +570,35 @@ def token_jaccard_pairs(
     id_col: str,
     text_col: str,
     max_df_frac: float = MAX_DF_FRAC,
+    max_df_count: int | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) over the DF-capped token vocabulary."""
+    """(doc_a, doc_b, jaccard) over the DF-capped token vocabulary.
+
+    r12 plan shape: the DF cap is applied with a count-over-window on the
+    SAME term-partitioned exchange the pair self-join needs anyway (the
+    old groupBy(term)+left_semi shape tokenized the corpus twice and
+    added a second term shuffle for the semi probe; the window adds a
+    per-partition sort but removes a whole pass — and the self-join
+    below reuses the exchange). `max_df_count`, when given, is the cap
+    as a driver-side literal (callers memoize it per table signature via
+    table_scalar_cached) — otherwise one single-row aggregate is
+    broadcast-crossed in, which costs an extra broadcast job per call."""
     terms = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(distinct_tokens(text_col)).alias("term")
     )
-    max_df = docs.agg(
-        F.greatest(F.lit(1), F.floor(F.lit(max_df_frac) * F.count("*"))).alias("max_df")
-    )
-    kept_terms = (
-        terms.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(max_df))
-        .filter(F.col("df") <= F.col("max_df"))
-        .select("term")
-    )
-    kept = terms.join(kept_terms, "term", "left_semi")
+    w_term = Window.partitionBy("term")
+    with_df = terms.withColumn("df", F.count("*").over(w_term))
+    if max_df_count is not None:
+        kept = with_df.filter(F.col("df") <= F.lit(int(max_df_count))).drop("df")
+    else:
+        max_df = docs.agg(
+            F.greatest(F.lit(1), F.floor(F.lit(max_df_frac) * F.count("*"))).alias("max_df")
+        )
+        kept = (
+            with_df.crossJoin(F.broadcast(max_df))
+            .filter(F.col("df") <= F.col("max_df"))
+            .drop("df", "max_df")
+        )
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")
@@ -686,14 +713,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r11: routes to the persisted signature-at-ingest manifest when fresh
     (ensure_simhash_signatures — same serve-or-build/fallback/oracle
-    contract as the minhash row above)."""
+    contract as the minhash row above). r12: sort-free full listing and
+    memoized manifest scan, same rationale as the minhash row."""
     if signatures_servable(spark, sf_dir, "simhash"):
-        return (
-            spark.read.parquet(signature_manifest_path(sf_dir, "simhash"))
-            .orderBy("doc_id")
-        )
+        from ..sources.catalog import read_parquet_cached
+
+        return read_parquet_cached(spark, signature_manifest_path(sf_dir, "simhash"))
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(docs).orderBy("doc_id")
+    return simhash_signatures(docs)
 
 
 @query(
@@ -1940,11 +1967,19 @@ def _delta_admission(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     """The marginal admission plan shared by the full-rebuild gate row and
     the steady-state serving row: band the delta live, left-join the
     persisted index on (band_id, band_key), count distinct corpus docs
-    sharing ≥1 band (explicit zero negatives)."""
+    sharing ≥1 band (explicit zero negatives).
+
+    r12: the index scan is memoized per file-stat signature
+    (read_parquet_cached — an unchanged index costs zero footer
+    round-trips per admission), and the per-delta-doc report carries no
+    terminal global sort (unbounded listing, order-insensitive compare;
+    an admission daemon keys on doc_id anyway)."""
+    from ..sources.catalog import read_parquet_cached
+
     docs = load_table(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 20 == 0)
     delta_bands = lsh_band_keys(delta)
-    idx = spark.read.parquet(path).select(
+    idx = read_parquet_cached(spark, path).select(
         "band_id", "band_key", F.col("doc_id").alias("dup_id")
     )
     return (
@@ -1954,7 +1989,6 @@ def _delta_admission(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
             F.countDistinct("dup_id").alias("n_dup_candidates"),
             F.min("dup_id").alias("min_dup_id"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ordering import ordered_small
 from ..registry import query
 from ..sources.catalog import load_table
 
@@ -70,7 +71,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             "avg_value",
         )
-        .orderBy("window_start", "event_type")
+        # r12: the rollup output is hours×types (~3k rows at sf30) —
+        # ordered_small keeps the total order without the RangePartitioner
+        # sample job + exchange a terminal orderBy plans.
+        .transform(lambda df: ordered_small(df, "window_start", "event_type"))
     )
 
 
@@ -161,7 +165,7 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("gap_ms").cast("double") / F.count("*") / 1000, 2).alias("avg_gap_s"),
             F.round(F.max("gap_ms").cast("double") / 1000, 2).alias("max_gap_s"),
         )
-        .orderBy("user_id")
+        .transform(lambda df: ordered_small(df, "user_id"))
     )
 
 
@@ -209,7 +213,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sess.groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"))
-        .orderBy("user_id", "session_id")
+        .transform(lambda df: ordered_small(df, "user_id", "session_id"))
     )
 
 

@@ -271,12 +271,13 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf30 — 3.96 s — because the 64-hex digest output is wide.) Both
     variants' numbers are in SCALING.md."""
     media = media_table(spark, sf_dir)
+    # r12: unbounded per-media listing — no terminal global sort.
     return media.select(
         "media_id",
         "media_type",
         F.octet_length("content").alias("n_bytes"),
         F.sha2("content", 256).alias("content_sha"),
-    ).orderBy("media_id")
+    )
 
 
 def media_manifest_path(sf_dir: str) -> str:
@@ -347,9 +348,14 @@ def media_metadata_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same ingest-face/serving-face split as near_dup_incremental vs
     near_dup_admission and ivf_probe_from_index vs ivf_probe_served.
     Retires the media_metadata weak row (3.7× sf100 sweep) for
-    consumers: the digest floor is paid once per corpus, not per query."""
+    consumers: the digest floor is paid once per corpus, not per query.
+    r12: memoized manifest scan, no terminal sort (unbounded listing,
+    order-insensitive compare — a global orderBy here is a free-standing
+    full-shuffle range sort at 100×)."""
+    from ..sources.catalog import read_parquet_cached
+
     path = ensure_media_manifest(spark, sf_dir)
-    return spark.read.parquet(path).orderBy("media_id")
+    return read_parquet_cached(spark, path)
 
 
 @query(
@@ -593,7 +599,8 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["thumb_digest"].append(digest)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(batches, out_schema).orderBy("media_id")
+    # r12: unbounded per-media listing — no terminal global sort.
+    return media.mapInPandas(batches, out_schema)
 
 
 @query(

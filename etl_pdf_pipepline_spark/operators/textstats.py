@@ -96,8 +96,14 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold-replaced-by-second-regex-pass variant re-measured WORSE
     (11.87 s), confirming the r4 decision. Named floor: per-doc regex
     split + distinct over ~4.5 GB of text, embarrassingly parallel —
-    a cluster divides it per executor; no shuffle is involved until
-    the 5-column checkpoint rows."""
+    a cluster divides it per executor; no shuffle is involved at all.
+
+    r12: the terminal orderBy("doc_id") (and the localCheckpoint that
+    existed only to make its RangePartitioner sample pass cheap) is
+    GONE — this is an unbounded per-doc listing, the oracle compare is
+    order-insensitive, and the r4/r7 numbers above show the sort was
+    the single biggest avoidable cost (+5.8 s of the sf30 wall). The
+    plan is now a pure embarrassingly-parallel map, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens("text").alias("toks"))
     stats = staged.select(
@@ -117,8 +123,6 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_distinct").cast("double") / n_toks, 4).alias("ttr"),
             F.round(F.col("nonws") / n_toks, 4).alias("avg_word_len"),
         )
-        .localCheckpoint(eager=False)
-        .orderBy("doc_id")
     )
 
 

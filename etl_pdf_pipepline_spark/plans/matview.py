@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import cents as _cents
+from ..functions.ordering import ordered_small
 from ..registry import query
 from ..sources.catalog import load_table
 from .partitioned import MERGE_ORACLE, TARGET_DAY, _merge_cdc_batch
@@ -653,5 +654,6 @@ def streaming_hourly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round(F.col("total_cents").cast("double") / 100, 2).alias("total_value"),
         )
-        .orderBy("window_start", "event_type")
+        # r12: O(hours×types) rows — ordered_small, no range-sample job.
+        .transform(lambda df: ordered_small(df, "window_start", "event_type"))
     )

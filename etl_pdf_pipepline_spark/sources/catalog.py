@@ -119,6 +119,82 @@ def table_stat_signature(sf_dir: str, tables: tuple[str, ...]) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
+def path_stat_signature(path: str) -> str:
+    """table_stat_signature for an arbitrary artifact directory (or file):
+    md5 over (relpath, mtime_ns, size) of every file under it. One stat
+    per file, no data read — ~1 ms per thousand files, vs ~190 ms for the
+    spark.read.parquet footer/schema round-trip it lets callers skip."""
+    import hashlib
+
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                try:
+                    st = os.stat(os.path.join(root, fn))
+                except OSError:
+                    continue
+                parts.append(f"{root}/{fn}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{path}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+# (session id, abspath) -> (stat signature at read time, scan DataFrame)
+_PARQUET_CACHE: dict[tuple[int, str], tuple[str, DataFrame]] = {}
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet memoized per (session, path, file-stat signature).
+
+    Building a parquet scan DataFrame costs a ~190 ms driver round-trip
+    (file listing + footer schema inference over py4j) EVERY call — at
+    sf0.1 that floor dominated every index-served query's wall (the r11
+    profile: serving paths re-reading an unchanged postings/signature/
+    manifest layout per query). DataFrames are immutable and the scan's
+    InMemoryFileIndex snapshots the listing at creation, so reusing one is
+    correct exactly as long as the files it listed are unchanged — which
+    is what the stat signature (mtime_ns+size of every file under `path`)
+    checks, the same freshness currency the serve-or-build layouts already
+    use. Any rewrite/extend/compaction changes the signature and the next
+    call re-reads. Lifecycle verbs that read-then-overwrite a path simply
+    miss the cache (one extra stat walk, no staleness)."""
+    key = (id(spark), os.path.abspath(path))
+    sig = path_stat_signature(path)
+    hit = _PARQUET_CACHE.get(key)
+    # `is spark` guards id() reuse after a stopped session is collected,
+    # same as load_table's _DF_CACHE.
+    if hit is not None and hit[0] == sig and hit[1].sparkSession is spark:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _PARQUET_CACHE[key] = (sig, df)
+    return df
+
+
+# (session id, sf_dir, table, tag) -> (table stat signature, value)
+_SCALAR_CACHE: dict[tuple[int, str, str, str], tuple[str, object]] = {}
+
+
+def table_scalar_cached(spark: SparkSession, sf_dir: str, table: str, tag: str, compute):
+    """Memoize a BOUNDED driver-side scalar derived from one source table
+    (e.g. max(user_id) for a decile cut) per (session, table, file-stat
+    signature). These scalars are properties of the table contents, not of
+    the query — recomputing one per query is a whole extra Spark job of
+    pure repetition (the r12 floor profile: events_zorder_served paid a
+    max(user_id) job on every call). Same staleness currency as every
+    serve-or-build layout: any change to the table's files changes the
+    signature and forces recompute."""
+    key = (id(spark), sf_dir, table, tag)
+    sig = table_stat_signature(sf_dir, (table,))
+    hit = _SCALAR_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    val = compute()
+    _SCALAR_CACHE[key] = (sig, val)
+    return val
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

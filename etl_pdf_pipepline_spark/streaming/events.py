@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.ordering import ordered_small
 from ..plans.partitioned import DAY_ROLLUP_ORACLE as _DAY_ROLLUP_ORACLE
 from ..registry import query
 
@@ -190,9 +191,13 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_available_now(
-        agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
-    ).orderBy("window_start", "event_type")
+    return ordered_small(
+        run_available_now(
+            agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
+        ),
+        "window_start",
+        "event_type",
+    )
 
 
 _SESSION_STATE_SCHEMA = T.StructType(
