@@ -171,15 +171,20 @@ def main() -> None:
             )
             raise SystemExit(2)
 
-    # Timed phase: min of 2 repetitions per query (timeit convention) —
+    # Timed phase: min of N repetitions per query (timeit convention) —
     # shared-machine noise and JVM GC make single-shot numbers swing ±50%.
-    # Each repetition REBUILDS the DataFrame: re-collecting a prepared one
-    # would let the DAG scheduler skip already-computed shuffle map stages
-    # (measured 5× "speedup" that is really result reuse, not execution).
+    # N=3 at gate/sf0.1 sizes where a rep is sub-second and run-to-run GC
+    # jitter dominates the signal; N=2 at scale sweeps where a rep is tens
+    # of seconds and a third would add minutes per query for little
+    # variance reduction. Each repetition REBUILDS the DataFrame:
+    # re-collecting a prepared one would let the DAG scheduler skip
+    # already-computed shuffle map stages (measured 5× "speedup" that is
+    # really result reuse, not execution).
+    reps = 3 if 0 < sf <= 1 else 2
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             qs[name](spark, sf_dir).toPandas()
             best = min(best, time.time() - t0)

@@ -146,12 +146,17 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINH
     assert k <= len(MH_A), "k exceeds the fixed universal-hash family"
     sh = shingle_rows(df, id_col, text_col)
     digests = sh.select("__id", F.md5("sh").alias("__d"))
+    # r12: the slice/affine expressions are JVM-parsed SQL strings — the
+    # chained-Column form cost ~70 py4j round-trips (~0.2 s) PER PLAN
+    # CONSTRUCTION at any scale; the parsed trees (and the arithmetic:
+    # int literal × bigint slice promotes to bigint exactly as
+    # lit(int) × col did) are identical.
     slices = digests.select(
         "__id",
         *[
-            F.conv(F.substring(F.col("__d"), j * 8 + 1, 8), 16, 10)
-            .cast("bigint")
-            .alias(f"__h{j}")
+            F.expr(f"cast(conv(substring(__d, {j * 8 + 1}, 8), 16, 10) as bigint)").alias(
+                f"__h{j}"
+            )
             for j in range(4)
         ],
     )
@@ -159,8 +164,8 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = N_MINH
         slices.groupBy("__id")
         .agg(
             *[
-                F.min(
-                    (F.lit(MH_A[i]) * F.col(f"__h{i % 4}") + F.lit(MH_B[i])) % F.lit(MH_P)
+                F.expr(
+                    f"min(({MH_A[i]} * __h{i % 4} + {MH_B[i]}) % {MH_P})"
                 ).alias(f"mh{i}")
                 for i in range(k)
             ]
@@ -271,18 +276,13 @@ def lsh_band_keys(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     # exchanges for near_dup_admission; at sf100 the same 4× sat on the
     # 39.9 s admission wall. Explode keeps it one Generate over the
     # aggregated signature — same (id, band_id, band_key) rows.
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.md5(F.concat_ws(":", F.col(f"mh{a}"), F.col(f"mh{b}"))).alias(
-                    "band_key"
-                ),
-            )
+    bands_sql = "array({})".format(
+        ", ".join(
+            f"struct({bi} as band_id, md5(concat_ws(':', mh{a}, mh{b})) as band_key)"
             for bi, (a, b) in enumerate(_LSH_BANDS)
-        ]
+        )
     )
-    return sig.select(id_col, F.explode(bands).alias("__b")).select(
+    return sig.select(id_col, F.explode(F.expr(bands_sql)).alias("__b")).select(
         id_col, F.col("__b.band_id").alias("band_id"), F.col("__b.band_key").alias("band_key")
     )
 
@@ -675,27 +675,31 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     # of a substring+IN over hex characters; all 16 bit-sums still run in
     # ONE hash-agg pass (the position cross-join variant shuffles 16× the
     # rows for the same answer).
+    # r12: all three expression layers are JVM-parsed SQL strings — the
+    # chained-Column form (2 conv chains + 16 shift/mask aggregates + a
+    # 16-arm CASE sum) cost ~0.4 s of py4j round-trips per plan
+    # construction; the parsed trees are identical (shiftright/& / the
+    # same bigint casts).
     ints = hashed.select(
         "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("b1"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b2"),
+        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").alias("b1"),
+        F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").alias("b2"),
     )
 
-    def bit_sign(pos: int):
+    def bit_sign_sql(pos: int) -> str:
         col = "b1" if pos <= 8 else "b2"
         shift = ((8 - pos) if pos <= 8 else (16 - pos)) * 4 + 3
-        return F.sum(F.shiftright(F.col(col), shift).bitwiseAND(F.lit(1)) * 2 - 1)
+        return f"sum((shiftright({col}, {shift}) & 1) * 2 - 1)"
 
     sums = ints.groupBy("doc_id").agg(
-        *[bit_sign(pos).alias(f"s{pos}") for pos in range(1, 17)]
+        *[F.expr(bit_sign_sql(pos)).alias(f"s{pos}") for pos in range(1, 17)]
     )
-    simhash = None
-    for pos in range(1, 17):
-        bit = F.when(F.col(f"s{pos}") > 0, F.lit(1 << (16 - pos)).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        simhash = bit if simhash is None else simhash + bit
-    return sums.select("doc_id", simhash.alias("simhash"))
+    simhash_sql = " + ".join(
+        f"(CASE WHEN s{pos} > 0 THEN cast({1 << (16 - pos)} as bigint) "
+        f"ELSE cast(0 as bigint) END)"
+        for pos in range(1, 17)
+    )
+    return sums.select("doc_id", F.expr(simhash_sql).alias("simhash"))
 
 
 @query(

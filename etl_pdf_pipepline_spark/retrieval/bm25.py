@@ -118,14 +118,31 @@ def _score_postings(
         matched.join(F.broadcast(df_counts), "term")
         .join(doc_stats, "doc_key")
         .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "term_score",
-            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
+        # One JVM-parsed scoring expression (r12) — see _term_score_sql.
+        .withColumn("term_score", F.expr(_term_score_sql(k1, b)))
         .groupBy("doc_key")
         .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def _term_score_sql(
+    k1: float, b: float, n: int | None = None, avgdl: float | None = None
+) -> str:
+    """The Lucene-style per-posting score as ONE SQL string — parsed
+    JVM-side in a single py4j round-trip instead of built as ~15 chained
+    Column calls (the r12 construction-floor fix; the parsed tree and its
+    arithmetic are identical to the Column form both scorers used before).
+    Live path: `n`/`avgdl` are columns from the broadcast corpus row.
+    Index path: they fold in as literals (repr() round-trips doubles
+    exactly; n < 2^53 makes double-vs-long subtraction order exact)."""
+    # NB: the D suffix is load-bearing — a bare "500.0" parses as a
+    # DECIMAL literal in Spark SQL, not a double.
+    n_sql = "n" if n is None else f"{float(n)!r}D"
+    avgdl_sql = "avgdl" if avgdl is None else f"{float(avgdl)!r}D"
+    return (
+        f"log(1.0D + ({n_sql} - df + 0.5D) / (df + 0.5D)) "
+        f"* (tf * {k1 + 1.0!r}D) "
+        f"/ (tf + {k1!r}D * ({1.0 - b!r}D + {b!r}D * dl / {avgdl_sql}))"
     )
 
 
@@ -454,12 +471,11 @@ def bm25_scores_from_index(
     df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
     return (
         matched.join(F.broadcast(df_counts), "term")
-        .withColumn(
-            "term_score",
-            F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
-        )
+        # One JVM-parsed scoring expression (r12): the corpus scalars fold
+        # in as double literals (repr() round-trips exactly), same tree and
+        # same arithmetic as the Column form it replaces — construction is
+        # one py4j call instead of ~15.
+        .withColumn("term_score", F.expr(_term_score_sql(k1, b, n=n, avgdl=avgdl)))
         .groupBy("doc_key")
         .agg(F.sum("term_score").alias("score"))
     )

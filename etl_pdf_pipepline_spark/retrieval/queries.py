@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import title_from_filename, tokens
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, as_double_sql, cosine, cosine_expr
 from ..registry import query
 from ..sources.catalog import load_table
 from .bm25 import bm25_scores, bm25_topk
@@ -443,13 +443,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
     kw_rank = rank_top(kw, 20, "doc_key")
 
-    qdf = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
-    vec_scored = (
-        emb.crossJoin(F.broadcast(qdf))
-        .select(
-            F.col("vec_id").alias("doc_key"),
-            F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
-        )
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.expr(as_double_sql("embedding")).alias("qv")
+    )
+    vec_scored = emb.crossJoin(F.broadcast(qdf)).select(
+        F.col("vec_id").alias("doc_key"),
+        cosine_expr(as_double_sql("embedding"), "qv", digits=4).alias("score"),
     )
     vec_rank = rank_top(vec_scored, 20, "doc_key")
 
@@ -475,10 +474,12 @@ def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw_rank = rank_top(bm25_scores_from_index(spark, path, QUERY_TERMS), 20, "doc_key")
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.expr(as_double_sql("embedding")).alias("qv")
+    )
     vec_scored = emb.crossJoin(F.broadcast(qdf)).select(
         F.col("vec_id").alias("doc_key"),
-        F.round(cosine(as_double("embedding"), F.col("qv")), 4).alias("score"),
+        cosine_expr(as_double_sql("embedding"), "qv", digits=4).alias("score"),
     )
     vec_rank = rank_top(vec_scored, 20, "doc_key")
 

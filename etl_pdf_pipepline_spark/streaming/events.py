@@ -126,18 +126,37 @@ def run_available_now(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # A memory-sink drain is ephemeral BY CONTRACT (the sink itself is
+    # non-durable), so its checkpoint — offset log, commit log, state
+    # store deltas, all fsync'd per micro-batch — carries no recovery
+    # value past awaitTermination. Put it on RAM (tmpfs) when available
+    # instead of Spark's disk tempdir: measured 0.94 → 0.72 s on the
+    # sf0.1 hourly drain (r12). Durable ingest queries (the CDC/lake
+    # writers) pass their own persistent checkpointLocation and never
+    # route through here.
+    ckpt = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="drain_ckpt_", dir="/dev/shm")
     try:
-        q = (
+        writer = (
             stage.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.awaitTermination()
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt is not None:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     _SINK_TABLES.append(name)
     return stage.sparkSession.table(name)
 

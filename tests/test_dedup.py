@@ -227,7 +227,9 @@ def test_near_dup_incremental_covers_delta_with_explicit_negatives(spark):
     expected = sorted(
         r.doc_id for r in docs.filter("doc_id % 20 = 0").select("doc_id").collect()
     )
-    assert [r.doc_id for r in rows] == expected
+    # r12: the admission report is an unbounded listing with no terminal
+    # sort — compare as sets of delta ids (exactly-once is the contract).
+    assert sorted(r.doc_id for r in rows) == expected
     for r in rows:
         assert r.n_dup_candidates >= 0
         if r.n_dup_candidates == 0:
