@@ -50,106 +50,103 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r11 ordering, same invariant since
-# r3 (any query whose plan/oracle changes enters the next gate's top-50):
+# of the contract, so it is explicit. r12 ordering, same invariant since
+# r3 (any query whose EXECUTED PLAN or oracle changes enters the next
+# gate's top-50):
 #
-# 1. The 12 ZERO-driver-history rows (VERDICT r10 ask #1: the 11
-#    late-r10 additions the rotation never sampled, all re-verified
-#    check_oracle-green at sf0.01 this session, plus the one NEW r11
-#    row, events_rollup_after_dv — the DV-aware decoupled-daemon gate).
-# 2. The 19 rows whose PLAN or ORACLE changed in r11:
-#    - dedup_lsh_candidates / dedup_simhash_pairs: new `capped` output
-#      column, oracle mirrored (VERDICT r10 ask #4);
-#    - bm25_search / hybrid_rrf_search: route to the persisted postings
-#      index when fresh (scan fallback answers the same oracle);
-#    - dedup_connected_components / dedup_keepers /
-#      corpus_curation_stats / embedding_cluster_components /
-#      semantic_dedup_keepers: closure internals reworked (one job per
-#      round) and/or banded_pairs now carries the capped column;
-#    - streaming_hourly_rollup / streaming_session_counts /
-#      streaming_dedup_counts / streaming_click_purchase_join: drains
-#      size state-store partitions from the input;
-#    - events_rollup_incremental: executes refresh_rollup_view, whose
-#      r11 empty-list early-return changed the lifecycle code it runs
-#      (its sibling events_rollup_from_cdf — the row that ALSO consumes
-#      the now-DV-aware changed_partitions_between — is in group 1);
-#    - dedup_minhash_signatures / dedup_simhash: route to the
-#      signature-at-ingest manifests when fresh (late-r11; scan
-#      fallback answers the same oracle).
-# 3. The remaining slots go to the oldest green (r8-latest) rows —
-#    manifest-lifecycle rows first (they execute the r11-changed
-#    _publish_merge/delete_commit code paths), then alphabetical. The
-#    18 r8-latest rows left below the cut march into r12's top-50.
-# 12 + 19 + 19 = 50, counted by test_registry's gate-budget assertion.
+# 1. The 18 r8-latest rows (VERDICT r11 ask #2: the oldest driver
+#    evidence in the registry — all marched into this gate, displacing
+#    the r11 rows, which are the newest evidence).
+# 2. The 17 further rows whose executed plan changed in r12:
+#    - the sort-free listing serves (terminal global orderBy dropped:
+#      dedup_minhash_signatures, dedup_simhash, media_metadata,
+#      media_metadata_served, doc_token_stats, chunk_fixed_window,
+#      customer_order_profile, near_dup_admission/_incremental —
+#      pinned by tests/test_plan_shapes.py);
+#    - the ordered_small rewrites (coalesce(1)+sortWithinPartitions on
+#      provably-small results: events_hourly_rollup, events_user_gaps,
+#      streaming_hourly_rollup, streaming_hourly_served,
+#      events_zorder_served/_pruned — no RangePartitioner sample job);
+#    - revenue_by_nation_scan (single-broadcast fused dim chain, n_name
+#      carry — the routed/bucketed twins are group-1 marchers);
+#    - dedup_ngram_jaccard (DF cap via count-over-window on the reused
+#      term exchange + cached-scalar literal cap).
+#    NOT gate-entering (executed plan bit-identical, only construction
+#    changed): the bm25/hybrid family's F.expr score strings, the
+#    minhash/simhash/banding expr-string builders, and every
+#    read_parquet_cached serve (same scan, memoized handle) — all
+#    r10/r11-green, re-verified vs oracles at sf0.01 this round.
+# 3. The remaining 15 slots: oldest-latest (r9) rows — first the four
+#    that execute r12-touched code (the RAM-checkpoint drain lifecycle:
+#    streaming_versioned_ingest, streaming_rollup_maintenance; the
+#    expr-string minhash family: doc_shingle_novelty; headline:
+#    ann_cosine_topk), then alphabetical r9 fill.
+# 18 + 17 + 15 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
-    # -- group 1: zero driver history ------------------------------------
-    "corpus_decontaminated",
-    "corpus_seeded_shuffle",
-    "dedup_cc_incremental",
-    "doc_duplicate_spans",
-    "doc_span_scrub",
-    "docs_lake_cdf_admission",
-    "events_change_feed",
-    "events_count_served",
-    "events_merge_on_read",
-    "events_rollup_after_dv",   # NEW r11
-    "events_rollup_from_cdf",
-    "streaming_cdc_dv_ingest",
-    # -- group 2: r11 plan/oracle changes ---------------------------------
-    "dedup_lsh_candidates",
-    "dedup_simhash_pairs",
-    "bm25_search",
-    "hybrid_rrf_search",
-    "dedup_connected_components",
-    "dedup_keepers",
-    "corpus_curation_stats",
-    "embedding_cluster_components",
-    "semantic_dedup_keepers",
-    "streaming_hourly_rollup",
-    "streaming_session_counts",
-    "streaming_dedup_counts",
-    "streaming_click_purchase_join",
-    "events_rollup_incremental",
-    "dedup_minhash_signatures",   # late-r11 signature-manifest routing
-    "dedup_simhash",              # late-r11 signature-manifest routing
-    # late-r11 union-purge rewrites: lsh_band_keys computes the minhash
-    # signature once and explodes bands (these two rows exercise the
-    # rewritten banding against the persisted index), and
-    # embedding_lsh_pairs replaced per-band self-joins + unionAll with
-    # one composite-key join.
+    # -- group 1: the 18 r8-latest marchers -------------------------------
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_stratified_sample",
+    "events_asof_purchase_click",
+    "events_sessionization",
+    "label_centroids",
+    "media_frame_sample",
+    "order_sequence_window",
+    "q12_shipmode_priority",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "revenue_by_nation",
+    "revenue_by_nation_bucketed",
+    "routed_search",
+    "salted_skew_join",
+    "segment_acctbal_stats",
+    "shipping_priority_bucketed",
+    "shipping_priority_top10",
+    # -- group 2: r12 executed-plan changes -------------------------------
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "media_metadata",
+    "media_metadata_served",
+    "doc_token_stats",
+    "chunk_fixed_window",
+    "customer_order_profile",
     "near_dup_admission",
     "near_dup_incremental",
-    "embedding_lsh_pairs",
-    # -- group 3: oldest-latest (r8) rows — lifecycle first ---------------
-    "docs_after_source_purge",
-    "lineitem_after_order_purge",
-    "events_partitioned_merge",
-    "events_versioned_merge",
-    "events_partition_pruned_day",
-    "events_zorder_pruned",
+    "events_hourly_rollup",
+    "events_user_gaps",
+    "streaming_hourly_rollup",
+    "streaming_hourly_served",
     "events_zorder_served",
-    "streaming_near_dup_ingest",
-    "streaming_partitioned_ingest",
-    "hybrid_rrf_from_index",
-    "context_assembly",
-    "corpus_contamination_probe",
-    "corpus_mixture_sample",
-    "corpus_profile",
-    "corpus_top_terms_per_lang",
-    "dedup_exact",
-    "doc_bpe_token_counts",
-    "doc_fingerprints",
-    "doc_language_id",
+    "events_zorder_pruned",
+    "revenue_by_nation_scan",
+    "dedup_ngram_jaccard",
+    # -- group 3: oldest-latest (r9) rotation -----------------------------
+    "streaming_versioned_ingest",
+    "streaming_rollup_maintenance",
+    "doc_shingle_novelty",
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "customer_balance_quartiles",
+    "doc_dup_paragraph_fraction",
+    "doc_dup_paragraph_removal",
+    "doc_hashes",
+    "doc_lookup_filters",
+    "doc_titles_from_filenames",
+    "doc_token_estimates",
+    "embedding_near_dup_pairs",
+    "events_anomaly_zscore",
+    "events_daily_rollup_totals",
     # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut, still r8-latest, march into r12's top-50:
-    # doc_quality_scores, doc_repetition_filter, doc_stratified_sample
-    # (displaced by the three late-r11 union-purge rows above),
-    # events_asof_purchase_click, events_sessionization,
-    # label_centroids, media_frame_sample, order_sequence_window,
-    # q12_shipmode_priority, q1_pricing_summary, q21_waiting_suppliers,
-    # revenue_by_nation, revenue_by_nation_bucketed, routed_search,
-    # salted_skew_join, segment_acctbal_stats, shipping_priority_bucketed,
-    # shipping_priority_top10.
+    # Below the cut, next-oldest (remaining r9): events_funnel_counts,
+    # events_lake_compaction, events_lake_optimize,
+    # events_range_join_attribution, events_retention_cohorts,
+    # events_schema_evolution, events_snapshot_pruned,
+    # incremental_new_docs, media_decode_filter, media_png_roundtrip,
+    # orders_status_counts, priority_set_ops, q10_returned_items,
+    # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+    # q17_small_quantity_revenue, q18_large_volume_customers,
+    # q19_disjunctive_revenue, q4_order_priority, q6_forecast_revenue,
+    # q7_volume_shipping — march into r13's top-50.
 ]
 
 

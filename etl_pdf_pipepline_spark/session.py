@@ -52,11 +52,13 @@ def parquet_bytes(path: str) -> int:
 def partitions_for_bytes(total: int, floor: int, cap: int = 2048) -> int:
     """The ONE sizing rule: one partition per _BYTES_PER_PARTITION of
     compressed input, rounded up to a power of two, clamped to
-    [floor, cap]. Shared by the batch shuffle knob (floor 32 — the
-    gate-tuned default) and the streaming state-store knob (floor 4 —
-    AQE can't coalesce stateful stages, so small corpora must not
-    inherit the batch floor). Powers of two keep counts stable under
-    small input-size jitter."""
+    [floor, cap]. Shared by the batch shuffle knob (floor 8 since r11,
+    paired with the data-sized AQE toggle below — with AQE off at small
+    volumes, 8 static partitions measured fastest and nothing
+    re-coalesces 32 near-empty shuffles) and the streaming state-store
+    knob (floor 4 — AQE can't coalesce stateful stages, so small corpora
+    must not inherit the batch floor). Powers of two keep counts stable
+    under small input-size jitter."""
     need = total // _BYTES_PER_PARTITION
     p = floor
     while p < need and p < cap:
@@ -108,7 +110,12 @@ def derive_aqe_enabled(data_dir: str) -> bool:
     improved EVERY headline query, whole-headline −30%. Static planning
     still broadcasts every small dim (parquet stats +
     autoBroadcastJoinThreshold), which is all the plan choice this
-    volume needs."""
+    volume needs.
+
+    Scope (ADVICE r11): get_spark consults this toggle only when the
+    shuffle-partition count is ALSO derived from the data — an explicit
+    count (argument or env override) keeps AQE at Spark's default (on),
+    since the "derived floor fits one task wave" premise no longer holds."""
     return parquet_bytes(data_dir) >= _AQE_MIN_BYTES
 
 
@@ -170,12 +177,26 @@ def get_spark(
 
     Precedence for shuffle partitions: explicit argument >
     $SPARK_GRAFT_SHUFFLE_PARTITIONS > derived-from-`data_dir` size > 32."""
+    # The AQE toggle is derived from data volume ONLY when the partition
+    # count is too (ADVICE r11): its rationale is "the derived floor fits
+    # one task wave, so AQE has nothing to fix" — a caller who pins a
+    # partition count (argument or $SPARK_GRAFT_SHUFFLE_PARTITIONS) has
+    # overridden that sizing, so they get Spark's default (AQE on) and
+    # can pin spark.sql.adaptive.enabled via extra_conf if they want.
+    partitions_pinned = (
+        shuffle_partitions is not None
+        or "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ
+    )
     if shuffle_partitions is None:
         if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
             shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
         elif data_dir is not None:
             shuffle_partitions = derive_shuffle_partitions(data_dir)
-    aqe_enabled = derive_aqe_enabled(data_dir) if data_dir is not None else True
+    aqe_enabled = (
+        derive_aqe_enabled(data_dir)
+        if (data_dir is not None and not partitions_pinned)
+        else True
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")

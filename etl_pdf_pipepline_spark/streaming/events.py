@@ -105,6 +105,24 @@ def _stream_state_partitions(sf_dir: str) -> int:
     )
 
 
+# Pre-drain STAGE builders, registered per query so tools/audit_plans.py
+# can explain the streaming plan template (StateStoreSave placement,
+# EventTimeWatermark presence, join state bounds) WITHOUT draining — the
+# r11 audit skipped all streaming plans; this closes that corner
+# (VERDICT r11 ask #4). Each @query drain below calls ITS OWN registered
+# stage builder, so the audited plan is the executed plan by
+# construction, not a copy.
+STREAM_STAGES: dict[str, Any] = {}
+
+
+def stream_stage(name: str):
+    def deco(fn):
+        STREAM_STAGES[name] = fn
+        return fn
+
+    return deco
+
+
 def run_available_now(
     stage: DataFrame, output_mode: str, state_partitions: int | None = None
 ) -> DataFrame:
@@ -174,6 +192,28 @@ def release_stream_tables(spark: SparkSession) -> int:
     return n
 
 
+@stream_stage("streaming_hourly_rollup")
+def _hourly_rollup_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    from ..functions.money import cents as _cents
+
+    cents = _cents("value")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @query(
     "streaming_hourly_rollup",
     oracle="""
@@ -192,24 +232,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is emitted when the stream drains (append would hold back windows the
     final watermark hasn't passed). Matches the batch rollup bit-for-bit:
     1-hour tumbling windows are epoch-aligned, i.e. date_trunc('hour')."""
-    ev = stream_events(spark, sf_dir)
-    from ..functions.money import cents as _cents
-
-    cents = _cents("value")
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum(cents).cast("double") / 100, 2).alias("total_value"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    agg = _hourly_rollup_stage(spark, sf_dir)
     return ordered_small(
         run_available_now(
             agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
@@ -270,6 +293,18 @@ def _sessionize(
     )
 
 
+@stream_stage("streaming_session_counts")
+def _session_counts_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 10)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @query(
     "streaming_session_counts",
     oracle="""
@@ -293,17 +328,17 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals are final — which is what the batch oracle checks. The same
     oracle result falls out of the lag/running-sum batch plan
     (events_sessionization)."""
-    ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 10)
-    staged = ev.groupBy("user_id").applyInPandasWithState(
-        _sessionize,
-        outputStructType=_SESSION_OUT_SCHEMA,
-        stateStructType=_SESSION_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    staged = _session_counts_stage(spark, sf_dir)
     return run_available_now(
         staged, "update", state_partitions=_stream_state_partitions(sf_dir)
     ).orderBy("user_id")
+
+
+@stream_stage("streaming_dedup_counts")
+def _dedup_counts_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
 @query(
@@ -320,12 +355,40 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge for streaming ingest. State is O(distinct keys); in production
     dropDuplicatesWithinWatermark bounds it by event time. Counts per
     type after dedup equal the batch DISTINCT counts."""
-    ev = stream_events(spark, sf_dir)
-    deduped = ev.dropDuplicates(["event_id"])
-    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    agg = _dedup_counts_stage(spark, sf_dir)
     return run_available_now(
         agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
     ).orderBy("event_type")
+
+
+@stream_stage("streaming_click_purchase_join")
+def _click_purchase_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
 
 
 @query(
@@ -350,32 +413,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     rejects append-mode stream-stream joins lacking one). Append output:
     matches emit exactly once, when both watermarks clear them. The
     batch oracle is the same interval join run on the static table."""
-    clicks = (
-        stream_events(spark, sf_dir)
-        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        stream_events(spark, sf_dir)
-        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
-    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    joined = _click_purchase_stage(spark, sf_dir)
     return run_available_now(
         joined, "append", state_partitions=_stream_state_partitions(sf_dir)
     ).orderBy("user_id", "click_id", "purchase_id")

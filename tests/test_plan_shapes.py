@@ -71,3 +71,55 @@ def test_lsh_band_keys_rows_unchanged(spark):
         F.countDistinct("band_id").alias("n_bands")
     )
     assert per_doc.filter(F.col("n_bands") != len(_LSH_BANDS)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r12: sort-free listing serves (VERDICT r11 ask #5).
+#
+# Unbounded listing queries (per-doc / per-media / per-admission reports)
+# must not end in a global Sort: the compare contract is order-insensitive
+# and a terminal orderBy plans Sort + Exchange(rangepartitioning) plus a
+# RangePartitioner sampling job — a free-standing full shuffle at 100×.
+# Pin every listing serve the r12 sweep de-sorted.
+# ---------------------------------------------------------------------------
+
+_LISTING_QUERIES = [
+    # (query name, prepare callable name or None)
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "media_metadata",
+    "media_metadata_served",
+    "media_frame_sample",
+    "doc_token_stats",
+    "chunk_fixed_window",
+    "customer_order_profile",
+    "near_dup_incremental",
+]
+
+
+def test_listing_serves_have_no_terminal_sort(spark):
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    qs = all_queries()
+    offenders = []
+    for name in _LISTING_QUERIES:
+        plan = _executed_plan(qs[name](spark, SF))
+        # A terminal global sort shows as a Sort [..], true (global) node;
+        # sortWithinPartitions would be Sort [..], false and is also absent
+        # from these listings. TakeOrderedAndProject (top-k) never appears
+        # in a full listing.
+        if re.search(r"Sort \[.*\], true", plan):
+            offenders.append(name)
+    assert offenders == [], f"terminal global sort on listing serves: {offenders}"
+
+
+def test_small_ordered_results_use_no_range_sampling(spark):
+    """ordered_small results: total order via coalesce(1)+
+    sortWithinPartitions — the plan must carry NO rangepartitioning
+    exchange (whose sampling pass is a separate driver job)."""
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("q1_pricing_summary", "events_hourly_rollup", "revenue_by_nation_scan"):
+        plan = _executed_plan(qs[name](spark, SF))
+        assert "rangepartitioning" not in plan, name

@@ -44,19 +44,91 @@ def audit(plan: str) -> tuple[list[str], int]:
     return flags, n_global
 
 
+# Streaming queries whose stream side is a STATELESS passthrough into
+# foreachBatch / a file sink: the interesting plans are the per-batch
+# BATCH plans, which are the same code paths as the named batch twins
+# (audited above as ordinary registry rows). The stream side itself has
+# no join, no aggregation, no state store — nothing to scale-audit.
+_FOREACH_BATCH_TWINS = {
+    "streaming_partitioned_ingest": "events_partition_pruned_day (same day-rollup read)",
+    "streaming_versioned_ingest": "events_versioned_merge (append_commit path)",
+    "streaming_cdc_dv_ingest": "events_merge_on_read (append_commit + delete_commit)",
+    "streaming_near_dup_ingest": "near_dup_incremental (same admission plan per batch)",
+    "streaming_rollup_maintenance": "events_rollup_incremental (refresh_rollup_view)",
+}
+
+
+def audit_streaming(plan: str) -> list[str]:
+    """Scale red flags specific to streaming plan templates (VERDICT r11
+    ask #4): unbounded-state shapes the batch audit can't see."""
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("stream-side CartesianProduct")
+    # A stream-stream join must carry a watermark on BOTH inputs or its
+    # buffers grow forever (Spark enforces this only for append mode).
+    if "StreamingSymmetricHashJoin" in plan:
+        n_wm = plan.count("EventTimeWatermark")
+        if n_wm < 2:
+            flags.append(f"stream-stream join with {n_wm} watermark(s)")
+    # A windowed/event-time aggregation without a watermark never evicts
+    # state. (Keyed running totals — FlatMapGroupsInPandasWithState with
+    # update output — and whole-key dropDuplicates are bounded by key
+    # cardinality instead; their docstrings carry the production
+    # watermarked variants.)
+    if "StateStoreSave" in plan and "window" in plan and "EventTimeWatermark" not in plan:
+        flags.append("windowed agg without watermark")
+    return flags
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     _ensure_loaded()
+    from etl_pdf_pipepline_spark.session import parquet_bytes, partitions_for_bytes
+    from etl_pdf_pipepline_spark.streaming.events import (
+        STREAM_STAGES,
+        _stream_state_partitions,
+    )
+
     spark = get_spark("plan-audit")
     em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
     n_flagged = 0
+
+    # State-store partition sizing: every drain passes
+    # _stream_state_partitions, which must BE the shared floor-4 rule.
+    import os as _os
+
+    want = partitions_for_bytes(
+        parquet_bytes(_os.path.join(sf_dir, "events.parquet")), floor=4
+    )
+    got = _stream_state_partitions(sf_dir)
+    if got != want:
+        print(f"FLAG state-store partitions: {got} != shared rule {want}")
+        n_flagged += 1
+    else:
+        print(f"ok   state-store partition rule ({got} at this sf)")
+
     for name, rq in sorted(_REGISTRY.items()):
         if only and name not in only:
             continue
-        if name.startswith("streaming_"):
-            print(f"  skip {name} (streaming plan)")
+        if name in STREAM_STAGES:
+            try:
+                stage = STREAM_STAGES[name](spark, sf_dir)
+                plan = stage._jdf.queryExecution().explainString(em)
+            except Exception as e:
+                print(f"ERROR {name}: {e}")
+                n_flagged += 1
+                continue
+            flags = audit_streaming(plan)
+            if flags:
+                n_flagged += 1
+                print(f"FLAG {name}: {'; '.join(flags)}")
+            else:
+                print(f"ok   {name} (streaming stage)")
+            continue
+        if name in _FOREACH_BATCH_TWINS:
+            print(f"ok   {name} (stateless stream side; batch plans = {_FOREACH_BATCH_TWINS[name]})")
             continue
         try:
             df = rq.fn(spark, sf_dir)

@@ -56,7 +56,6 @@ def main() -> None:
     print(f"{'query':34s} {'wall':>7s} {'jobs':>5s} {'stages':>7s}")
     rows = []
     for name in names:
-        jobs0 = tracker.getJobIdsForGroup(None)
         spark.sparkContext.setJobGroup(f"prof_{name}", name)
         t0 = time.time()
         qs[name](spark, sf_dir).toPandas()
