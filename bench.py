@@ -189,6 +189,15 @@ def main() -> None:
             qs[name](spark, sf_dir).toPandas()
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
+        if sf >= 10:
+            # In-sweep walls must match dedicated runs (VERDICT r11 ask
+            # #6): at scale, broadcast variables and shuffle files from
+            # earlier rows are only released by Spark's ContextCleaner,
+            # which runs on JVM GC — left alone, heap pressure from row
+            # N lands on row N+1's wall (three sf100 rows needed
+            # idle-machine re-adjudication in r11). One explicit GC per
+            # row bounds the carryover; sub-second gate rows skip it.
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(per_query.values()), 3)
 

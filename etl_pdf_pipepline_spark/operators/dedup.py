@@ -544,10 +544,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-DF terms (stopwords) are dropped first via a corpus-derived DF
     cap (MAX_DF_FRAC of documents): without it one universal term makes
     the self-join quadratic in the corpus; with it per-term fan-out is
-    bounded. The DF pass groups on the same `term` key the self-join
-    shuffles on, so the cap adds one aggregate, not a new exchange
-    pattern. Jaccard is computed over the capped vocabulary on both
-    engines (tests/test_dedup.py pins the stopword-dense case)."""
+    bounded. r12 shape: the DF count is a window over the SAME
+    term-partitioned exchange the self-join needs (one tokenize pass,
+    exchange reused by the join), and the cap itself is a driver-side
+    literal memoized per documents-table signature — no per-call
+    single-row-aggregate broadcast job. Jaccard is computed over the
+    capped vocabulary on both engines (tests/test_dedup.py pins the
+    stopword-dense case)."""
     from ..sources.catalog import table_scalar_cached
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)

@@ -212,3 +212,93 @@ def test_race_matrix_directed_cells(spark, tmp_path_factory, o1, o2):
     test_race_pairs_serialize_or_conflict.hypothesis.inner_test(
         spark, tmp_path_factory, o1, o2
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 ask #8): the signature-manifest seam raced against
+# ingest. ensure_{minhash,simhash}_signatures is serve-or-build around a
+# CAS meta record; the correctness contract under concurrency is that the
+# published record may UNDER-claim freshness (forcing a rebuild) but must
+# never OVER-claim it — i.e. after an ingest lands anywhere inside
+# ensure's window (between its source-signature read and its meta
+# commit), signatures_servable must be False for the post-ingest corpus,
+# and the next ensure must rebuild and re-claim.
+# ---------------------------------------------------------------------------
+
+
+def _touch_docs(corpus: str) -> None:
+    import os
+
+    p = os.path.join(corpus, "documents.parquet")
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+
+
+@pytest.fixture()
+def sig_corpus(tmp_path_factory):
+    import os
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sig_corpus")
+    shutil.copy(os.path.join(src, "documents.parquet"), dst / "documents.parquet")
+    return str(dst)
+
+
+@pytest.mark.parametrize("family", ["minhash", "simhash"])
+@pytest.mark.parametrize("ingest_at", ["after_sig_read", "before_meta_commit"])
+def test_signature_ensure_raced_by_ingest_never_overclaims(
+    spark, sig_corpus, monkeypatch, family, ingest_at
+):
+    import shutil
+
+    import etl_pdf_pipepline_spark.operators.dedup as D
+    import etl_pdf_pipepline_spark.sources.manifest as MM
+
+    ensure = (
+        D.ensure_minhash_signatures if family == "minhash" else D.ensure_simhash_signatures
+    )
+    path = D.signature_manifest_path(sig_corpus, family)
+    try:
+        fired = {"n": 0}
+        if ingest_at == "after_sig_read":
+            # The ingest commits immediately after ensure reads the source
+            # signature (the widest window: build + commit both run against
+            # a corpus that has already moved on).
+            real_sig = D._docs_signature
+
+            def racing_sig(sf_dir):
+                s = real_sig(sf_dir)
+                if fired["n"] == 0:
+                    fired["n"] = 1
+                    _touch_docs(sig_corpus)
+                return s
+
+            monkeypatch.setattr(D, "_docs_signature", racing_sig)
+        else:
+            # The ingest commits between the data write and the meta CAS —
+            # the last instant it can land inside the window. ensure
+            # re-imports commit_meta from the manifest module per call, so
+            # patching the module attribute intercepts it.
+            real_commit = MM.commit_meta
+
+            def racing_commit(root, payload):
+                if fired["n"] == 0:
+                    fired["n"] = 1
+                    _touch_docs(sig_corpus)
+                return real_commit(root, payload)
+
+            monkeypatch.setattr(MM, "commit_meta", racing_commit)
+
+        ensure(spark, sig_corpus)
+        assert fired["n"] == 1, "race window never exercised"
+        # The record must describe the PRE-ingest corpus: no over-claim.
+        assert not D.signatures_servable(spark, sig_corpus, family)
+
+        # Recovery: with the ingest settled, the next ensure rebuilds and
+        # the record claims exactly the current corpus.
+        monkeypatch.undo()
+        ensure(spark, sig_corpus)
+        assert D.signatures_servable(spark, sig_corpus, family)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
