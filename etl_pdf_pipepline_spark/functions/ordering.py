@@ -10,7 +10,12 @@ exchange — the upstream (partial aggregation, joins) still runs fully
 parallel, only the final already-tiny stage funnels to one task.
 
 Use ONLY where the result is provably small (a group-by over a low-
-cardinality key, a top-k already limited). For unbounded listings the
+cardinality key — ≤~100 groups — or a bounded probe). The coalesce(1)
+merges the post-shuffle partitions, so the FINAL aggregate runs as one
+task over every map partition's partial rows: at 25 groups that is
+trivial at any scale, but at thousands of groups it single-threads real
+work (events_hourly_rollup, ~3.4k groups, measured +43% at sf100 —
+SCALING.md r12 — and keeps its range sort). For unbounded listings the
 right move is no terminal sort at all (see tests/test_plan_shapes.py);
 for big sorted outputs a real range sort is correct.
 """

@@ -71,10 +71,12 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             "avg_value",
         )
-        # r12: the rollup output is hours×types (~3k rows at sf30) —
-        # ordered_small keeps the total order without the RangePartitioner
-        # sample job + exchange a terminal orderBy plans.
-        .transform(lambda df: ordered_small(df, "window_start", "event_type"))
+        # Terminal sort stays a REAL range sort here: the group key is
+        # hours×types (~3.4k groups), so ordered_small's coalesce(1)
+        # would funnel ~150 map partitions' partial rows through ONE
+        # final-aggregate task — measured +43% at sf100 (SCALING.md r12).
+        # ordered_small is for ≤~100-group aggregates only.
+        .orderBy("window_start", "event_type")
     )
 
 

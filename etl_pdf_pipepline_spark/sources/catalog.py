@@ -41,7 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The scan DataFrame is memoized per (session, dir, table): DataFrames
     are immutable, and rebuilding one re-reads parquet footers over py4j
-    (~0.2s per table per query — pure fixed overhead)."""
+    (~0.2s per table per query — pure fixed overhead). The memo key
+    deliberately carries NO file-stat signature (unlike
+    read_parquet_cached below): the source tables are read-only by the
+    driver contract (TESTDATA.md), so a per-call stat walk over e.g.
+    documents' 1001 files at sf100 would be pure overhead on every query
+    construction. Artifact paths that legitimately get rewritten
+    (indexes, manifests, layouts) must go through read_parquet_cached,
+    whose signature key invalidates on any rewrite."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Pin the session timezone even when the caller supplied its own

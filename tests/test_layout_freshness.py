@@ -304,3 +304,50 @@ def test_signature_manifests_serve_fresh_and_fall_back(spark, corpus_copy):
     finally:
         for p in paths:
             _shutil.rmtree(p, ignore_errors=True)
+
+
+def test_read_parquet_cached_invalidates_on_rewrite(spark, tmp_path):
+    """r12 read cache: same files → same DataFrame object (no footer
+    re-read); any rewrite under the path → fresh scan with the new data.
+    The staleness currency is the file-stat signature, identical to the
+    serve-or-build layouts'."""
+    from etl_pdf_pipepline_spark.sources.catalog import read_parquet_cached
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(p)
+    a = read_parquet_cached(spark, p)
+    b = read_parquet_cached(spark, p)
+    assert a is b, "unchanged files must serve the memoized scan"
+    assert a.count() == 5
+
+    spark.range(9).write.mode("overwrite").parquet(p)
+    c = read_parquet_cached(spark, p)
+    assert c is not a, "rewrite must invalidate the memoized scan"
+    assert c.count() == 9
+
+    # append-shaped change (new file in the directory) also invalidates
+    spark.range(3).write.mode("append").parquet(p)
+    d = read_parquet_cached(spark, p)
+    assert d is not c
+    assert d.count() == 12
+
+
+def test_table_scalar_cached_invalidates_on_table_change(spark, corpus_copy):
+    """r12 scalar cache: recompute fires once per table state, and a
+    source change (mtime bump = ingest in stat-signature currency)
+    forces a fresh compute."""
+    from etl_pdf_pipepline_spark.sources.catalog import table_scalar_cached
+
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return 42
+
+    for _ in range(3):
+        assert table_scalar_cached(spark, corpus_copy, "documents", "probe", compute) == 42
+    assert calls["n"] == 1
+
+    _touch(os.path.join(corpus_copy, "documents.parquet"))
+    assert table_scalar_cached(spark, corpus_copy, "documents", "probe", compute) == 42
+    assert calls["n"] == 2
