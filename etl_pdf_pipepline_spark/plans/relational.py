@@ -73,21 +73,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
     )
     q, e, d, t = _cents("l_quantity"), _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    # The 8 aggregate expressions are JVM-parsed strings (r12): built
+    # through the Column DSL they cost ~50 py4j round-trips per plan
+    # construction; the parsed trees and arithmetic are identical.
+    aggs = [
+        ("round(cast(sum(q) as double) / 100, 2)", "sum_qty"),
+        ("round(cast(sum(e) as double) / 100, 2)", "sum_base_price"),
+        ("round(cast(sum(e * (100 - d)) as double) / 10000, 2)", "sum_disc_price"),
+        ("round(cast(sum(e * (100 - d) * (100 + t)) as double) / 1000000, 2)", "sum_charge"),
+        ("round(cast(sum(q) as double) / 100 / count(*), 4)", "avg_qty"),
+        ("round(cast(sum(e) as double) / 100 / count(*), 4)", "avg_price"),
+        ("round(cast(sum(d) as double) / 100 / count(*), 4)", "avg_disc"),
+        ("count(*)", "count_order"),
+    ]
     return (
         li.select("l_returnflag", "l_linestatus", q.alias("q"), e.alias("e"), d.alias("d"), t.alias("t"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("q").cast("double") / 100, 2).alias("sum_qty"),
-            F.round(F.sum("e").cast("double") / 100, 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("e") * (100 - F.col("d"))).cast("double") / 10000, 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("e") * (100 - F.col("d")) * (100 + F.col("t"))).cast("double") / 1000000, 2
-            ).alias("sum_charge"),
-            F.round(F.sum("q").cast("double") / 100 / F.count("*"), 4).alias("avg_qty"),
-            F.round(F.sum("e").cast("double") / 100 / F.count("*"), 4).alias("avg_price"),
-            F.round(F.sum("d").cast("double") / 100 / F.count("*"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+        .agg(*[F.expr(s).alias(a) for s, a in aggs])
         # r12: ≤6 aggregate rows — ordered_small drops the range-sample
         # job + exchange of a terminal orderBy.
         .transform(lambda df: ordered_small(df, "l_returnflag", "l_linestatus"))

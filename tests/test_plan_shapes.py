@@ -84,7 +84,6 @@ def test_lsh_band_keys_rows_unchanged(spark):
 # ---------------------------------------------------------------------------
 
 _LISTING_QUERIES = [
-    # (query name, prepare callable name or None)
     "dedup_minhash_signatures",
     "dedup_simhash",
     "media_metadata",
@@ -125,3 +124,20 @@ def test_small_ordered_results_use_no_range_sampling(spark):
     for name in ("q1_pricing_summary", "events_user_gaps", "revenue_by_nation_scan"):
         plan = _executed_plan(qs[name](spark, SF))
         assert "rangepartitioning" not in plan, name
+
+
+def test_revenue_dim_chain_is_one_broadcast(spark):
+    """r12 job-floor fusion: the nation⋈region⋈customer dim chain must
+    enter the orders join as ONE BroadcastExchange (nation⋈region rides
+    inside it as a shuffle join) — the r11 shape nested two more
+    broadcast exchanges (region, then the post-aggregate name map), each
+    a separate driver job. Allow ≤3 total: dims + an optional auto-
+    broadcast of the pre-aggregated lineitem side at small sf + slack
+    for AQE-off static planning; 4+ means the nested chain is back."""
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("revenue_by_nation_scan",):
+        plan = _executed_plan(qs[name](spark, SF))
+        n = plan.count("BroadcastExchange")
+        assert n <= 3, f"{name}: {n} broadcast exchanges — dim-chain fusion regressed"
