@@ -171,6 +171,19 @@ def main() -> None:
             )
             raise SystemExit(2)
 
+    # Cold-phase litter must not be charged to the timed phase: the cold
+    # pass leaves every query's broadcast variables, shuffle files and
+    # memory-sink tables live until a GC lets the ContextCleaner at them
+    # (dedicated-vs-in-sweep probes measured rows 1.1–1.5× slower
+    # in-sweep at sf100). Release the drain tables and force one GC at
+    # the phase boundary; the per-row GC below bounds carryover inside
+    # the timed phase itself.
+    from etl_pdf_pipepline_spark.streaming.events import release_stream_tables
+
+    release_stream_tables(spark)
+    if sf >= 10:
+        spark.sparkContext._jvm.System.gc()
+
     # Timed phase: min of N repetitions per query (timeit convention) —
     # shared-machine noise and JVM GC make single-shot numbers swing ±50%.
     # N=3 at gate/sf0.1 sizes where a rep is sub-second and run-to-run GC

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import (
     as_double,
+    as_double_sql,
     cosine,
     cosine_topk_arrow,
     dot,
@@ -1111,4 +1112,116 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (r12, beyond-reference).
+#
+# At 100 TB the embedding column IS the storage bill: float32×dim per row.
+# Row-local symmetric int8 quantization (scale = max|x|/127 per vector,
+# q_i = round_half_away(x_i/scale)) cuts scan bytes ~4× with no shuffle —
+# a pure per-row projection at ingest — and dequantized cosine serves
+# recall-adequate ANN while the exact float column stays in cold storage.
+# The rounding is written as sign(x)·floor(|x|/scale + 0.5) IN BOTH
+# ENGINES: Spark's F.round would re-derive through BigDecimal and DuckDB's
+# round() is half-away — this closed form is identical IEEE arithmetic on
+# both sides, so the oracle hash is exact (same discipline as
+# functions/vectors.round_half_away).
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = (
+    "CASE WHEN scale = 0.0D THEN transform(v, x -> 0) "
+    "ELSE transform(v, x -> cast(sign(x) * floor(abs(x) / scale + 0.5D) as int)) END"
+)
+
+_Q8_ORACLE_CTES = """
+    d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM d
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0.0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(sign(x) * floor(abs(x) / scale + 0.5) AS INTEGER))
+               END AS q8
+        FROM s
+    )"""
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH {_Q8_ORACLE_CTES}
+    SELECT vec_id, round(scale, 6) AS scale_r, q8
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: (vec_id, rounded scale,
+    int8 code array). Shuffle-free projection — the ingest-time pass that
+    makes a 100 TB embedding store scannable at ~4× fewer bytes. The
+    full code array is emitted and hash-compared, so the oracle pins
+    every code of every vector, not a summary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.expr(as_double_sql("embedding")).alias("v"))
+        .withColumn("scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+        .select(
+            "vec_id",
+            F.expr("round(scale, 6)").alias("scale_r"),
+            F.expr(_Q8_SQL).alias("q8"),
+        )
+        # unbounded per-vector listing — no terminal sort (r12 doctrine)
+    )
+
+
+@query(
+    "ann_cosine_topk_int8",
+    oracle=f"""
+    WITH {_Q8_ORACLE_CTES},
+    dq AS (
+        SELECT vec_id,
+               list_transform(q8, c -> c * scale) AS w
+        FROM q
+    ),
+    probe AS (SELECT w AS qw FROM dq WHERE vec_id = 0)
+    SELECT dq.vec_id,
+           round({_COS_ORACLE_EXPR.format(a="dq.w", b="probe.qw")}, 4) AS score
+    FROM dq CROSS JOIN probe
+    WHERE dq.vec_id <> 0
+    ORDER BY score DESC, dq.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over the DEQUANTIZED int8 codes — the serving path of
+    the quantized store (quantize → dequantize → cosine), gated against
+    a DuckDB oracle running the identical integer pipeline, so the whole
+    quantization round-trip is pinned end-to-end. Scale posture: the
+    scan reads int8 codes + one double per row (~4× fewer bytes than
+    float32); scoring stays a shuffle-free scored scan +
+    TakeOrderedAndProject, same as ann_cosine_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dq = (
+        emb.select("vec_id", F.expr(as_double_sql("embedding")).alias("v"))
+        .withColumn("scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+        .select("vec_id", F.expr(_Q8_SQL).alias("q8"), "scale")
+        .select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
+    )
+    probe = dq.filter(F.col("vec_id") == 0).select(F.col("w").alias("qw"))
+    from ..functions.vectors import cosine_expr
+
+    return (
+        dq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine_expr("w", "qw", digits=4).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
     )

@@ -76,12 +76,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    minhash/simhash/banding expr-string builders, and every
 #    read_parquet_cached serve (same scan, memoized handle) — all
 #    r10/r11-green, re-verified vs oracles at sf0.01 this round.
-# 3. The remaining 15 slots: oldest-latest (r9) rows — first the four
+# 4. Two NEW r12 rows (int8 embedding quantization + its serving face)
+#    with zero driver history take the last two slots, displacing the
+#    last two alphabetical r9 fills to r13.
+# 3. The remaining slots: oldest-latest (r9) rows — first the four
 #    that execute r12-touched code (the RAM-checkpoint drain lifecycle:
 #    streaming_versioned_ingest, streaming_rollup_maintenance; the
 #    expr-string minhash family: doc_shingle_novelty; headline:
 #    ann_cosine_topk), then alphabetical r9 fill.
-# 18 + 17 + 15 = 50, counted by test_registry's gate-budget assertion.
+# 18 + 17 + 13 + 2 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
     # -- group 1: the 18 r8-latest marchers -------------------------------
     "doc_quality_scores",
@@ -134,10 +137,12 @@ _GATE_PRIORITY = [
     "doc_titles_from_filenames",
     "doc_token_estimates",
     "embedding_near_dup_pairs",
-    "events_anomaly_zscore",
-    "events_daily_rollup_totals",
+    # -- group 4: NEW r12 rows, zero driver history ----------------------
+    "embedding_quantize_int8",
+    "ann_cosine_topk_int8",
     # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut, next-oldest (remaining r9): events_funnel_counts,
+    # Below the cut, next-oldest (remaining r9): events_anomaly_zscore,
+    # events_daily_rollup_totals, events_funnel_counts,
     # events_lake_compaction, events_lake_optimize,
     # events_range_join_attribution, events_retention_cohorts,
     # events_schema_evolution, events_snapshot_pruned,

@@ -99,3 +99,29 @@ def test_semantic_dedup_keepers_invariants(spark):
         ks = [r for r in members if r.is_keeper]
         assert len(ks) == 1 and ks[0].vec_id == comp
         assert all(r.component == comp for r in members)
+
+
+def test_int8_quantization_error_bound(spark):
+    """Dequantized-cosine scores must track exact cosine within the int8
+    quantization error envelope: |Δ| ≤ ~dim·(0.5/127)·2 in the worst
+    case, and in practice ≪ 0.02 at dim 64. Also pins the scale law
+    (max|code| == 127 for every non-zero vector)."""
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    exact = {r["vec_id"]: r["score"] for r in qs["ann_cosine_topk"](spark, sf).collect()}
+    q8 = {r["vec_id"]: r["score"] for r in qs["ann_cosine_topk_int8"](spark, sf).collect()}
+    assert len(q8) == 10
+    shared = set(exact) & set(q8)
+    assert shared, "top-10 sets diverged completely — quantization broken"
+    for vid in shared:
+        assert abs(exact[vid] - q8[vid]) < 0.02, (vid, exact[vid], q8[vid])
+
+    codes = qs["embedding_quantize_int8"](spark, sf).collect()
+    assert len(codes) > 0
+    for r in codes:
+        m = max(abs(c) for c in r["q8"])
+        assert m <= 127
+        if r["scale_r"] > 0:
+            assert m == 127, f"vec {r['vec_id']}: max|code| {m} != 127"
