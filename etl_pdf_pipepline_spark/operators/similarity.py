@@ -1170,16 +1170,70 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     full code array is emitted and hash-compared, so the oracle pins
     every code of every vector, not a summary."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return _int8_code_table(emb).select(
+        "vec_id", F.expr("round(scale, 6)").alias("scale_r"), "q8"
+    )
+    # unbounded per-vector listing — no terminal sort (r12 doctrine)
+
+
+def int8_codes_path(sf_dir: str) -> str:
+    """Warehouse location of this corpus's persisted int8 code table,
+    keyed by corpus dir — same convention as dedup.signature_manifest_path."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"int8_codes_{tag}")
+
+
+def _emb_signature(sf_dir: str) -> str:
+    from ..sources.catalog import table_stat_signature
+
+    return table_stat_signature(sf_dir, ("embeddings",))
+
+
+def _int8_code_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, scale, q8) — the quantization projection, shared by the
+    listing query, the ingest-slot builder, and the live fallback."""
     return (
         emb.select("vec_id", F.expr(as_double_sql("embedding")).alias("v"))
         .withColumn("scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
-        .select(
-            "vec_id",
-            F.expr("round(scale, 6)").alias("scale_r"),
-            F.expr(_Q8_SQL).alias("q8"),
-        )
-        # unbounded per-vector listing — no terminal sort (r12 doctrine)
+        .select("vec_id", "scale", F.expr(_Q8_SQL).alias("q8"))
     )
+
+
+def ensure_int8_codes(spark: SparkSession, sf_dir: str) -> str:
+    """Serve-or-build for the persisted int8 code table — codes are a
+    pure function of the embeddings, so production computes them ONCE at
+    ingest (the same lifecycle slot as the minhash/simhash signature
+    manifests) and every quantized-serving query reads int8 + one double
+    per row instead of re-projecting the float32 column. Standard CAS
+    meta record carries the embeddings-table stat signature."""
+    from ..sources.catalog import load_table
+    from ..sources.manifest import commit_meta, read_meta
+
+    path = int8_codes_path(sf_dir)
+    sig = _emb_signature(sf_dir)
+    if (read_meta(path) or {}).get("source_signature") == sig:
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    _int8_code_table(emb).write.mode("overwrite").parquet(path)
+    commit_meta(path, {"source_signature": sig})
+    return path
+
+
+def int8_codes_servable(spark: SparkSession, sf_dir: str) -> bool:
+    """Routing predicate — same contract as dedup.signatures_servable:
+    fresh record required, force_scan_path honored, never builds inside
+    a serving query."""
+    from ..plans.bucketed import scan_forced
+    from ..sources.manifest import read_meta
+
+    if scan_forced():
+        return False
+    meta = read_meta(int8_codes_path(sf_dir)) or {}
+    return meta.get("source_signature") == _emb_signature(sf_dir)
 
 
 @query(
@@ -1208,13 +1262,13 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan reads int8 codes + one double per row (~4× fewer bytes than
     float32); scoring stays a shuffle-free scored scan +
     TakeOrderedAndProject, same as ann_cosine_topk."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dq = (
-        emb.select("vec_id", F.expr(as_double_sql("embedding")).alias("v"))
-        .withColumn("scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
-        .select("vec_id", F.expr(_Q8_SQL).alias("q8"), "scale")
-        .select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
-    )
+    if int8_codes_servable(spark, sf_dir):
+        from ..sources.catalog import read_parquet_cached
+
+        codes = read_parquet_cached(spark, int8_codes_path(sf_dir))
+    else:
+        codes = _int8_code_table(load_table(spark, sf_dir, "embeddings"))
+    dq = codes.select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
     probe = dq.filter(F.col("vec_id") == 0).select(F.col("w").alias("qw"))
     from ..functions.vectors import cosine_expr
 
