@@ -1258,10 +1258,15 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k over the DEQUANTIZED int8 codes — the serving path of
     the quantized store (quantize → dequantize → cosine), gated against
     a DuckDB oracle running the identical integer pipeline, so the whole
-    quantization round-trip is pinned end-to-end. Scale posture: the
-    scan reads int8 codes + one double per row (~4× fewer bytes than
-    float32); scoring stays a shuffle-free scored scan +
-    TakeOrderedAndProject, same as ann_cosine_topk."""
+    quantization round-trip is pinned end-to-end. Routing (r12, same
+    contract as the signature manifests): when this corpus's persisted
+    code table is fresh (ensure_int8_codes — the ingest lifecycle slot),
+    serve it as a memoized columnar read of int8 codes + one double per
+    row (~4× fewer scan bytes than float32); cold corpus or stale record
+    quantizes live from the float column — same oracle either way
+    (tests/test_layout_freshness.py pins served ≡ live). Scoring stays a
+    shuffle-free scored scan + TakeOrderedAndProject, same as
+    ann_cosine_topk."""
     if int8_codes_servable(spark, sf_dir):
         from ..sources.catalog import read_parquet_cached
 
