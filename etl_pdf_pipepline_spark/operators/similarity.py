@@ -44,6 +44,26 @@ _COS_ORACLE_EXPR = (
 _EMB_DIM = 64
 
 
+def _query_vector_cached(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """The standard query vector (a query PARAMETER — the reference's
+    arrives as a literal argument) memoized per (session, embeddings
+    file-stat signature): fetching it was a whole filtered-scan Spark
+    job on EVERY call of every probe query — pure repetition, since the
+    vector only changes when the embeddings files do (r13; same currency
+    and rationale as table_scalar_cached's other users). Any ingest
+    bumps the signature and the next call re-fetches."""
+    from ..sources.catalog import table_scalar_cached
+
+    def compute() -> list[float]:
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+        if row is None:
+            raise ValueError(f"query vector vec_id={vec_id} not found in embeddings")
+        return [float(x) for x in row["embedding"]]
+
+    return table_scalar_cached(spark, sf_dir, "embeddings", f"qvec_{vec_id}", compute)
+
+
 @query(
     "ann_cosine_topk",
     oracle="""
@@ -78,11 +98,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. NaN (zero-norm) vectors are dropped inside the scorer —
     the same never-outranks contract as cosine()'s NULL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    if qrow is None:
-        raise ValueError("query vector vec_id=0 not found in embeddings")
     return cosine_topk_arrow(
-        emb.filter(F.col("vec_id") != 0), [float(x) for x in qrow[0]], 10
+        emb.filter(F.col("vec_id") != 0), _query_vector_cached(spark, sf_dir, 0), 10
     )
 
 
@@ -593,11 +610,7 @@ def _probe_persisted_index(spark: SparkSession, sf_dir: str, path: str) -> DataF
     ivf_incremental_index: rank the k-row centroid parquet against the
     query, directory-prune to the nprobe=2 cells, Arrow-BLAS exact-score
     the candidates, top-10."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 4).select("embedding").first()["embedding"]
-    ]
+    qvec = _query_vector_cached(spark, sf_dir, 4)
     q = F.array(*[F.lit(x) for x in qvec])
     c = spark.read.parquet(f"{path}/centroids")
     qc_w = Window.orderBy(F.desc("s"), F.asc("centroid_id"))
@@ -640,11 +653,7 @@ def ivf_probe_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus index here; exact-scoring candidates includes it, so it
     is dropped post-probe to match the family oracle's exclusion."""
     path = ensure_ivf_index(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 4).select("embedding").first()["embedding"]
-    ]
+    qvec = _query_vector_cached(spark, sf_dir, 4)
     q = F.array(*[F.lit(x) for x in qvec])
     c = spark.read.parquet(f"{path}/centroids")
     qc_w = Window.orderBy(F.desc("s"), F.asc("centroid_id"))
@@ -1159,19 +1168,35 @@ _Q8_ORACLE_CTES = """
     "embedding_quantize_int8",
     oracle=f"""
     WITH {_Q8_ORACLE_CTES}
-    SELECT vec_id, round(scale, 6) AS scale_r, q8
+    SELECT vec_id,
+           floor(scale * 1000000 + 0.5) / 1000000 AS scale_r,
+           len(q8) AS n_codes,
+           md5(array_to_string(q8, ',')) AS q8_md5
     FROM q ORDER BY vec_id
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization: (vec_id, rounded scale,
-    int8 code array). Shuffle-free projection — the ingest-time pass that
-    makes a 100 TB embedding store scannable at ~4× fewer bytes. The
-    full code array is emitted and hash-compared, so the oracle pins
-    every code of every vector, not a summary."""
+    code count, md5 of the code array). Shuffle-free projection — the
+    ingest-time pass that makes a 100 TB embedding store scannable at
+    ~4× fewer bytes. The md5-of-joined-codes digest pins every code
+    byte of every vector while keeping the gate output scalar — the
+    driver's canonicalizer pandas-sorts columns and cannot hash raw
+    array values (the r12 red row), so gated queries emit scalars only
+    (enforced by check_oracle's no-nested-output lint). The scale is
+    rounded with the same closed-form half-away expression in both
+    engines (floor(x·1e6 + 0.5)/1e6; scale ≥ 0 by construction) rather
+    than F.round vs DuckDB round — those two disagree one ulp below a
+    .5 decimal boundary (functions/vectors.round_half_away), while the
+    shared closed form is identical IEEE arithmetic on both sides."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _int8_code_table(emb).select(
-        "vec_id", F.expr("round(scale, 6)").alias("scale_r"), "q8"
+        "vec_id",
+        F.expr("floor(scale * 1000000.0D + 0.5D) / 1000000.0D").alias("scale_r"),
+        F.expr("cast(size(q8) as bigint)").alias("n_codes"),
+        F.expr("md5(array_join(transform(q8, c -> cast(c as string)), ','))").alias(
+            "q8_md5"
+        ),
     )
     # unbounded per-vector listing — no terminal sort (r12 doctrine)
 
@@ -1283,4 +1308,227 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cosine_expr("w", "qw", digits=4).alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 codes inside the IVF layout (r13) — quantized storage for the
+# partition-pruned probe. The float IVF index answers "which cells do I
+# read"; the int8 cell layout makes reading them ~4× cheaper: each probed
+# directory holds (vec_id, scale, q8) instead of float32 vectors, and the
+# probe dequantizes in-plan. This is FAISS's IVF-SQ8 layout re-expressed
+# as lake partitioning: coarse cells = directories, fine codes = int8
+# parquet columns. Asymmetric scoring (float query × dequantized codes)
+# matches standard SQ serving.
+# ---------------------------------------------------------------------------
+
+
+def ivf_int8_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", f"ivf_int8_{tag}")
+
+
+def ensure_ivf_int8(spark: SparkSession, sf_dir: str) -> str:
+    """Serve-or-build for the int8-coded IVF cell layout: the full-corpus
+    float index (ensure_ivf_index — which itself rebuilds if stale) is
+    re-coded as (vec_id, scale, q8) partitioned by centroid_id. Cell
+    membership is COPIED from the float index, never re-derived — the
+    int8 layout is a storage projection of the same index, so the two
+    always agree on which directory a vector lives in. Freshness is the
+    embeddings stat signature (the same currency as every serve-or-build
+    artifact); a stale parent rebuild bumps the vectors files, but the
+    meta here pins the SOURCE, so one signature check covers both."""
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import commit_meta, read_meta
+
+    path = ivf_int8_path(sf_dir)
+    sig = table_stat_signature(sf_dir, ("embeddings",))
+    if (read_meta(path) or {}).get("source_signature") == sig:
+        return path
+    parent = ensure_ivf_index(spark, sf_dir)
+    vecs = spark.read.parquet(f"{parent}/vectors").select(
+        "vec_id", "centroid_id", F.expr(as_double_sql("embedding")).alias("v")
+    )
+    (
+        vecs.withColumn("scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+        .select("vec_id", "centroid_id", "scale", F.expr(_Q8_SQL).alias("q8"))
+        .repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    commit_meta(path, {"source_signature": sig})
+    return path
+
+
+# Shared by ivf_probe_int8_served: the family probe oracle with exact
+# scoring over the DEQUANTIZED codes (assignment and cell choice stay on
+# the float vectors — quantization changes stored bytes and scoring
+# precision, never cell membership).
+_IVF_INT8_PROBE_ORACLE = """
+    WITH {ctes},
+    q AS (SELECT v AS qv FROM d WHERE vec_id = 4),
+    qprobe AS (
+        SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   round({cosqc}, 4) AS s,
+                   row_number() OVER (ORDER BY round({cosqc}, 4) DESC, c.centroid_id) AS rn
+            FROM ctrained c CROSS JOIN q
+        ) WHERE rn <= 2
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT d.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY round({cosdc}, 4) DESC, c.centroid_id) AS rn
+            FROM d CROSS JOIN ctrained c WHERE d.vec_id <> 4
+        ) WHERE rn = 1
+    ),
+    s8 AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM d
+    ),
+    q8t AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0.0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(sign(x) * floor(abs(x) / scale + 0.5) AS INTEGER))
+               END AS q8
+        FROM s8
+    ),
+    dq AS (SELECT vec_id, list_transform(q8, c -> c * scale) AS w FROM q8t)
+    SELECT dq.vec_id, round({cosdq}, 4) AS score
+    FROM dq
+    JOIN assign ON dq.vec_id = assign.vec_id
+    CROSS JOIN q
+    WHERE assign.centroid_id IN (SELECT centroid_id FROM qprobe)
+    ORDER BY score DESC, dq.vec_id
+    LIMIT 10
+    """.format(
+    ctes=_kmeans_oracle_ctes(),
+    cosqc=_COS_ORACLE_EXPR.format(a="c.cv", b="q.qv"),
+    cosdc=_COS_ORACLE_EXPR.format(a="d.v", b="c.cv"),
+    cosdq=_COS_ORACLE_EXPR.format(a="dq.w", b="q.qv"),
+)
+
+
+@query("ivf_probe_int8_served", oracle=_IVF_INT8_PROBE_ORACLE)
+def ivf_probe_int8_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized steady-state probe — IVF-SQ8 serving, end-to-end
+    oracle-gated (VERDICT r12 ask #6): rank the k-row centroid parquet
+    against the float query, directory-prune to the nprobe=2 cells of
+    the INT8 layout (ensure_ivf_int8 — int8 codes + one double per row,
+    ~4× fewer scan bytes than the float cells), dequantize in-plan
+    (transform(q8, c -> c*scale)) and exact-score asymmetrically against
+    the float query. The oracle runs the identical integer pipeline over
+    the same float-assigned cells, so cell choice, quantization, and the
+    dequantized scores are all pinned. Query vec_id 4 is part of the
+    corpus layout; dropped post-probe to match the family convention."""
+    path = ensure_ivf_int8(spark, sf_dir)
+    parent = ensure_ivf_index(spark, sf_dir)
+    qvec = _query_vector_cached(spark, sf_dir, 4)
+    q = F.array(*[F.lit(x) for x in qvec])
+    from ..sources.catalog import read_parquet_cached
+
+    c = read_parquet_cached(spark, f"{parent}/centroids")
+    qc_w = Window.orderBy(F.desc("s"), F.asc("centroid_id"))
+    probe_ids = [
+        r.centroid_id
+        for r in (
+            c.select("centroid_id", F.round(cosine(F.col("cv"), q), 4).alias("s"))
+            .withColumn("rn", F.row_number().over(qc_w))
+            .filter(F.col("rn") <= 2)
+            .select("centroid_id")
+            .collect()
+        )
+    ]
+    codes = (
+        read_parquet_cached(spark, f"{path}/codes")
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != 4)
+    )
+    probe = spark.range(1).select(q.alias("qw"))
+    from ..functions.vectors import cosine_expr
+
+    return (
+        codes.select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine_expr("w", "qw", digits=4).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "ann_recall_int8",
+    oracle=f"""
+    WITH {_Q8_ORACLE_CTES},
+    dqv AS (SELECT vec_id, list_transform(q8, c -> c * scale) AS w FROM q),
+    fq AS (SELECT v AS qv FROM d WHERE vec_id = 0),
+    topf AS (
+        SELECT d.vec_id FROM d CROSS JOIN fq
+        WHERE d.vec_id <> 0
+        ORDER BY round({_COS_ORACLE_EXPR.format(a="d.v", b="fq.qv")}, 4) DESC, d.vec_id
+        LIMIT 10
+    ),
+    qq AS (SELECT w AS qw FROM dqv WHERE vec_id = 0),
+    top8 AS (
+        SELECT dqv.vec_id FROM dqv CROSS JOIN qq
+        WHERE dqv.vec_id <> 0
+        ORDER BY round({_COS_ORACLE_EXPR.format(a="dqv.w", b="qq.qw")}, 4) DESC, dqv.vec_id
+        LIMIT 10
+    )
+    SELECT count(*) AS overlap10 FROM topf JOIN top8 USING (vec_id)
+    """,
+)
+def ann_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the quantized store vs exact float search, as one
+    scalar row: |top-10(float) ∩ top-10(dequantized-int8)| for the
+    standard query (vec_id 0). This is the row that BOUNDS quantization
+    loss in the gate itself — a quantizer bug that silently reranks
+    results moves this count, and the DuckDB oracle recomputes both
+    top-10 sets from scratch. tests/test_similarity.py additionally
+    asserts overlap10 ≥ 8 so a regression fails the suite even at tiny
+    scale. Both legs are shuffle-free scored scans + top-k; the
+    intersection is a 10×10 broadcast join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", F.expr(as_double_sql("embedding")).alias("v"))
+    qv = _query_vector_cached(spark, sf_dir, 0)
+
+    codes = _int8_code_table(emb)
+    dq = codes.select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
+
+    def _fetch_qw() -> list[float]:
+        row = dq.filter(F.col("vec_id") == 0).select("w").first()
+        return [float(x) for x in row["w"]]
+
+    from ..sources.catalog import table_scalar_cached
+
+    qw = table_scalar_cached(spark, sf_dir, "embeddings", "q8w_vec0", _fetch_qw)
+
+    from ..functions.vectors import cosine_expr
+
+    topf = (
+        d.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(spark.range(1).select(F.array(*[F.lit(x) for x in qv]).alias("qv"))))
+        .select("vec_id", cosine_expr("v", "qv", digits=4).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    top8 = (
+        dq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(spark.range(1).select(F.array(*[F.lit(x) for x in qw]).alias("qw"))))
+        .select("vec_id", cosine_expr("w", "qw", digits=4).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return topf.join(top8, "vec_id", "inner").agg(
+        F.count("*").cast("bigint").alias("overlap10")
     )

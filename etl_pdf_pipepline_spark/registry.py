@@ -50,114 +50,120 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver gate budget-caps at ~50 entries and iteration order is part
-# of the contract, so it is explicit. r12 ordering, same invariant since
+# of the contract, so it is explicit. r13 ordering, same invariant since
 # r3 (any query whose EXECUTED PLAN or oracle changes enters the next
 # gate's top-50):
 #
-# 1. The 18 r8-latest rows (VERDICT r11 ask #2: the oldest driver
-#    evidence in the registry — all marched into this gate, displacing
-#    the r11 rows, which are the newest evidence).
-# 2. The 17 further rows whose executed plan changed in r12:
-#    - the sort-free listing serves (terminal global orderBy dropped:
-#      dedup_minhash_signatures, dedup_simhash, media_metadata,
-#      media_metadata_served, doc_token_stats, chunk_fixed_window,
-#      customer_order_profile, near_dup_admission/_incremental —
-#      pinned by tests/test_plan_shapes.py);
-#    - the ordered_small rewrites (coalesce(1)+sortWithinPartitions on
-#      provably-small results: events_hourly_rollup, events_user_gaps,
-#      streaming_hourly_rollup, streaming_hourly_served,
-#      events_zorder_served/_pruned — no RangePartitioner sample job);
-#    - revenue_by_nation_scan (single-broadcast fused dim chain, n_name
-#      carry — the routed/bucketed twins are group-1 marchers);
-#    - dedup_ngram_jaccard (DF cap via count-over-window on the reused
-#      term exchange + cached-scalar literal cap).
+# 1. The 24 r9-latest rows (VERDICT r12 ask #5: the oldest driver
+#    evidence in the registry — the complete below-the-cut list from
+#    r12, all marched in; after r13 no row's latest green is older
+#    than r10).
+# 2. The rows whose executed plan or oracle changed in r13:
+#    - embedding_quantize_int8 — the r12 red row, output reshaped to
+#      driver-canonicalizable scalars (md5(array_join(q8))+size, scale
+#      via the closed-form half-away rounding mirrored in the oracle);
+#    - media_resize — its terminal orderBy was dropped in r12 but it
+#      missed that round's gate and the pin list (ADVICE r12); now in
+#      both (tests/test_plan_shapes._LISTING_QUERIES).
 #    NOT gate-entering (executed plan bit-identical, only construction
-#    changed): the bm25/hybrid family's F.expr score strings, the
-#    minhash/simhash/banding expr-string builders, and every
-#    read_parquet_cached serve (same scan, memoized handle) — all
-#    r10/r11-green, re-verified vs oracles at sf0.01 this round.
-# 4. Two NEW r12 rows (int8 embedding quantization + its serving face)
-#    with zero driver history take the last two slots, displacing the
-#    last two alphabetical r9 fills to r13.
-# 3. The remaining slots: oldest-latest (r9) rows — first the four
-#    that execute r12-touched code (the RAM-checkpoint drain lifecycle:
-#    streaming_versioned_ingest, streaming_rollup_maintenance; the
-#    expr-string minhash family: doc_shingle_novelty; headline:
-#    ann_cosine_topk), then alphabetical r9 fill.
-# 18 + 17 + 13 + 2 = 50, counted by test_registry's gate-budget assertion.
+#    changed): the probe family's memoized query-vector fetch
+#    (_query_vector_cached — removes a per-call pre-job; the RETURNED
+#    plan is unchanged since the same literal vector lands in the same
+#    scorer), re-verified vs oracles at sf0.001/sf0.01 this round.
+# 3. Two NEW r13 rows with zero driver history: ivf_probe_int8_served
+#    (IVF-SQ8 cell serving) and ann_recall_int8 (scalar recall bound).
+# 4. The remaining 22 slots: oldest-latest (r10) rotation, alphabetical
+#    fill (media_resize already enters via group 2).
+# 24 + 2 + 2 + 22 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
-    # -- group 1: the 18 r8-latest marchers -------------------------------
-    "doc_quality_scores",
-    "doc_repetition_filter",
-    "doc_stratified_sample",
-    "events_asof_purchase_click",
-    "events_sessionization",
-    "label_centroids",
-    "media_frame_sample",
-    "order_sequence_window",
-    "q12_shipmode_priority",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "revenue_by_nation",
-    "revenue_by_nation_bucketed",
-    "routed_search",
-    "salted_skew_join",
-    "segment_acctbal_stats",
-    "shipping_priority_bucketed",
-    "shipping_priority_top10",
-    # -- group 2: r12 executed-plan changes -------------------------------
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "media_metadata",
-    "media_metadata_served",
-    "doc_token_stats",
-    "chunk_fixed_window",
-    "customer_order_profile",
-    "near_dup_admission",
-    "near_dup_incremental",
-    "events_hourly_rollup",
-    "events_user_gaps",
-    "streaming_hourly_rollup",
-    "streaming_hourly_served",
-    "events_zorder_served",
-    "events_zorder_pruned",
-    "revenue_by_nation_scan",
-    "dedup_ngram_jaccard",
-    # -- group 3: oldest-latest (r9) rotation -----------------------------
-    "streaming_versioned_ingest",
-    "streaming_rollup_maintenance",
-    "doc_shingle_novelty",
-    "ann_cosine_topk",
-    "ann_batch_topk",
-    "customer_balance_quartiles",
-    "doc_dup_paragraph_fraction",
-    "doc_dup_paragraph_removal",
-    "doc_hashes",
-    "doc_lookup_filters",
-    "doc_titles_from_filenames",
-    "doc_token_estimates",
-    "embedding_near_dup_pairs",
-    # -- group 4: NEW r12 rows, zero driver history ----------------------
+    # -- group 1: the 24 r9-latest marchers -------------------------------
+    "events_anomaly_zscore",
+    "events_daily_rollup_totals",
+    "events_funnel_counts",
+    "events_lake_compaction",
+    "events_lake_optimize",
+    "events_range_join_attribution",
+    "events_retention_cohorts",
+    "events_schema_evolution",
+    "events_snapshot_pruned",
+    "incremental_new_docs",
+    "media_decode_filter",
+    "media_png_roundtrip",
+    "orders_status_counts",
+    "priority_set_ops",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    # -- group 2: r13 executed-plan / oracle changes ----------------------
     "embedding_quantize_int8",
-    "ann_cosine_topk_int8",
+    "media_resize",
+    # -- group 3: NEW r13 rows, zero driver history -----------------------
+    "ivf_probe_int8_served",
+    "ann_recall_int8",
+    # -- group 4: oldest-latest (r10) rotation, alphabetical fill ---------
+    "approx_distinct_users",
+    "approx_value_quantiles",
+    "bm25_incremental_index",
+    "bm25_search_title_filtered",
+    "bm25_search_title_weighted",
+    "bm25_topk_from_index",
+    "brand_price_stats",
+    "chunk_markdown_hybrid",
+    "context_distinct_sources",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_winnowing_pairs",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_unigram_logprob",
+    "docs_stats_by_source",
+    "events_cube_day_type",
+    "events_json_props",
+    "events_lake_autopilot",
+    "events_sliding_window",
+    "events_top_users",
     # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut, next-oldest (remaining r9): events_anomaly_zscore,
-    # events_daily_rollup_totals, events_funnel_counts,
-    # events_lake_compaction, events_lake_optimize,
-    # events_range_join_attribution, events_retention_cohorts,
-    # events_schema_evolution, events_snapshot_pruned,
-    # incremental_new_docs, media_decode_filter, media_png_roundtrip,
-    # orders_status_counts, priority_set_ops, q10_returned_items,
-    # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-    # q17_small_quantity_revenue, q18_large_volume_customers,
-    # q19_disjunctive_revenue, q4_order_priority, q6_forecast_revenue,
-    # q7_volume_shipping — march into r13's top-50.
+    # Below the cut, next-oldest (remaining r10): events_type_pivot,
+    # events_user_rank_dist, fts_phrase_search, ivf_assignment,
+    # ivf_incremental_index, ivf_probe_from_index, ivf_probe_served,
+    # ivf_probe_topk, media_image_features, ocr_document_text,
+    # q22_sales_opportunity, q8_market_share, running_spend_budget,
+    # shipping_priority_scan, top_orders_by_value — march into r14's
+    # top-50.
 ]
 
 
 def _gate_order(names: list[str]) -> list[str]:
     rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
     return sorted(names, key=lambda n: (rank.get(n, len(rank)), names.index(n)))
+
+
+def nested_output_fields(schema) -> list[str]:
+    """Names of output columns with nested (array/map/struct) types.
+
+    Gated queries must emit SCALAR columns only: the driver's
+    canonicalizer pandas-sorts result columns and crashes on list values
+    (`TypeError: unhashable type: 'list'` — the r12 `embedding_quantize_
+    int8` red row), while this repo's local check_oracle normalized
+    lists→tuples and so was laxer than the hard signal it predicts.
+    Queries that need to pin array contents digest them to scalars
+    (md5(array_join(...)) + size) instead. Enforced in
+    tools/check_oracle.py and tests/test_all_queries_smoke.py."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:

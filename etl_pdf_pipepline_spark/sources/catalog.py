@@ -62,9 +62,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
     # Guard against id() reuse after a session is stopped and collected:
-    # only serve a cached scan built by THIS live session object.
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    # only serve a cached scan built by THIS live session object; evict
+    # on mismatch so dead-session handles don't accumulate (ADVICE r12).
+    if cached is not None:
+        if cached.sparkSession is spark:
+            return cached
+        del _DF_CACHE[key]
     df = _read_table(spark, sf_dir, name)
     _DF_CACHE[key] = df
     return df
@@ -171,9 +174,15 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     sig = path_stat_signature(path)
     hit = _PARQUET_CACHE.get(key)
     # `is spark` guards id() reuse after a stopped session is collected,
-    # same as load_table's _DF_CACHE.
-    if hit is not None and hit[0] == sig and hit[1].sparkSession is spark:
-        return hit[1]
+    # same as load_table's _DF_CACHE. A mismatch means the entry belongs
+    # to a dead session whose id() was recycled — evict it so stale
+    # DataFrame handles don't accumulate in long-lived multi-session
+    # processes (ADVICE r12).
+    if hit is not None:
+        if hit[1].sparkSession is not spark:
+            del _PARQUET_CACHE[key]
+        elif hit[0] == sig:
+            return hit[1]
     df = spark.read.parquet(path)
     _PARQUET_CACHE[key] = (sig, df)
     return df

@@ -152,11 +152,24 @@ def run_available_now(
     # sf0.1 hourly drain (r12). Durable ingest queries (the CDC/lake
     # writers) pass their own persistent checkpointLocation and never
     # route through here.
+    # Capacity guard (ADVICE r12): container /dev/shm often defaults to
+    # 64 MB, and the dedup / stream-stream-join state-store deltas at
+    # scale sweeps can exceed it — failing the drain with an opaque
+    # no-space error where the disk tempdir would have succeeded. Require
+    # a comfortable floor of free tmpfs before opting in; otherwise fall
+    # back to Spark's disk tempdir.
+    _SHM_MIN_FREE_BYTES = 256 * 1024 * 1024
     ckpt = None
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        import tempfile
+        try:
+            vfs = os.statvfs("/dev/shm")
+            shm_free = vfs.f_bavail * vfs.f_frsize
+        except OSError:
+            shm_free = 0
+        if shm_free >= _SHM_MIN_FREE_BYTES:
+            import tempfile
 
-        ckpt = tempfile.mkdtemp(prefix="drain_ckpt_", dir="/dev/shm")
+            ckpt = tempfile.mkdtemp(prefix="drain_ckpt_", dir="/dev/shm")
     try:
         writer = (
             stage.writeStream.format("memory")

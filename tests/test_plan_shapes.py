@@ -93,6 +93,7 @@ _LISTING_QUERIES = [
     "chunk_fixed_window",
     "customer_order_profile",
     "near_dup_incremental",
+    "media_resize",  # terminal orderBy dropped r12; pin added r13 (ADVICE)
 ]
 
 

@@ -118,10 +118,63 @@ def test_int8_quantization_error_bound(spark):
     for vid in shared:
         assert abs(exact[vid] - q8[vid]) < 0.02, (vid, exact[vid], q8[vid])
 
-    codes = qs["embedding_quantize_int8"](spark, sf).collect()
-    assert len(codes) > 0
-    for r in codes:
+    # The gated query emits scalar digests (r13 — the driver canonicalizer
+    # can't hash arrays); pin the raw codes via the shared projection it
+    # digests, then check the digest itself agrees with a local md5.
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_pdf_pipepline_spark.operators.similarity import _int8_code_table
+    from etl_pdf_pipepline_spark.sources.catalog import load_table
+
+    raw = _int8_code_table(load_table(spark, sf, "embeddings")).collect()
+    assert len(raw) > 0
+    by_id = {}
+    for r in raw:
         m = max(abs(c) for c in r["q8"])
         assert m <= 127
-        if r["scale_r"] > 0:
+        if r["scale"] > 0:
             assert m == 127, f"vec {r['vec_id']}: max|code| {m} != 127"
+        by_id[r["vec_id"]] = r["q8"]
+
+    digests = qs["embedding_quantize_int8"](spark, sf).collect()
+    assert len(digests) == len(raw)
+    for r in digests:
+        joined = ",".join(str(c) for c in by_id[r["vec_id"]])
+        assert r["q8_md5"] == hashlib.md5(joined.encode()).hexdigest()
+        assert r["n_codes"] == len(by_id[r["vec_id"]])
+
+
+def test_int8_recall_bound(spark):
+    """The gate's scalar recall row (ann_recall_int8) must show the
+    quantized store agreeing with exact float search on ≥8 of the top
+    10 — the bound that makes 'int8 serving is recall-adequate' a
+    falsifiable claim rather than a docstring."""
+    from etl_pdf_pipepline_spark.registry import all_queries
+
+    row = all_queries()["ann_recall_int8"](spark, "/root/testdata/sf0.001").first()
+    assert row["overlap10"] >= 8, row["overlap10"]
+
+
+def test_ivf_int8_layout_matches_parent_cells(spark):
+    """Cell membership in the int8 layout is a copy of the float index's
+    assignment — never re-derived. A drifted copy would silently break
+    directory pruning (probe reads cell A, vector lives in cell B)."""
+    from etl_pdf_pipepline_spark.operators.similarity import (
+        ensure_ivf_index,
+        ensure_ivf_int8,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    parent = ensure_ivf_index(spark, sf)
+    path = ensure_ivf_int8(spark, sf)
+    fl = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(f"{parent}/vectors").select("vec_id", "centroid_id").collect()
+    }
+    q8 = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(f"{path}/codes").select("vec_id", "centroid_id").collect()
+    }
+    assert fl == q8

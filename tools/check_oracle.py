@@ -18,7 +18,11 @@ sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
-from etl_pdf_pipepline_spark.registry import _ensure_loaded, _REGISTRY  # noqa: E402
+from etl_pdf_pipepline_spark.registry import (  # noqa: E402
+    _REGISTRY,
+    _ensure_loaded,
+    nested_output_fields,
+)
 from etl_pdf_pipepline_spark.session import get_spark  # noqa: E402
 from etl_pdf_pipepline_spark.sources.catalog import TABLES  # noqa: E402
 
@@ -63,6 +67,14 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            continue
+        # Driver-strictness lint: the driver's canonicalizer cannot hash
+        # nested values (r12 red row) — reject them here so the local gate
+        # can never again be laxer than the hard signal.
+        nested = nested_output_fields(sdf.schema)
+        if nested:
+            failures.append(name)
+            print(f"FAIL {name}: nested output columns {nested} (driver-unhashable)")
             continue
         if rq.oracle is None:
             print(f"ok?  {name}: rows-only check, {len(s_rows)} rows ({time.time()-t0:.1f}s)")
