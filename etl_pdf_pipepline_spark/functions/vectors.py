@@ -94,6 +94,21 @@ def as_double_sql(col: str) -> str:
     return f"transform({col}, x -> cast(x as double))"
 
 
+def array_lit_sql(vec: list[float]) -> str:
+    """SQL fragment: an array<double> LITERAL for a query vector. repr()
+    round-trips every double exactly (shortest-repr guarantee, verified
+    against Spark's parser incl. scientific notation) and the D suffix
+    pins the type — bare decimals in SQL strings parse as DECIMAL.
+
+    Why a literal and not a broadcast 1-row DF: the query vector is a
+    query PARAMETER (the reference's arrives as a literal argument), and
+    the crossJoin(broadcast(qdf)) form pays a BroadcastExchange — a
+    separate driver job (~60-90 ms at sf0.1) — per call. As a literal
+    the scored scan is a pure projection, and Catalyst's constant
+    folding evaluates norm(q) once at plan time instead of per row."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
 def _norm_sq_sql(a: str) -> str:
     return f"aggregate({a}, cast(0.0 as double), (acc, x) -> acc + x * x)"
 

@@ -1299,16 +1299,30 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         codes = _int8_code_table(load_table(spark, sf_dir, "embeddings"))
     dq = codes.select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
-    probe = dq.filter(F.col("vec_id") == 0).select(F.col("w").alias("qw"))
-    from ..functions.vectors import cosine_expr
+    # r13: the dequantized query vector enters as a SQL literal (memoized
+    # per embeddings signature) — no broadcast job; see array_lit_sql.
+    from ..functions.vectors import array_lit_sql, cosine_expr
 
+    qw_sql = array_lit_sql(_dequantized_query_cached(spark, sf_dir, dq))
     return (
         dq.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", cosine_expr("w", "qw", digits=4).alias("score"))
+        .select("vec_id", cosine_expr("w", qw_sql, digits=4).alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+def _dequantized_query_cached(spark: SparkSession, sf_dir: str, dq: DataFrame) -> list[float]:
+    """vec 0's dequantized (q8·scale) vector, memoized per embeddings
+    signature — the quantized family's query parameter, fetched by ONE
+    job on first use instead of a broadcast exchange per call."""
+    from ..sources.catalog import table_scalar_cached
+
+    def compute() -> list[float]:
+        row = dq.filter(F.col("vec_id") == 0).select("w").first()
+        return [float(x) for x in row["w"]]
+
+    return table_scalar_cached(spark, sf_dir, "embeddings", "q8w_vec0", compute)
 
 
 # ---------------------------------------------------------------------------
@@ -1332,6 +1346,33 @@ def ivf_int8_path(sf_dir: str) -> str:
     return os.path.join(repo_root, "spark-warehouse", f"ivf_int8_{tag}")
 
 
+def _quantize_to_cells(vecs: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, scale, q8) from (vec_id, centroid_id, v):
+    the ONE copy of the cell-coding projection, shared by the full build
+    and the O(delta) extension — plan identity is what makes
+    'extension ≡ rebuild' exact, same discipline as
+    _assign_to_centroids."""
+    return vecs.withColumn(
+        "scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D")
+    ).select("vec_id", "centroid_id", "scale", F.expr(_Q8_SQL).alias("q8"))
+
+
+def _write_int8_codes(spark: SparkSession, parent: str, path: str, mode: str) -> None:
+    """Code the parent float layout's vectors into the int8 cell layout:
+    one file per cell (repartition on the partition column), membership
+    copied from the parent rows."""
+    vecs = spark.read.parquet(f"{parent}/vectors").select(
+        "vec_id", "centroid_id", F.expr(as_double_sql("embedding")).alias("v")
+    )
+    (
+        _quantize_to_cells(vecs)
+        .repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode(mode)
+        .parquet(f"{path}/codes")
+    )
+
+
 def ensure_ivf_int8(spark: SparkSession, sf_dir: str) -> str:
     """Serve-or-build for the int8-coded IVF cell layout: the full-corpus
     float index (ensure_ivf_index — which itself rebuilds if stale) is
@@ -1341,28 +1382,71 @@ def ensure_ivf_int8(spark: SparkSession, sf_dir: str) -> str:
     always agree on which directory a vector lives in. Freshness is the
     embeddings stat signature (the same currency as every serve-or-build
     artifact); a stale parent rebuild bumps the vectors files, but the
-    meta here pins the SOURCE, so one signature check covers both."""
+    meta here pins the SOURCE, so one signature check covers both. The
+    `partial` variant key must be PRESENT and False — the incremental
+    gate builds a partial layout at this path (same discipline as
+    ensure_ivf_index's build-variant keys), and steady-state serving
+    must never mistake it for a full build."""
     from ..sources.catalog import table_stat_signature
     from ..sources.manifest import commit_meta, read_meta
 
     path = ivf_int8_path(sf_dir)
     sig = table_stat_signature(sf_dir, ("embeddings",))
-    if (read_meta(path) or {}).get("source_signature") == sig:
+    meta = read_meta(path) or {}
+    if (
+        meta.get("source_signature") == sig
+        and "partial" in meta
+        and meta["partial"] is False
+    ):
         return path
     parent = ensure_ivf_index(spark, sf_dir)
-    vecs = spark.read.parquet(f"{parent}/vectors").select(
+    _write_int8_codes(spark, parent, path, mode="overwrite")
+    commit_meta(path, {"source_signature": sig, "partial": False})
+    return path
+
+
+def extend_ivf_int8(
+    spark: SparkSession,
+    delta: DataFrame,
+    parent: str,
+    path: str,
+    source_signature: str | None = None,
+) -> None:
+    """O(delta) extension of the int8 cell layout — without it, the
+    quantized store pays an O(corpus) re-code on every ingest while its
+    float parent extends O(delta) (the same economics defect the float
+    family fixed in r9). The delta is assigned against the parent's
+    persisted k-row centroids via the SAME shared plan the full build
+    uses (_assign_to_centroids), quantized by the SAME projection
+    (_quantize_to_cells), and appended into the cell directories — so
+    extension ≡ rebuild is an identity of plans, gated end-to-end by
+    ivf_int8_incremental against the full-corpus int8 probe oracle.
+    When `source_signature` is given (the post-ingest embeddings stat
+    signature), the freshness record CAS-advances in the same logical
+    commit, keeping ensure_ivf_int8 on the serve path afterward; the
+    `partial` variant key is preserved — extension never changes WHAT
+    slice the layout covers, only brings it forward in time."""
+    c = spark.read.parquet(f"{parent}/centroids")
+    d = delta.select("vec_id", "embedding", F.expr(as_double_sql("embedding")).alias("v"))
+    assigned = _assign_to_centroids(d, c).select(
         "vec_id", "centroid_id", F.expr(as_double_sql("embedding")).alias("v")
     )
     (
-        vecs.withColumn("scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
-        .select("vec_id", "centroid_id", "scale", F.expr(_Q8_SQL).alias("q8"))
+        _quantize_to_cells(assigned)
         .repartition(F.col("centroid_id"))
         .write.partitionBy("centroid_id")
-        .mode("overwrite")
+        .mode("append")
         .parquet(f"{path}/codes")
     )
-    commit_meta(path, {"source_signature": sig})
-    return path
+    if source_signature is not None:
+        from ..sources.manifest import update_meta
+
+        def advance(current: dict | None) -> dict:
+            out = dict(current or {"partial": False})
+            out["source_signature"] = source_signature
+            return out
+
+        update_meta(path, advance)
 
 
 # Shared by ivf_probe_int8_served: the family probe oracle with exact
@@ -1431,6 +1515,15 @@ def ivf_probe_int8_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus layout; dropped post-probe to match the family convention."""
     path = ensure_ivf_int8(spark, sf_dir)
     parent = ensure_ivf_index(spark, sf_dir)
+    return _probe_int8_codes(spark, sf_dir, parent, path)
+
+
+def _probe_int8_codes(spark: SparkSession, sf_dir: str, parent: str, path: str) -> DataFrame:
+    """The quantized probe tail shared by ivf_probe_int8_served and
+    ivf_int8_incremental: rank the parent's k-row centroid parquet
+    against the float query, directory-prune to the nprobe=2 cells of
+    the int8 layout, dequantize in-plan, score against the literal
+    query vector, top-10 (query vec_id 4 dropped post-probe)."""
     qvec = _query_vector_cached(spark, sf_dir, 4)
     q = F.array(*[F.lit(x) for x in qvec])
     from ..sources.catalog import read_parquet_cached
@@ -1452,16 +1545,43 @@ def ivf_probe_int8_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("centroid_id").isin(probe_ids))
         .filter(F.col("vec_id") != 4)
     )
-    probe = spark.range(1).select(q.alias("qw"))
-    from ..functions.vectors import cosine_expr
+    from ..functions.vectors import array_lit_sql, cosine_expr
 
+    qw_sql = array_lit_sql(qvec)
     return (
         codes.select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", cosine_expr("w", "qw", digits=4).alias("score"))
+        .select("vec_id", cosine_expr("w", qw_sql, digits=4).alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+@query("ivf_int8_incremental", oracle=_IVF_INT8_PROBE_ORACLE)
+def ivf_int8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) maintenance of the QUANTIZED cell layout, end-to-end and
+    oracle-gated — the int8 twin of ivf_incremental_index, closing the
+    same economics gap the float family closed in r9: build the float
+    parent and the int8 codes over the BASE corpus only (vec_id % 20
+    != 0, the standard synthetic 'yesterday's lake' split), admit the
+    remaining 5% via extend_ivf_int8 (delta assigned against the
+    persisted centroids and quantized by the same shared plans the full
+    build runs — no corpus re-code, no retraining), then serve the
+    standard quantized probe from the EXTENDED cells. The oracle is the
+    full-corpus int8 probe (_IVF_INT8_PROBE_ORACLE, shared with
+    ivf_probe_int8_served), so a green row proves base-code +
+    delta-extension ≡ one full re-code."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    parent = persist_ivf_index(
+        spark, sf_dir, exclude_vec_id=4, base_filter=F.col("vec_id") % 20 != 0
+    )
+    path = ivf_int8_path(sf_dir)
+    _write_int8_codes(spark, parent, path, mode="overwrite")
+    from ..sources.manifest import commit_meta
+
+    commit_meta(path, {"source_signature": None, "partial": True})
+    delta = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") != 4))
+    extend_ivf_int8(spark, delta, parent, path)
+    return _probe_int8_codes(spark, sf_dir, parent, path)
 
 
 @query(
@@ -1498,33 +1618,25 @@ def ann_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection is a 10×10 broadcast join."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.select("vec_id", F.expr(as_double_sql("embedding")).alias("v"))
-    qv = _query_vector_cached(spark, sf_dir, 0)
 
     codes = _int8_code_table(emb)
     dq = codes.select("vec_id", F.expr("transform(q8, c -> c * scale)").alias("w"))
 
-    def _fetch_qw() -> list[float]:
-        row = dq.filter(F.col("vec_id") == 0).select("w").first()
-        return [float(x) for x in row["w"]]
+    from ..functions.vectors import array_lit_sql, cosine_expr
 
-    from ..sources.catalog import table_scalar_cached
-
-    qw = table_scalar_cached(spark, sf_dir, "embeddings", "q8w_vec0", _fetch_qw)
-
-    from ..functions.vectors import cosine_expr
+    qv_sql = array_lit_sql(_query_vector_cached(spark, sf_dir, 0))
+    qw_sql = array_lit_sql(_dequantized_query_cached(spark, sf_dir, dq))
 
     topf = (
         d.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(spark.range(1).select(F.array(*[F.lit(x) for x in qv]).alias("qv"))))
-        .select("vec_id", cosine_expr("v", "qv", digits=4).alias("s"))
+        .select("vec_id", cosine_expr("v", qv_sql, digits=4).alias("s"))
         .orderBy(F.desc("s"), "vec_id")
         .limit(10)
         .select("vec_id")
     )
     top8 = (
         dq.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(spark.range(1).select(F.array(*[F.lit(x) for x in qw]).alias("qw"))))
-        .select("vec_id", cosine_expr("w", "qw", digits=4).alias("s"))
+        .select("vec_id", cosine_expr("w", qw_sql, digits=4).alias("s"))
         .orderBy(F.desc("s"), "vec_id")
         .limit(10)
         .select("vec_id")

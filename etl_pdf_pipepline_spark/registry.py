@@ -64,17 +64,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #      via the closed-form half-away rounding mirrored in the oracle);
 #    - media_resize — its terminal orderBy was dropped in r12 but it
 #      missed that round's gate and the pin list (ADVICE r12); now in
-#      both (tests/test_plan_shapes._LISTING_QUERIES).
+#      both (tests/test_plan_shapes._LISTING_QUERIES);
+#    - hybrid_rrf_search, hybrid_rrf_from_index, ann_cosine_topk_int8 —
+#      the query vector enters the scored scan as a SQL LITERAL
+#      (functions/vectors.array_lit_sql) instead of a broadcast 1-row
+#      DF: the BroadcastExchange (a driver job per call) is gone from
+#      the executed plan, so these re-enter the gate.
 #    NOT gate-entering (executed plan bit-identical, only construction
 #    changed): the probe family's memoized query-vector fetch
 #    (_query_vector_cached — removes a per-call pre-job; the RETURNED
 #    plan is unchanged since the same literal vector lands in the same
 #    scorer), re-verified vs oracles at sf0.001/sf0.01 this round.
-# 3. Two NEW r13 rows with zero driver history: ivf_probe_int8_served
-#    (IVF-SQ8 cell serving) and ann_recall_int8 (scalar recall bound).
-# 4. The remaining 22 slots: oldest-latest (r10) rotation, alphabetical
+# 3. Three NEW r13 rows with zero driver history: ivf_probe_int8_served
+#    (IVF-SQ8 cell serving), ivf_int8_incremental (O(delta) quantized-
+#    layout maintenance), and ann_recall_int8 (scalar recall bound).
+# 4. The remaining 18 slots: oldest-latest (r10) rotation, alphabetical
 #    fill (media_resize already enters via group 2).
-# 24 + 2 + 2 + 22 = 50, counted by test_registry's gate-budget assertion.
+# 24 + 5 + 3 + 18 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
     # -- group 1: the 24 r9-latest marchers -------------------------------
     "events_anomaly_zscore",
@@ -104,8 +110,12 @@ _GATE_PRIORITY = [
     # -- group 2: r13 executed-plan / oracle changes ----------------------
     "embedding_quantize_int8",
     "media_resize",
+    "hybrid_rrf_search",
+    "hybrid_rrf_from_index",
+    "ann_cosine_topk_int8",
     # -- group 3: NEW r13 rows, zero driver history -----------------------
     "ivf_probe_int8_served",
+    "ivf_int8_incremental",
     "ann_recall_int8",
     # -- group 4: oldest-latest (r10) rotation, alphabetical fill ---------
     "approx_distinct_users",
@@ -126,12 +136,10 @@ _GATE_PRIORITY = [
     "doc_unigram_logprob",
     "docs_stats_by_source",
     "events_cube_day_type",
-    "events_json_props",
-    "events_lake_autopilot",
-    "events_sliding_window",
-    "events_top_users",
     # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut, next-oldest (remaining r10): events_type_pivot,
+    # Below the cut, next-oldest (remaining r10): events_json_props,
+    # events_lake_autopilot,
+    # events_sliding_window, events_top_users, events_type_pivot,
     # events_user_rank_dist, fts_phrase_search, ivf_assignment,
     # ivf_incremental_index, ivf_probe_from_index, ivf_probe_served,
     # ivf_probe_topk, media_image_features, ocr_document_text,

@@ -431,7 +431,13 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r11: the keyword leg routes through the persisted postings index when
     fresh (bm25_index_servable — same routing/fallback/oracle contract as
-    bm25_search; hybrid_rrf_from_index stays the always-build gate row)."""
+    bm25_search; hybrid_rrf_from_index stays the always-build gate row).
+
+    r13: the query vector enters the vector leg as a SQL LITERAL
+    (array_lit_sql over the signature-memoized fetch) instead of a
+    broadcast 1-row DF — the scored scan is a pure projection, one
+    BroadcastExchange driver job gone, and constant folding evaluates
+    the query norm at plan time."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -443,16 +449,22 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
     kw_rank = rank_top(kw, 20, "doc_key")
 
-    qdf = emb.filter(F.col("vec_id") == 0).select(
-        F.expr(as_double_sql("embedding")).alias("qv")
-    )
-    vec_scored = emb.crossJoin(F.broadcast(qdf)).select(
-        F.col("vec_id").alias("doc_key"),
-        cosine_expr(as_double_sql("embedding"), "qv", digits=4).alias("score"),
-    )
-    vec_rank = rank_top(vec_scored, 20, "doc_key")
+    vec_rank = rank_top(_vec_scored_lit(spark, sf_dir, emb), 20, "doc_key")
 
     return rrf_fuse(kw_rank, vec_rank, "doc_key", k=10).withColumnRenamed("doc_key", "doc_id")
+
+
+def _vec_scored_lit(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """(doc_key, score): the hybrid family's vector leg — cosine against
+    the literal query vector, shared by the live and from-index paths."""
+    from ..functions.vectors import array_lit_sql
+    from ..operators.similarity import _query_vector_cached
+
+    qv_sql = array_lit_sql(_query_vector_cached(spark, sf_dir, 0))
+    return emb.select(
+        F.col("vec_id").alias("doc_key"),
+        cosine_expr(as_double_sql("embedding"), qv_sql, digits=4).alias("score"),
+    )
 
 
 @query("hybrid_rrf_from_index", oracle=_HYBRID_ORACLE)
@@ -474,14 +486,7 @@ def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw_rank = rank_top(bm25_scores_from_index(spark, path, QUERY_TERMS), 20, "doc_key")
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = emb.filter(F.col("vec_id") == 0).select(
-        F.expr(as_double_sql("embedding")).alias("qv")
-    )
-    vec_scored = emb.crossJoin(F.broadcast(qdf)).select(
-        F.col("vec_id").alias("doc_key"),
-        cosine_expr(as_double_sql("embedding"), "qv", digits=4).alias("score"),
-    )
-    vec_rank = rank_top(vec_scored, 20, "doc_key")
+    vec_rank = rank_top(_vec_scored_lit(spark, sf_dir, emb), 20, "doc_key")
 
     return rrf_fuse(kw_rank, vec_rank, "doc_key", k=10).withColumnRenamed("doc_key", "doc_id")
 
