@@ -556,7 +556,22 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
 
     from ..sources.sinks import swap_directory
 
-    live = f"{path}/vectors"
+    return _compact_cell_layout(spark, f"{path}/vectors")
+
+
+def compact_ivf_int8(spark: SparkSession, path: str) -> int:
+    """compact_ivf_index's twin for the quantized layout: fold the files
+    extend_ivf_int8 appended into one per cell. Same swap mechanics,
+    same invariant (bytes move, membership and code values never).
+    Equivalence proven by tests/test_ivf_incremental.py."""
+    return _compact_cell_layout(spark, f"{path}/codes")
+
+
+def _compact_cell_layout(spark: SparkSession, live: str) -> int:
+    import os
+
+    from ..sources.sinks import swap_directory
+
     tmp = live + "__compacting"
     (
         spark.read.parquet(live)

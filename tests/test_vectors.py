@@ -179,3 +179,29 @@ def test_cosine_topk_arrow_null_and_ragged_rows_skipped(spark):
     out = cosine_topk_arrow(df, q, k=5).collect()
     assert len(out) == 5
     assert all(r.vec_id not in (20, 21) for r in out)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+    @given(st.lists(_finite, min_size=1, max_size=8))
+    @settings(max_examples=40, deadline=None)
+    def test_array_lit_sql_roundtrips_every_double(spark, vec):
+        """array_lit_sql is correct only if repr→parse is the IDENTITY on
+        doubles — the literal-plan rewrite (r13) rests on it. Property:
+        any finite double list survives the Spark SQL parser bit-exactly
+        (subnormals, extreme exponents, negative zero included)."""
+        from etl_pdf_pipepline_spark.functions.vectors import array_lit_sql
+
+        got = spark.sql(f"select {array_lit_sql(vec)} as a").first()["a"]
+        import math
+
+        assert len(got) == len(vec)
+        for g, v in zip(got, vec):
+            assert math.copysign(1.0, g) == math.copysign(1.0, v) and g == v
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
