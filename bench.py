@@ -42,6 +42,11 @@ HEADLINE = [
     "media_metadata",
     "media_metadata_served",
     "media_frame_sample",
+    # The drain row stays in the headline set: the driver contract pins the
+    # r12 queries dict (entries may be added, never removed), so the
+    # maintenance-vs-serving split is expressed by publishing the served
+    # face beside it, not by dropping the drain from the timed set.
+    "streaming_hourly_rollup",
     "streaming_hourly_served",
     "near_dup_admission",
     "events_zorder_served",
@@ -239,25 +244,6 @@ def main() -> None:
             best = min(best, time.time() - t0)
         scan_path[name] = round(best, 3)
 
-    # Maintenance-path walls (r13): the streaming drain is the PIPELINE
-    # cost of maintaining the hourly view (one availableNow drain per
-    # ingest batch), not a query a steady-state consumer runs — its
-    # serving face streaming_hourly_served is the headline row (VERDICT
-    # r12 ask #4). The drain wall stays published here so the
-    # maintenance economics remain visible instead of disappearing from
-    # the artifact; 5.7× DuckDB-vs-batch-equivalent at sf100 is the
-    # price of exactly-once micro-batch state, paid per ingest, not per
-    # query.
-    maintenance_path: dict[str, float] = {}
-    for name in ("streaming_hourly_rollup",):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).toPandas()
-            best = min(best, time.time() - t0)
-        maintenance_path[name] = round(best, 3)
-        release_stream_tables(spark)
-
     # Same-session DuckDB baseline (VERDICT r5 ask #2): cross-round
     # comparisons on this shared machine drift ±20-30% day-to-day, so a
     # Spark wall alone can't distinguish regression from ambient noise
@@ -273,7 +259,6 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "index_served": INDEX_SERVED,
         "scan_path": scan_path,
-        "maintenance_path": maintenance_path,
         # Machine-noise adjudication stamp (VERDICT r12 ask #3): ambient
         # load routinely swings co-measured walls 2-3× on this shared
         # machine, and r12's driver artifact regressed rows the settled
