@@ -222,6 +222,20 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r13 (guide §1/§7 — measure the construction floor): PySpark 4's
+        # DataFrame-debugging wrapper decorates EVERY DataFrame/Column API
+        # call with call-site capture for JVM error context — one
+        # getActiveSession + one conf.get + a PySparkCurrentOrigin
+        # set/clear, i.e. ~4 extra py4j round-trips and a Python stack
+        # walk per API call. Profiled at sf0.1: ~380 py4j round-trips to
+        # BUILD q6_forecast_revenue, construction 202 ms of a 343 ms
+        # wall; toggled off, builds drop 40-60% (q6 202→76 ms,
+        # shipping_priority_top10 195→91 ms, media_frame_sample
+        # 163→86 ms — min-of-5, OPTIMIZATION_r13.md). Cost: driver-side
+        # error messages lose the Python call-site line; executed plans
+        # are bit-identical (the wrapper never touches the expression
+        # tree). Overridable via extra_conf.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
