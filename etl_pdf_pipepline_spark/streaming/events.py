@@ -93,15 +93,19 @@ def _stream_state_partitions(sf_dir: str) -> int:
     re-coalesces 32 near-empty state partitions at small scale. Each
     instance costs per-micro-batch task scheduling + store setup,
     measured 1.61 s → 0.82 s on the sf0.1 hourly rollup by sizing
-    32 → 4. Sized by the ONE shared rule (session.partitions_for_bytes:
-    64 MB of compressed source per partition, power of two) over the
-    events input alone, floored at 4 instead of the batch knob's 32:
-    sf0.1 → 4, sf100 (~7 GB events) → 128 — the same monotone growth a
+    32 → 4, and a further −14% sizing 4 → 1 (r13 interleaved min-of-6
+    A/B at sf0.1: 962 → 825 ms — below one 64 MB partition's worth of
+    source there is no parallelism for extra state instances to buy,
+    only per-instance store setup + task scheduling per micro-batch).
+    Sized by the ONE shared rule (session.partitions_for_bytes: 64 MB
+    of compressed source per partition, power of two) over the events
+    input alone, floored at 1 instead of the batch knob's 8:
+    sf0.1 → 1, sf100 (~7 GB events) → 128 — the same monotone growth a
     cluster deployment gets from executors×cores."""
     from ..session import parquet_bytes, partitions_for_bytes
 
     return partitions_for_bytes(
-        parquet_bytes(os.path.join(sf_dir, "events.parquet")), floor=4
+        parquet_bytes(os.path.join(sf_dir, "events.parquet")), floor=1
     )
 
 

@@ -96,11 +96,12 @@ def main() -> int:
     n_flagged = 0
 
     # State-store partition sizing: every drain passes
-    # _stream_state_partitions, which must BE the shared floor-4 rule.
+    # _stream_state_partitions, which must BE the shared floor-1 rule
+    # (r13: floor 4 → 1, measured −14% on the sf0.1 drain).
     import os as _os
 
     want = partitions_for_bytes(
-        parquet_bytes(_os.path.join(sf_dir, "events.parquet")), floor=4
+        parquet_bytes(_os.path.join(sf_dir, "events.parquet")), floor=1
     )
     got = _stream_state_partitions(sf_dir)
     if got != want:
