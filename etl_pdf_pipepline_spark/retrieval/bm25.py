@@ -173,6 +173,63 @@ def bm25_topk(
 # --------------------------------------------------------------------------
 
 
+def _write_term_df(postings: DataFrame, path: str, mode: str, n_buckets: int) -> None:
+    """Materialize the per-term document frequency — Lucene's docFreq,
+    stored in the term dictionary rather than recomputed per query.
+    Before r13 the serving plan derived df at query time with a SECOND
+    scan of the term-pruned postings plus a groupBy + BroadcastExchange
+    (a separate driver job per query); with df in the index the scorer
+    folds it in as literals and the whole query is ONE postings scan
+    (guide §2.3/§2.4 — fewer passes, fewer exchanges). Layout matches
+    the postings discipline (hash-partitioned by term, sorted within
+    partitions) so the query-term read is row-group-prunable; extends
+    APPEND delta rows and readers sum per term, exactly like the
+    corpus-scalar accumulation."""
+    (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .repartition(max(1, n_buckets // 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .parquet(f"{path}/term_df")
+    )
+
+
+# Driver-side term-df lookups, memoized per (dir, file-stat signature,
+# query-term set): a warm lookup is a dict hit; a cold one is a pyarrow
+# row-group-pruned read of a tiny table — no Spark job either way (the
+# same pattern as corpus_scalars' literal fold).
+_TERM_DF_CACHE: dict[tuple[str, str, frozenset], dict[str, int]] = {}
+
+
+def _term_df_lookup(path: str, query_terms: list[str]) -> dict[str, int] | None:
+    """{term: df} for the query terms from the index's term dictionary,
+    or None when this index predates the term_df layout (pre-r13 builds
+    keep working through the legacy two-scan plan)."""
+    import os
+
+    from ..sources.catalog import path_stat_signature
+
+    d = f"{path}/term_df"
+    if not os.path.isdir(d):
+        return None
+    key = (d, path_stat_signature(d), frozenset(query_terms))
+    hit = _TERM_DF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as pads
+
+    terms = sorted(set(query_terms))
+    tbl = pads.dataset(d, format="parquet").to_table(
+        filter=pads.field("term").isin(terms), columns=["term", "df"]
+    )
+    out: dict[str, int] = {}
+    for term, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+        out[term] = out.get(term, 0) + int(df)
+    _TERM_DF_CACHE[key] = out
+    return out
+
+
 def persist_index(
     docs: DataFrame,
     id_col: str,
@@ -196,6 +253,13 @@ def persist_index(
     (/root/reference/src/pipeline.py:164-165)."""
     postings = build_postings(docs, id_col, text_col)
     doc_stats = build_doc_stats(postings)
+    # Term dictionary FIRST (r13): (term, df) — the Lucene docFreq slot.
+    # Written before the postings so a crash mid-build/mid-extend can
+    # only leave df rows whose postings are missing (scores then
+    # under-weight those terms' idf slightly), never postings rows with
+    # no df entry (which would NULL their scores in the literal-df
+    # serving plan). Readers sum rows per term, so extends can append.
+    _write_term_df(postings, path, "overwrite", n_buckets)
     (
         postings.join(doc_stats, "doc_key")
         .repartition(n_buckets, "term")
@@ -219,10 +283,23 @@ def persist_index(
     # source_signature (when the caller supplies one — a stat digest of
     # the source docs table) rides in the same record, making the index
     # serve-or-build capable via ensure_index.
-    payload = {"n": int(row["n"]), "total_dl": int(row["total_dl"] or 0)}
+    payload = {
+        "n": int(row["n"]),
+        "total_dl": int(row["total_dl"] or 0),
+        "layout": _LAYOUT_VERSION,
+    }
     if source_signature is not None:
         payload["source_signature"] = source_signature
     commit_meta(path, payload)
+
+
+# Persisted-index layout version. 2 (r13) = postings + doc_stats + the
+# term_df dictionary; 1 (implicit, pre-r13 records without the key) =
+# no term dictionary. ensure_index rebuilds on a version mismatch so a
+# warm warehouse upgrades to the one-scan serving plan at its next
+# ingest slot; readers never require the new layout (legacy indexes
+# serve through the two-scan fallback).
+_LAYOUT_VERSION = 2
 
 
 def corpus_scalars(spark, path: str) -> tuple[int, int]:
@@ -284,7 +361,10 @@ def ensure_index(
     from ..sources.manifest import read_meta
 
     meta = read_meta(path) or {}
-    if meta.get("source_signature") == source_signature:
+    if (
+        meta.get("source_signature") == source_signature
+        and meta.get("layout") == _LAYOUT_VERSION
+    ):
         return path
     persist_index(
         docs, id_col, text_col, path,
@@ -354,6 +434,17 @@ def extend_index(
     delta_postings = build_postings(new_docs, id_col, text_col)
     delta_stats = build_doc_stats(delta_postings).cache()
     try:
+        # Delta term-df rows land first (see _write_term_df's crash-order
+        # rationale); readers sum rows per term, and delta ids are NEW
+        # docs by contract, so delta counts add exactly. Legacy (pre-r13)
+        # indexes have no term dictionary: appending only the delta's
+        # counts would leave a PARTIAL dictionary that under-counts every
+        # base term, so they stay dictionary-less until the next full
+        # rebuild (ensure_index upgrades on layout mismatch).
+        import os as _os
+
+        if _os.path.isdir(f"{path}/term_df"):
+            _write_term_df(delta_postings, path, "append", n_buckets)
         (
             delta_postings.join(delta_stats, "doc_key")
             .repartition(n_buckets, "term")
@@ -412,8 +503,21 @@ def compact_index(spark, path: str, n_buckets: int = 16) -> dict[str, int]:
             lambda df: df.repartition(n_buckets, "term").sortWithinPartitions("term"),
         ),
         ("doc_stats", lambda df: df.repartition(max(1, n_buckets // 4))),
+        (
+            # Term dictionary: extends append one delta row per (term,
+            # batch); compaction folds them back to one row per term
+            # (sum preserves the reader's per-term-total invariant) in
+            # the build-time layout.
+            "term_df",
+            lambda df: df.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .repartition(max(1, n_buckets // 8), "term")
+            .sortWithinPartitions("term"),
+        ),
     ):
         live = f"{path}/{sub}"
+        if not os.path.isdir(live):
+            continue  # pre-r13 index without a term dictionary
         tmp = live + "__compacting"
         writer(spark.read.parquet(live)).write.mode("overwrite").parquet(tmp)
         swap_directory(live, tmp)
@@ -468,6 +572,34 @@ def bm25_scores_from_index(
     # Same division the live path's aggregate performs: exact integer
     # total over exact integer count, in double.
     avgdl = float(total_dl) / n if n else 0.0
+    # r13: df comes from the index's term dictionary (one driver-side
+    # pyarrow read, memoized) and folds into the plan as a literal map —
+    # the pre-r13 plan recomputed df with a SECOND scan of the
+    # term-pruned postings plus a groupBy and a BroadcastExchange (a
+    # separate driver job on every query). With the literal fold the
+    # whole serving query is: one postings scan → score projection →
+    # groupBy(doc_key). The arithmetic is unchanged: df enters the SAME
+    # _term_score_sql tree as a bigint, n/avgdl as the same double
+    # literals, so per-(doc,term) scores are bit-identical to the
+    # two-scan plan (element_at only substitutes where the join probe
+    # did). Pre-r13 indexes without a term_df dir fall back to the
+    # two-scan plan.
+    term_dfs = _term_df_lookup(path, query_terms)
+    if term_dfs:
+        def _q(t: str) -> str:  # SQL string-literal escape for raw tokens
+            return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        entries = ", ".join(
+            f"{_q(t)}, {df}L" for t, df in sorted(term_dfs.items())
+        )
+        return (
+            matched.withColumn(
+                "df", F.expr(f"element_at(map({entries}), term)")
+            )
+            .withColumn("term_score", F.expr(_term_score_sql(k1, b, n=n, avgdl=avgdl)))
+            .groupBy("doc_key")
+            .agg(F.sum("term_score").alias("score"))
+        )
     df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
     return (
         matched.join(F.broadcast(df_counts), "term")

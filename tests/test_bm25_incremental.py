@@ -124,3 +124,74 @@ def test_extend_migrates_legacy_corpus_layouts(spark, tmp_path):
         assert set(incr) == set(full)
         for k in full:
             assert round(full[k], 4) == round(incr[k], 4), k
+
+
+def test_term_df_dictionary_matches_live_scores(spark, tmp_path):
+    """r13 layout: the persisted term dictionary's literal-df serving
+    plan must score bit-identically to the live (tokenize + query-time
+    df) path, and the plan must actually be the one-scan shape (no df
+    broadcast join, no second postings scan)."""
+    from etl_pdf_pipepline_spark.retrieval.bm25 import bm25_scores
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "idx")
+    persist_index(docs, "doc_id", "text", path)
+    assert (tmp_path / "idx" / "term_df").is_dir()
+
+    served = bm25_scores_from_index(spark, path, TERMS)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # one-scan shape: no join, exactly one postings scan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+    live = dict(bm25_scores(docs, "doc_id", "text", TERMS).collect())
+    got = dict(served.collect())
+    assert set(live) == set(got)
+    for k in live:
+        assert round(live[k], 4) == round(got[k], 4), k
+
+
+def test_legacy_index_without_term_df_still_serves(spark, tmp_path):
+    """Pre-r13 indexes (no term_df dir) must keep serving through the
+    two-scan fallback with identical scores."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    docs = load_table(spark, SF, "documents")
+    persist_index(docs, "doc_id", "text", path)
+    with_dict = dict(bm25_scores_from_index(spark, path, TERMS).collect())
+    shutil.rmtree(f"{path}/term_df")
+    legacy = dict(bm25_scores_from_index(spark, path, TERMS).collect())
+    assert set(with_dict) == set(legacy)
+    for k in with_dict:
+        assert abs(with_dict[k] - legacy[k]) <= 1e-12 * max(abs(with_dict[k]), 1.0), k
+
+
+def test_extend_keeps_term_df_in_sync(spark, tmp_path):
+    """After an extend, the dictionary's per-term totals must equal the
+    postings' actual per-term row counts (the df the legacy plan would
+    compute at query time)."""
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    persist_index(base, "doc_id", "text", path)
+    extend_index(delta, "doc_id", "text", path)
+
+    from_dict = {
+        r["term"]: r["total"]
+        for r in spark.read.parquet(f"{path}/term_df")
+        .filter(F.col("term").isin(TERMS))
+        .groupBy("term")
+        .agg(F.sum("df").alias("total"))
+        .collect()
+    }
+    from_postings = {
+        r["term"]: r["n"]
+        for r in spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term").isin(TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert from_dict == from_postings
