@@ -15,9 +15,11 @@ merges the post-shuffle partitions, so the FINAL aggregate runs as one
 task over every map partition's partial rows: at 25 groups that is
 trivial at any scale, but at thousands of groups it single-threads real
 work (events_hourly_rollup, ~3.4k groups, measured +43% at sf100 —
-SCALING.md r12 — and keeps its range sort). For unbounded listings the
-right move is no terminal sort at all (see tests/test_plan_shapes.py);
-for big sorted outputs a real range sort is correct.
+SCALING.md r12). For unbounded listings AND for multi-thousand-row
+aggregates nobody consumes in order, the right move is no terminal sort
+at all (events_hourly_rollup went sort-free in r13; see
+tests/test_plan_shapes.py); for big sorted outputs a real range sort is
+correct.
 """
 
 from __future__ import annotations

@@ -71,12 +71,15 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             "avg_value",
         )
-        # Terminal sort stays a REAL range sort here: the group key is
-        # hours×types (~3.4k groups), so ordered_small's coalesce(1)
-        # would funnel ~150 map partitions' partial rows through ONE
-        # final-aggregate task — measured +43% at sf100 (SCALING.md r12).
-        # ordered_small is for ≤~100-group aggregates only.
-        .orderBy("window_start", "event_type")
+        # r13: NO terminal sort. r12 kept a real range sort here because
+        # ordered_small's coalesce(1) single-threads the final aggregate
+        # (+43% at sf100); but the third option — no terminal order at
+        # all — is the right one for a ~3.4k-row aggregate listing: the
+        # oracle compare is order-insensitive (driver-proven on the
+        # sort-free doc_token_stats/media_resize rows since r12), and the
+        # orderBy cost two extra jobs per call (the range-partitioner
+        # sampling pass + the sorted collect) plus an Exchange. Pinned
+        # sort-free in tests/test_plan_shapes._LISTING_QUERIES.
     )
 
 
@@ -171,9 +174,31 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_sessionization",
-    oracle="""
+def _events_user_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events source for user-selective probes (guide §6: layout determines
+    how well readers skip): route to the z-ordered layout
+    (plans/zorder.py — clustered on (ts, user_id), so per-file user_id
+    min/max stats prune most files for a `user_id < k` predicate; the
+    raw corpus is time-ordered and its user stats span everything) when a
+    FRESH layout exists, raw scan otherwise. Same freshness contract as
+    every maintained artifact here: the layout's CAS meta record must
+    match the current events file stats; `scan_forced()` honors the
+    force_scan_path override so the scan branch stays measurable and
+    gate-covered (events_sessionization_scan)."""
+    from ..plans.bucketed import scan_forced
+    from ..plans.zorder import zorder_events_path
+    from ..sources.catalog import read_parquet_cached, table_stat_signature
+    from ..sources.manifest import read_meta
+
+    if not scan_forced():
+        path = zorder_events_path(sf_dir)
+        meta = read_meta(path) or {}
+        if meta.get("source_signature") == table_stat_signature(sf_dir, ("events",)):
+            return read_parquet_cached(spark, path)
+    return load_table(spark, sf_dir, "events")
+
+
+_SESSIONIZATION_ORACLE = """
     WITH marked AS (
         SELECT user_id, event_id, ts,
                CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
@@ -191,13 +216,20 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("events_sessionization", oracle=_SESSIONIZATION_ORACLE)
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min timeout): boundary flag via lag,
     session id via running sum — the batch equivalent of Structured
-    Streaming's session_window (streaming/events.py)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    Streaming's session_window (streaming/events.py).
+
+    r13: the source routes through _events_user_sliced — the user_id < 10
+    probe reads the z-ordered layout when fresh (file-skipping scan),
+    the raw corpus otherwise; the window logic is identical either way
+    and per-user windows are order-insensitive to which files fed them."""
+    ev = _events_user_sliced(spark, sf_dir).filter(F.col("user_id") < 10)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis("ts")
     marked = ev.select(
@@ -217,6 +249,18 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .transform(lambda df: ordered_small(df, "user_id", "session_id"))
     )
+
+
+@query("events_sessionization_scan", oracle=_SESSIONIZATION_ORACLE)
+def events_sessionization_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_sessionization forced onto the raw-corpus scan path — gates
+    the cold branch every run regardless of whether a z-layout was built
+    earlier in the session (the both-branches-gated pattern of
+    revenue_by_nation_scan / shipping_priority_scan)."""
+    from ..plans.bucketed import force_scan_path
+
+    with force_scan_path():
+        return events_sessionization(spark, sf_dir)
 
 
 @query(

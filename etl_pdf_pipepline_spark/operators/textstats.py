@@ -37,6 +37,70 @@ def _stopword_ratio(text_col) -> F.Column:
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
+def _token_stat_batches(batches):
+    """Arrow-native token-stat kernel (guide §4.2): per batch, lowercase +
+    regex-split + flatten + one C++ hash aggregation over parent indices —
+    no Python row loop, no JVM regex. Emits exact INTEGER stats only
+    (counts and the non-whitespace char sum); every double (ttr,
+    avg_word_len) is still derived by the same Spark round/divide
+    expressions as before, so the query's output is bit-identical to the
+    JVM-expression form (equality-tested in tests/test_textstats_arrow.py).
+
+    Semantics notes pinned by the equality test:
+    - split_pattern_regex uses RE2 '\\s+' — the same engine and class the
+      DuckDB oracle's regexp_split_to_array uses; edge empties are
+      filtered exactly like the JVM form's leading/trailing strip.
+    - null text → null list → list_parent_indices skips it → stats stay
+      NULL via the validity mask (matches size(NULL) = NULL).
+    - utf8_length counts code points, same as Spark/DuckDB length().
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        doc_id = batch.column(0)
+        text = batch.column(1)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        agg = (
+            pa.table({"p": parent, "t": flat, "l": pc.utf8_length(flat)})
+            .group_by("p")
+            .aggregate([("t", "count"), ("t", "count_distinct"), ("l", "sum")])
+        )
+        n = batch.num_rows
+        n_tok = np.zeros(n, dtype=np.int32)
+        n_dis = np.zeros(n, dtype=np.int32)
+        nonws = np.zeros(n, dtype=np.int32)
+        idx = agg.column("p").to_numpy(zero_copy_only=False)
+        n_tok[idx] = agg.column("t_count").to_numpy(zero_copy_only=False)
+        n_dis[idx] = agg.column("t_count_distinct").to_numpy(zero_copy_only=False)
+        nonws[idx] = agg.column("l_sum").to_numpy(zero_copy_only=False)
+        mask = None
+        if text.null_count:
+            mask = pc.is_null(text).to_numpy(zero_copy_only=False)
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                pa.array(n_tok, mask=mask),
+                pa.array(n_dis, mask=mask),
+                pa.array(nonws, mask=mask),
+            ],
+            ["doc_id", "n_tokens", "n_distinct", "nonws"],
+        )
+
+
+def _token_stat_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, nonws) via the Arrow kernel."""
+    return docs.select("doc_id", "text").mapInArrow(
+        _token_stat_batches, "doc_id bigint, n_tokens int, n_distinct int, nonws int"
+    )
+
+
 @query(
     "doc_token_stats",
     oracle="""
@@ -103,17 +167,23 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GONE — this is an unbounded per-doc listing, the oracle compare is
     order-insensitive, and the r4/r7 numbers above show the sort was
     the single biggest avoidable cost (+5.8 s of the sf30 wall). The
-    plan is now a pure embarrassingly-parallel map, zero shuffles."""
+    plan is now a pure embarrassingly-parallel map, zero shuffles.
+
+    r13: the per-doc tokenize/distinct class itself (the r7-named floor)
+    moved off the JVM expression tree into the Arrow-native mapInArrow
+    kernel _token_stat_batches (guide §4.2: batches to vectorized native
+    code — RE2 split + one C++ hash aggregation, no Python row loop).
+    The r4 objection to a Python path was mapInPandas' per-doc str.split
+    row loop and its Unicode-\\s semantics drift; the Arrow kernel has
+    neither (RE2 '\\s' is the SAME engine and class the DuckDB oracle
+    uses — closer than the JVM form it replaces). Only exact integers
+    cross the boundary out; ttr/avg_word_len still come from the
+    identical Spark round/divide tail, so output is bit-identical
+    (tests/test_textstats_arrow.py proves equality vs the JVM form on
+    the corpus + edge strings). Measured (interleaved min-of-N noop,
+    tools/probe_tokstats.py): see OPTIMIZATION_r13.md."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", tokens("text").alias("toks"))
-    stats = staged.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
-        # Σ token lengths == non-whitespace char count (same identity as
-        # functions.text.avg_word_length), folded over the one array.
-        F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)).alias("nonws"),
-    )
+    stats = _token_stat_counts(docs)
     n_toks = F.greatest(F.col("n_tokens"), F.lit(1))
     return (
         stats.select(

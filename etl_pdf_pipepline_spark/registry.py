@@ -75,18 +75,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #      join; bm25.py _write_term_df); its from-index/incremental
 #      siblings with the same plan change are already gated in groups
 #      2/4 (hybrid_rrf_*, bm25_topk_from_index, bm25_incremental_index).
+#    - events_hourly_rollup — terminal range sort dropped (r13: a ~3.4k-
+#      row aggregate listing needs no output order; the sort cost a
+#      range-sampling job + an Exchange + a Sort per call);
+#    - events_sessionization — the user_id<10 probe routes to the
+#      z-ordered events layout when fresh (file-skipping scan); its
+#      forced-scan twin events_sessionization_scan is NEW in group 3;
+#    - doc_token_stats — token counting moved to the Arrow-native
+#      mapInArrow kernel (guide §4.2), same integer stats, same Spark
+#      round/divide tail, equality-tested vs the JVM-expression form.
 #    NOT gate-entering (executed plan bit-identical, only construction
 #    changed): the probe family's memoized query-vector fetch
 #    (_query_vector_cached — removes a per-call pre-job; the RETURNED
 #    plan is unchanged since the same literal vector lands in the same
 #    scorer), re-verified vs oracles at sf0.001/sf0.01 this round.
-# 3. Three NEW r13 rows with zero driver history: ivf_probe_int8_served
+# 3. Four NEW r13 rows with zero driver history: ivf_probe_int8_served
 #    (IVF-SQ8 cell serving), ivf_int8_incremental (O(delta) quantized-
-#    layout maintenance), and ann_recall_int8 (scalar recall bound).
-# 4. The remaining 17 slots: oldest-latest (r10) rotation, alphabetical
-#    fill (media_resize already enters via group 2; events_cube_day_type
-#    displaced below the cut by bm25_search's group-2 entry).
-# 24 + 6 + 3 + 17 = 50, counted by test_registry's gate-budget assertion.
+#    layout maintenance), ann_recall_int8 (scalar recall bound), and
+#    events_sessionization_scan (forced-scan twin of the rerouted
+#    sessionization probe).
+# 4. The remaining 13 slots: oldest-latest (r10) rotation, alphabetical
+#    fill (media_resize already enters via group 2; events_cube_day_type,
+#    doc_pii_scrub, doc_quality_classifier, doc_unigram_logprob and
+#    docs_stats_by_source displaced below the cut by the group-2/3
+#    optimization entries).
+# 24 + 9 + 4 + 13 = 50, counted by test_registry's gate-budget assertion.
 _GATE_PRIORITY = [
     # -- group 1: the 24 r9-latest marchers -------------------------------
     "events_anomaly_zscore",
@@ -120,10 +133,14 @@ _GATE_PRIORITY = [
     "hybrid_rrf_from_index",
     "ann_cosine_topk_int8",
     "bm25_search",
+    "events_hourly_rollup",
+    "events_sessionization",
+    "doc_token_stats",
     # -- group 3: NEW r13 rows, zero driver history -----------------------
     "ivf_probe_int8_served",
     "ivf_int8_incremental",
     "ann_recall_int8",
+    "events_sessionization_scan",
     # -- group 4: oldest-latest (r10) rotation, alphabetical fill ---------
     "approx_distinct_users",
     "approx_value_quantiles",
@@ -138,12 +155,10 @@ _GATE_PRIORITY = [
     "customers_without_orders",
     "dedup_winnowing_pairs",
     "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_unigram_logprob",
-    "docs_stats_by_source",
     # ---- 50 entries; driver caps at ~50 ----
-    # Below the cut, next-oldest (remaining r10): events_cube_day_type,
+    # Below the cut, next-oldest (remaining r10): doc_pii_scrub,
+    # doc_quality_classifier, doc_unigram_logprob, docs_stats_by_source,
+    # events_cube_day_type,
     # events_json_props,
     # events_lake_autopilot,
     # events_sliding_window, events_top_users, events_type_pivot,

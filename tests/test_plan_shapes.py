@@ -94,6 +94,7 @@ _LISTING_QUERIES = [
     "customer_order_profile",
     "near_dup_incremental",
     "media_resize",  # terminal orderBy dropped r12; pin added r13 (ADVICE)
+    "events_hourly_rollup",  # terminal range sort dropped r13 (~3.4k-row agg)
 ]
 
 
@@ -120,8 +121,8 @@ def test_small_ordered_results_use_no_range_sampling(spark):
     from etl_pdf_pipepline_spark.registry import all_queries
 
     qs = all_queries()
-    # (events_hourly_rollup is deliberately NOT here: ~3.4k groups keeps
-    # its real range sort — see functions/ordering.py docstring.)
+    # (events_hourly_rollup went sort-free in r13 — it is pinned in
+    # _LISTING_QUERIES above; see functions/ordering.py docstring.)
     for name in ("q1_pricing_summary", "events_user_gaps", "revenue_by_nation_scan"):
         plan = _executed_plan(qs[name](spark, SF))
         assert "rangepartitioning" not in plan, name
