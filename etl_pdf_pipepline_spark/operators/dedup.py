@@ -561,10 +561,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "documents", "n_docs_lt80", docs.count
     )
     cap = max(1, int(MAX_DF_FRAC * n_docs))
-    return (
-        token_jaccard_pairs(docs, "doc_id", "text", max_df_count=cap)
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(20)
+    # r13: the whole query — tokenize, window DF cap, term self-join,
+    # Jaccard, top-20 — is one spark.sql round-trip (guide §1; op-by-op
+    # construction profiled ~0.14 s/call at sf0.1). Same tree as
+    # token_jaccard_pairs(docs, max_df_count=cap) + orderBy/limit, which
+    # tests/test_dedup.py still exercises directly: tokens() is the
+    # regexp-trim + split + empty-case CASE verbatim, the DF count rides
+    # the same term-partitioned window, AQE still picks the join
+    # strategies (no hints either way).
+    return spark.sql(
+        f"""
+        WITH terms AS (
+          SELECT doc_id, explode(array_distinct(
+                   CASE WHEN cleaned = '' THEN CAST(array() AS array<string>)
+                        ELSE split(cleaned, '\\\\s+') END)) AS term
+          FROM (SELECT doc_id, regexp_replace(lower(text), '^\\\\s+|\\\\s+$', '') AS cleaned
+                FROM {{docs}} WHERE doc_id < 80)
+        ),
+        kept AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, term, count(*) OVER (PARTITION BY term) AS df FROM terms
+          ) WHERE df <= {int(cap)}
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b
+        LIMIT 20
+        """,
+        docs=load_table(spark, sf_dir, "documents"),
     )
 
 

@@ -231,33 +231,45 @@ def revenue_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no range-sample job, no exchange). Measured sf0.1: 0.57 s/7 jobs →
     0.44 s/3 jobs, bit-identical result."""
     li_name, o_name = bucketed_table_names(spark, sf_dir)
-    li = spark.table(li_name)
-    o = spark.table(o_name)
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nr = n.join(r.hint("shuffle_hash"), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name"
+    # r13 (guide §1 — the sf0.1 profile put ~0.28 s of every call in
+    # DataFrame CONSTRUCTION: ~195 py4j round-trips to build this tree
+    # op by op). The same tree expressed as ONE spark.sql call is one
+    # round-trip for the whole text; executed plan verified operator-
+    # identical (3 BroadcastHashJoin + 1 ShuffledHashJoin + 3 hash
+    # Exchanges + 4 HashAggregates, zero orderkey exchanges) and the
+    # result bit-identical. FLOOR(x*100.0 + 0.5) is functions.money.cents
+    # verbatim (Spark SQL floor(double) already returns BIGINT).
+    df = spark.sql(
+        f"""
+        WITH nr AS (
+          SELECT /*+ SHUFFLE_HASH(r) */ n_nationkey, n_name
+          FROM {{n}} n JOIN {{r}} r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+        ),
+        dims AS (
+          SELECT /*+ BROADCAST(nr) */ c_custkey, n_name
+          FROM {{c}} c JOIN nr ON c.c_nationkey = nr.n_nationkey
+        ),
+        li_rev AS (
+          SELECT l_orderkey,
+                 sum(FLOOR(l_extendedprice * 100.0 + 0.5)
+                     * (100 - FLOOR(l_discount * 100.0 + 0.5))) AS rev_c
+          FROM {li_name}
+          GROUP BY l_orderkey
+        ),
+        o_asia AS (
+          SELECT /*+ BROADCAST(dims) */ o_orderkey, n_name
+          FROM {o_name} o JOIN dims ON o.o_custkey = dims.c_custkey
+        )
+        SELECT n_name, round(CAST(sum(rev_c) AS DOUBLE) / 10000, 2) AS revenue
+        FROM li_rev JOIN o_asia ON li_rev.l_orderkey = o_asia.o_orderkey
+        GROUP BY n_name
+        """,
+        n=load_table(spark, sf_dir, "nation"),
+        r=load_table(spark, sf_dir, "region"),
+        c=load_table(spark, sf_dir, "customer"),
     )
-    dims = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
-        "c_custkey", "n_name"
-    )
-    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
-    li_rev = (
-        li.select("l_orderkey", rev.alias("rev_c"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("rev_c").alias("rev_c"))
-    )
-    o_asia = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
-        "o_orderkey", "n_name"
-    )
-    return ordered_small(
-        li_rev.join(o_asia, li_rev.l_orderkey == o_asia.o_orderkey)
-        .groupBy("n_name")
-        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue")),
-        F.desc("revenue"),
-        "n_name",
-    )
+    return ordered_small(df, F.desc("revenue"), "n_name")
 
 
 @query("revenue_by_nation_bucketed", oracle=_REVENUE_ORACLE)
@@ -309,38 +321,41 @@ def shipping_from_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the serving path shipping_priority_top10 routes to when
     bucketed_layout_exists."""
     li_name, o_name = bucketed_table_names(spark, sf_dir)
-    li = spark.table(li_name).filter(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    o = spark.table(o_name).filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
-    li_rev = (
-        li.select("l_orderkey", rev.alias("rev_c"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("rev_c").alias("rev_c"))
-    )
-    o_bldg = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    return (
-        li_rev.join(o_bldg, li_rev.l_orderkey == o_bldg.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
+    # r13: single spark.sql construction (same rationale and verification
+    # discipline as revenue_from_bucketed above — one driver round-trip
+    # instead of ~160; executed plan operator-identical, top-k still
+    # TakeOrderedAndProject).
+    return spark.sql(
+        f"""
+        WITH li_rev AS (
+          SELECT l_orderkey,
+                 sum(FLOOR(l_extendedprice * 100.0 + 0.5)
+                     * (100 - FLOOR(l_discount * 100.0 + 0.5))) AS rev_c
+          FROM {li_name}
+          WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey
+        ),
+        o_bldg AS (
+          SELECT /*+ BROADCAST(c) */ o_orderkey, o_orderdate, o_orderpriority
+          FROM {o_name} o
+          JOIN (SELECT c_custkey FROM {{cust}} WHERE c_mktsegment = 'BUILDING') c
+            ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ),
+        agg AS (
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 round(CAST(sum(rev_c) AS DOUBLE) / 10000, 2) AS revenue
+          FROM li_rev JOIN o_bldg ON li_rev.l_orderkey = o_bldg.o_orderkey
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
         )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
+        SELECT l_orderkey, revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM agg
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+        cust=load_table(spark, sf_dir, "customer"),
     )
 
 

@@ -69,31 +69,38 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the (tiny-cardinality) group key; scan reads only the 7
     referenced columns (parquet pruning). All money math is exact integer
     cents inside the aggregate (see module docstring)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    # r12 JVM-parsed the 8 aggregate expressions; r13 goes the rest of the
+    # way (guide §1 — construction profiled ~0.13 s/call at sf0.1): the
+    # WHOLE query is one spark.sql round-trip. FLOOR(x*100.0 + 0.5) is
+    # functions.money.cents verbatim; plan shape unchanged (scan with
+    # pushed shipdate filter → partial+final HashAggregate, ≤6-row
+    # ordered_small tail, no rangepartitioning).
+    df = spark.sql(
+        """
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus,
+                 FLOOR(l_quantity * 100.0 + 0.5)      AS q,
+                 FLOOR(l_extendedprice * 100.0 + 0.5) AS e,
+                 FLOOR(l_discount * 100.0 + 0.5)      AS d,
+                 FLOOR(l_tax * 100.0 + 0.5)           AS t
+          FROM {li}
+          WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        )
+        SELECT l_returnflag, l_linestatus,
+               round(cast(sum(q) as double) / 100, 2) AS sum_qty,
+               round(cast(sum(e) as double) / 100, 2) AS sum_base_price,
+               round(cast(sum(e * (100 - d)) as double) / 10000, 2) AS sum_disc_price,
+               round(cast(sum(e * (100 - d) * (100 + t)) as double) / 1000000, 2) AS sum_charge,
+               round(cast(sum(q) as double) / 100 / count(*), 4) AS avg_qty,
+               round(cast(sum(e) as double) / 100 / count(*), 4) AS avg_price,
+               round(cast(sum(d) as double) / 100 / count(*), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM c
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        li=load_table(spark, sf_dir, "lineitem"),
     )
-    q, e, d, t = _cents("l_quantity"), _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
-    # The 8 aggregate expressions are JVM-parsed strings (r12): built
-    # through the Column DSL they cost ~50 py4j round-trips per plan
-    # construction; the parsed trees and arithmetic are identical.
-    aggs = [
-        ("round(cast(sum(q) as double) / 100, 2)", "sum_qty"),
-        ("round(cast(sum(e) as double) / 100, 2)", "sum_base_price"),
-        ("round(cast(sum(e * (100 - d)) as double) / 10000, 2)", "sum_disc_price"),
-        ("round(cast(sum(e * (100 - d) * (100 + t)) as double) / 1000000, 2)", "sum_charge"),
-        ("round(cast(sum(q) as double) / 100 / count(*), 4)", "avg_qty"),
-        ("round(cast(sum(e) as double) / 100 / count(*), 4)", "avg_price"),
-        ("round(cast(sum(d) as double) / 100 / count(*), 4)", "avg_disc"),
-        ("count(*)", "count_order"),
-    ]
-    return (
-        li.select("l_returnflag", "l_linestatus", q.alias("q"), e.alias("e"), d.alias("d"), t.alias("t"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(*[F.expr(s).alias(a) for s, a in aggs])
-        # r12: ≤6 aggregate rows — ordered_small drops the range-sample
-        # job + exchange of a terminal orderBy.
-        .transform(lambda df: ordered_small(df, "l_returnflag", "l_linestatus"))
-    )
+    return ordered_small(df, "l_returnflag", "l_linestatus")
 
 
 @query(
@@ -222,29 +229,25 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     child counts onto the parent. Aggregate-before-join keeps the shuffled
     payload at one row per customer, and the pre-aggregate side is then
     small enough for AQE to broadcast."""
-    cust = load_table(spark, sf_dir, "customer")
-    per_cust = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("order_count"),
-            F.sum(_cents("o_totalprice")).alias("total_spend_cents"),
-        )
-    )
-    return (
-        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
-        .select(
-            "c_custkey",
-            "c_name",
-            "c_mktsegment",
-            F.coalesce("order_count", F.lit(0)).alias("order_count"),
-            F.round(
-                F.coalesce(F.col("total_spend_cents").cast("double") / 100, F.lit(0.0)), 2
-            ).alias("total_spend"),
-        )
-        # r12: unbounded per-customer listing, order-insensitive compare —
-        # no terminal global sort (a free-standing full-shuffle range sort
-        # at 100×; consumers that want an order ask for one).
+    # r12: unbounded per-customer listing, order-insensitive compare — no
+    # terminal global sort (a free-standing full-shuffle range sort at
+    # 100×; consumers that want an order ask for one). r13: one spark.sql
+    # construction (guide §1 — ~95 ms of op-by-op py4j per call at
+    # sf0.1); plan shape unchanged.
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment,
+               coalesce(order_count, 0) AS order_count,
+               round(coalesce(CAST(total_spend_cents AS DOUBLE) / 100, 0.0D), 2) AS total_spend
+        FROM {cust} c
+        LEFT JOIN (
+          SELECT o_custkey, count(*) AS order_count,
+                 sum(FLOOR(o_totalprice * 100.0 + 0.5)) AS total_spend_cents
+          FROM {o} GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+        """,
+        cust=load_table(spark, sf_dir, "customer"),
+        o=load_table(spark, sf_dir, "orders"),
     )
 
 
@@ -339,39 +342,51 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if bucketed_layout_exists(spark, sf_dir):
         return revenue_from_bucketed(spark, sf_dir)
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
     # r12 job-floor fusion, same shape as bucketed.revenue_from_bucketed:
     # one broadcast for the whole dim chain (nation⋈region planned
     # shuffle_hash — a constant ~30-row join that rides inside the dims
     # broadcast job instead of nesting two more), n_name carried through
     # so the post-aggregate name join disappears, ≤25-row terminal sort
     # via ordered_small instead of a range-sampled global orderBy.
-    nr = n.join(r.hint("shuffle_hash"), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name"
+    # r13: built as ONE spark.sql call (construction was ~0.28 s of py4j
+    # round-trips per invocation at sf0.1 — guide §1 profile); executed
+    # plan verified operator-identical to the op-by-op form, FLOOR(x*100.0
+    # + 0.5) is functions.money.cents verbatim. NOTE the customer⋈orders
+    # join stays hint-free by design (see paragraph above): only nr rides
+    # a BROADCAST hint inside the dims chain.
+    df = spark.sql(
+        """
+        WITH nr AS (
+          SELECT /*+ SHUFFLE_HASH(r) */ n_nationkey, n_name
+          FROM {n} n JOIN {r} r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+        ),
+        dims AS (
+          SELECT /*+ BROADCAST(nr) */ c_custkey, n_name
+          FROM {c} c JOIN nr ON c.c_nationkey = nr.n_nationkey
+        ),
+        li_rev AS (
+          SELECT l_orderkey,
+                 sum(FLOOR(l_extendedprice * 100.0 + 0.5)
+                     * (100 - FLOOR(l_discount * 100.0 + 0.5))) AS rev_c
+          FROM {li}
+          GROUP BY l_orderkey
+        ),
+        o_asia AS (
+          SELECT o_orderkey, n_name
+          FROM {o} o JOIN dims ON o.o_custkey = dims.c_custkey
+        )
+        SELECT n_name, round(CAST(sum(rev_c) AS DOUBLE) / 10000, 2) AS revenue
+        FROM li_rev JOIN o_asia ON li_rev.l_orderkey = o_asia.o_orderkey
+        GROUP BY n_name
+        """,
+        n=load_table(spark, sf_dir, "nation"),
+        r=load_table(spark, sf_dir, "region"),
+        c=load_table(spark, sf_dir, "customer"),
+        o=load_table(spark, sf_dir, "orders"),
+        li=load_table(spark, sf_dir, "lineitem"),
     )
-    dims = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
-        "c_custkey", "n_name"
-    )
-    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
-    li_rev = (
-        li.select("l_orderkey", rev.alias("rev_c"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("rev_c").alias("rev_c"))
-    )
-    o_asia = o.join(dims, o.o_custkey == dims.c_custkey).select(
-        "o_orderkey", "n_name"
-    )
-    return ordered_small(
-        li_rev.join(o_asia, li_rev.l_orderkey == o_asia.o_orderkey)
-        .groupBy("n_name")
-        .agg(F.round(F.sum("rev_c").cast("double") / 10000, 2).alias("revenue")),
-        F.desc("revenue"),
-        "n_name",
-    )
+    return ordered_small(df, F.desc("revenue"), "n_name")
 
 
 @query(
@@ -410,28 +425,39 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if bucketed_layout_exists(spark, sf_dir):
         return shipping_from_bucketed(spark, sf_dir)
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
-    li_rev = li.groupBy("l_orderkey").agg(
-        F.round(F.sum(rev).cast("double") / 10000, 2).alias("revenue")
-    )
-    o_f = o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi")
-    return (
-        o_f.join(li_rev, o_f.o_orderkey == li_rev.l_orderkey)
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
+    # r13: single spark.sql construction (one driver round-trip instead of
+    # ~130 — guide §1 profile); plan shape unchanged: per-orderkey revenue
+    # aggregate before the orders join, hint-free LEFT SEMI on the
+    # BUILDING customer keys (AQE broadcasts when small), top-k stays
+    # TakeOrderedAndProject.
+    return spark.sql(
+        """
+        WITH li_rev AS (
+          SELECT l_orderkey,
+                 round(CAST(sum(FLOOR(l_extendedprice * 100.0 + 0.5)
+                             * (100 - FLOOR(l_discount * 100.0 + 0.5))) AS DOUBLE)
+                       / 10000, 2) AS revenue
+          FROM {li}
+          WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey
+        ),
+        o_f AS (
+          SELECT o_orderkey, o_orderdate, o_orderpriority
+          FROM {o} o
+          WHERE o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND o.o_custkey IN (SELECT c_custkey FROM {c}
+                                WHERE c_mktsegment = 'BUILDING')
         )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
+        SELECT l_orderkey, revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM o_f JOIN li_rev ON o_f.o_orderkey = li_rev.l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+        li=load_table(spark, sf_dir, "lineitem"),
+        o=load_table(spark, sf_dir, "orders"),
+        c=load_table(spark, sf_dir, "customer"),
     )
 
 

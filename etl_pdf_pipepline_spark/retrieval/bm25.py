@@ -525,6 +525,46 @@ def compact_index(spark, path: str, n_buckets: int = 16) -> dict[str, int]:
     return out
 
 
+def _sql_str_lit(t: str) -> str:
+    """SQL string-literal escape for raw tokens."""
+    return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def scored_from_index_sqltext(
+    spark, path: str, query_terms: list[str], k1: float = K1, b: float = B
+) -> str | None:
+    """The index-served scorer as ONE SQL text over a `{post}` DataFrame
+    arg (the signature-memoized postings scan): literal IN term pushdown,
+    df from the term dictionary folded in as a literal map, corpus
+    scalars as double literals — the same plan bm25_scores_from_index
+    built op by op, now one spark.sql round-trip for the whole tree
+    (r13 construction-floor fix, guide §1: the op-by-op build cost
+    ~0.16 s of py4j per bm25_search call at sf0.1). Returns None when
+    this index predates the term_df layout (callers keep the legacy
+    two-scan plan) so the emitted rows are identical by construction.
+    Also the composable kw-leg fragment for the hybrid family's single
+    SQL text (retrieval/queries.py)."""
+    if not query_terms:
+        return None
+    term_dfs = _term_df_lookup(path, query_terms)
+    if not term_dfs:
+        return None
+    n, total_dl = corpus_scalars(spark, path)
+    avgdl = float(total_dl) / n if n else 0.0
+    terms_in = ", ".join(_sql_str_lit(t) for t in sorted(set(query_terms)))
+    entries = ", ".join(f"{_sql_str_lit(t)}, {df}L" for t, df in sorted(term_dfs.items()))
+    score = _term_score_sql(k1, b, n=n, avgdl=avgdl)
+    # NB: literal braces around `post` are load-bearing — this text is
+    # passed to spark.sql(..., post=<postings scan>) as a template, never
+    # through an f-string.
+    return (
+        "SELECT doc_key, sum(" + score + ") AS score FROM ("
+        "  SELECT doc_key, tf, dl, element_at(map(" + entries + "), term) AS df"
+        "  FROM {post} WHERE term IN (" + terms_in + ")"
+        ") m GROUP BY doc_key"
+    )
+
+
 def bm25_scores_from_index(
     spark,
     path: str,
@@ -584,22 +624,9 @@ def bm25_scores_from_index(
     # two-scan plan (element_at only substitutes where the join probe
     # did). Pre-r13 indexes without a term_df dir fall back to the
     # two-scan plan.
-    term_dfs = _term_df_lookup(path, query_terms)
-    if term_dfs:
-        def _q(t: str) -> str:  # SQL string-literal escape for raw tokens
-            return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-        entries = ", ".join(
-            f"{_q(t)}, {df}L" for t, df in sorted(term_dfs.items())
-        )
-        return (
-            matched.withColumn(
-                "df", F.expr(f"element_at(map({entries}), term)")
-            )
-            .withColumn("term_score", F.expr(_term_score_sql(k1, b, n=n, avgdl=avgdl)))
-            .groupBy("doc_key")
-            .agg(F.sum("term_score").alias("score"))
-        )
+    sql = scored_from_index_sqltext(spark, path, query_terms, k1, b)
+    if sql is not None:
+        return spark.sql(sql, post=read_parquet_cached(spark, f"{path}/postings"))
     df_counts = matched.groupBy("term").agg(F.count("*").alias("df"))
     return (
         matched.join(F.broadcast(df_counts), "term")
@@ -621,5 +648,17 @@ def bm25_topk_from_index(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Top-k by rounded score over bm25_scores_from_index."""
+    """Top-k by rounded score over bm25_scores_from_index. When the index
+    carries a term dictionary the whole query — scorer + rounded top-k —
+    is one spark.sql round-trip (same plan: scan → score → hash agg →
+    TakeOrderedAndProject)."""
+    sql = scored_from_index_sqltext(spark, path, query_terms, k1, b)
+    if sql is not None:
+        from ..sources.catalog import read_parquet_cached
+
+        return spark.sql(
+            "SELECT doc_key, round(score, 4) AS score FROM (" + sql + ") kw "
+            "ORDER BY score DESC, doc_key LIMIT " + str(int(k)),
+            post=read_parquet_cached(spark, f"{path}/postings"),
+        )
     return _topk_by_score(bm25_scores_from_index(spark, path, query_terms, k1, b), k)

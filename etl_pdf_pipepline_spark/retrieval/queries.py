@@ -437,20 +437,53 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array_lit_sql over the signature-memoized fetch) instead of a
     broadcast 1-row DF — the scored scan is a pure projection, one
     BroadcastExchange driver job gone, and constant folding evaluates
-    the query norm at plan time."""
-    docs = load_table(spark, sf_dir, "documents")
+    the query norm at plan time.
+
+    r13 construction floor (guide §1): on the served route the ENTIRE
+    query — index-scored kw leg, literal-vector leg, both top-20 ranks,
+    union-RRF, top-10 — is ONE spark.sql round-trip (profiled 0.27 s of
+    op-by-op py4j construction per call at sf0.1). Each CTE is the same
+    text the rank_top/rrf_fuse helpers built: topk LIMIT then
+    row_number over the identical total order, union + sum + rounded
+    fuse; executed plan and rows verified identical."""
     emb = load_table(spark, sf_dir, "embeddings")
 
+    kw_sql = None
     if bm25_index_servable(spark, sf_dir):
-        from .bm25 import bm25_scores_from_index
+        from .bm25 import scored_from_index_sqltext
 
-        kw = bm25_scores_from_index(spark, _bm25_index_path(sf_dir), QUERY_TERMS)
-    else:
-        kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
+        kw_sql = scored_from_index_sqltext(spark, _bm25_index_path(sf_dir), QUERY_TERMS)
+    if kw_sql is not None:
+        from ..functions.vectors import array_lit_sql, as_double_sql, cosine_sql
+        from ..operators.similarity import _query_vector_cached
+        from ..sources.catalog import read_parquet_cached
+        from .hybrid import RRF_K
+
+        qv_sql = array_lit_sql(_query_vector_cached(spark, sf_dir, 0))
+        cos = cosine_sql(as_double_sql("embedding"), qv_sql)
+        order = "ORDER BY round(score, 4) DESC, doc_key"
+        text = (
+            "WITH kw AS (" + kw_sql + "), "
+            "kw_top AS (SELECT doc_key, score FROM kw " + order + " LIMIT 20), "
+            "kw_rank AS (SELECT doc_key, row_number() OVER (" + order + ") AS rank FROM kw_top), "
+            "vec AS (SELECT vec_id AS doc_key, round(" + cos + ", 4) AS score FROM {emb}), "
+            "vec_top AS (SELECT doc_key, score FROM vec " + order + " LIMIT 20), "
+            "vec_rank AS (SELECT doc_key, row_number() OVER (" + order + ") AS rank FROM vec_top), "
+            "u AS (SELECT doc_key, 1.0D / (" + str(RRF_K) + " + rank) AS contrib FROM kw_rank "
+            "UNION ALL SELECT doc_key, 1.0D / (" + str(RRF_K) + " + rank) AS contrib FROM vec_rank) "
+            "SELECT doc_key AS doc_id, round(sum(contrib), 6) AS score FROM u "
+            "GROUP BY doc_key ORDER BY score DESC, doc_id LIMIT 10"
+        )
+        return spark.sql(
+            text,
+            post=read_parquet_cached(spark, _bm25_index_path(sf_dir) + "/postings"),
+            emb=emb,
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
     kw_rank = rank_top(kw, 20, "doc_key")
-
     vec_rank = rank_top(_vec_scored_lit(spark, sf_dir, emb), 20, "doc_key")
-
     return rrf_fuse(kw_rank, vec_rank, "doc_key", k=10).withColumnRenamed("doc_key", "doc_id")
 
 
