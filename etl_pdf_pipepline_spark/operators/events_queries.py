@@ -174,7 +174,9 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_user_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_user_sliced(
+    spark: SparkSession, sf_dir: str, user_hi_exclusive: int = 10
+) -> DataFrame:
     """events source for user-selective probes (guide §6: layout determines
     how well readers skip): route to the z-ordered layout
     (plans/zorder.py — clustered on (ts, user_id), so per-file user_id
@@ -186,11 +188,25 @@ def _events_user_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     force_scan_path override so the scan branch stays measurable and
     gate-covered (events_sessionization_scan)."""
     from ..plans.bucketed import scan_forced
-    from ..plans.zorder import zorder_events_path
-    from ..sources.catalog import read_parquet_cached, table_stat_signature
+    from ..plans.zorder import zorder_events_path, zorder_pruned_files
+    from ..sources.catalog import (
+        read_parquet_cached,
+        read_parquet_paths_cached,
+        table_stat_signature,
+    )
     from ..sources.manifest import read_meta
 
     if not scan_forced():
+        # r13 file-level pruning (guide §6 / SCALING.md sf100 floor
+        # decomposition): the per-file (user_id, ts) boxes in the
+        # layout's CAS meta drop non-overlapping FILES before Spark
+        # lists anything — at sf100 the 256-file layout schedules ~3
+        # tasks instead of 256 for a user_id<10 probe, and the ~4 ms/
+        # task scheduling floor goes with it. Pruning only shrinks the
+        # read set; the exact predicate still applies downstream.
+        files = zorder_pruned_files(sf_dir, user_hi_exclusive=user_hi_exclusive)
+        if files:
+            return read_parquet_paths_cached(spark, tuple(files))
         path = zorder_events_path(sf_dir)
         meta = read_meta(path) or {}
         if meta.get("source_signature") == table_stat_signature(sf_dir, ("events",)):
@@ -229,26 +245,33 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe reads the z-ordered layout when fresh (file-skipping scan),
     the raw corpus otherwise; the window logic is identical either way
     and per-user windows are order-insensitive to which files fed them."""
-    ev = _events_user_sliced(spark, sf_dir).filter(F.col("user_id") < 10)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
-    marked = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(
-            ((ms - F.lag(ms).over(w)) > 1800000) | F.lag("ts").over(w).isNull(), 1
-        ).otherwise(0).alias("new_session"),
+    # r13: the window chain is ONE spark.sql round-trip (guide §1 —
+    # op-by-op construction profiled ~0.2 s/call at sf100); identical
+    # tree: lag-boundary flag + running sum share one (user_id) window
+    # exchange, grouped counts, ordered_small tail.
+    df = spark.sql(
+        """
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN (unix_millis(ts) - lag(unix_millis(ts)) OVER w) > 1800000
+                           OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM {ev} WHERE user_id < 10
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, event_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+        """,
+        ev=_events_user_sliced(spark, sf_dir, user_hi_exclusive=10),
     )
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = marked.select(
-        "user_id", "event_id", F.sum("new_session").over(w_run).alias("session_id")
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"))
-        .transform(lambda df: ordered_small(df, "user_id", "session_id"))
-    )
+    return ordered_small(df, "user_id", "session_id")
 
 
 @query("events_sessionization_scan", oracle=_SESSIONIZATION_ORACLE)

@@ -54,6 +54,12 @@ from ..sources.catalog import load_table, read_parquet_cached, table_scalar_cach
 
 Z_BITS_PER_DIM = 8  # 256 cells per dimension, 16-bit Morton code
 
+# Bumped when the physical layout recipe changes in a way serving depends
+# on (r13: 8 MB row groups for within-file skipping + per-file stat boxes
+# in meta); ensure_zorder_events rebuilds layouts committed under an older
+# recipe even when the source signature still matches.
+ZORDER_LAYOUT_REV = 2
+
 
 def morton_interleave(a: Column, b: Column, bits: int = Z_BITS_PER_DIM) -> Column:
     """Bit-interleave two `bits`-wide non-negative int columns into one
@@ -120,6 +126,18 @@ def write_zorder_events(
         .sortWithinPartitions("z")
         .drop("z")
         .write.mode("overwrite")
+        # r13 (guide §6): 8 MB row groups instead of the 128 MB default.
+        # The layout's whole point is min/max skipping, and a ~27 MB part
+        # file under the default is ONE row group — a pushed user_id/ts
+        # predicate can skip the file or nothing; at 8 MB each file
+        # carries ~4 stat boxes for within-file skipping. Measured
+        # neutral on the user_id<10 probe at sf100 (that probe's win is
+        # the FILE-level pruning below — interleaved A/B 0.55 → 0.29 s
+        # scan-only); kept because finer boxes cannot lose and serve
+        # predicates the file boxes are too coarse for. Cost: marginally
+        # worse compression, more footer entries — far above the
+        # many-tiny-pages regime.
+        .option("parquet.block.size", str(8 * 1024 * 1024))
         .parquet(path)
     )
     from ..sources.catalog import table_stat_signature
@@ -130,9 +148,92 @@ def write_zorder_events(
         {
             "source_signature": table_stat_signature(sf_dir, ("events",)),
             "n_files": n,
+            "layout_rev": ZORDER_LAYOUT_REV,
+            # Per-FILE (user_id, ts) min/max boxes, read once from the
+            # just-written footers (r13, guide §6): Spark's scan prunes
+            # ROW GROUPS from pushed filters, but it still schedules one
+            # task per file and opens every footer — at 256 files that
+            # ~4 ms/task floor IS the wall of a selective probe
+            # (SCALING.md sf100 decomposition). With the boxes in the
+            # layout's CAS meta, zorder_pruned_files() drops
+            # non-overlapping FILES from the read before Spark lists
+            # anything — manifest-style file skipping, same trick the
+            # lake layer's snapshot bounds use. ts is stored as epoch
+            # MICROS of the footer min/max.
+            "file_stats": _collect_file_stats(path),
         },
     )
     return path
+
+
+def _collect_file_stats(path: str) -> dict[str, dict[str, int]]:
+    """{relname: {u_lo, u_hi, t_lo, t_hi}} from the parquet footers of
+    every part file under `path` — one pyarrow metadata read per file,
+    no data pages touched. ts bounds in epoch micros."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, int]] = {}
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fn)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "user_id" not in names or "ts" not in names:
+            continue
+        u_lo = u_hi = t_lo = t_hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            us = g.column(names["user_id"]).statistics
+            ts = g.column(names["ts"]).statistics
+            if us is None or ts is None or not us.has_min_max or not ts.has_min_max:
+                return {}  # stats missing anywhere: no file pruning
+            u_lo = us.min if u_lo is None else min(u_lo, us.min)
+            u_hi = us.max if u_hi is None else max(u_hi, us.max)
+            t_min = _epoch_us(ts.min)
+            t_max = _epoch_us(ts.max)
+            t_lo = t_min if t_lo is None else min(t_lo, t_min)
+            t_hi = t_max if t_hi is None else max(t_hi, t_max)
+        if u_lo is None:
+            return {}
+        out[fn] = {"u_lo": int(u_lo), "u_hi": int(u_hi), "t_lo": t_lo, "t_hi": t_hi}
+    return out
+
+
+def _epoch_us(v) -> int:
+    """Footer timestamp stat → epoch micros (pyarrow yields datetime for
+    timestamp columns, int for int64-encoded clocks)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    return int(v)
+
+
+def zorder_pruned_files(
+    sf_dir: str, user_hi_exclusive: int | None = None
+) -> list[str] | None:
+    """File names of the fresh z-layout overlapping `user_id <
+    user_hi_exclusive`, from the CAS meta's per-file boxes — or None when
+    the layout is stale/absent/statless (callers fall back to their scan
+    path). Pruning only SHRINKS the read set; callers still apply the
+    exact predicate, so results are unchanged by construction."""
+    from ..sources.catalog import table_stat_signature
+    from ..sources.manifest import read_meta
+
+    path = zorder_events_path(sf_dir)
+    meta = read_meta(path) or {}
+    if meta.get("source_signature") != table_stat_signature(sf_dir, ("events",)):
+        return None
+    stats = meta.get("file_stats")
+    if not stats:
+        return None
+    keep = [
+        fn
+        for fn, s in sorted(stats.items())
+        if user_hi_exclusive is None or s["u_lo"] < user_hi_exclusive
+    ]
+    return [os.path.join(path, fn) for fn in keep]
 
 
 def ensure_zorder_events(
@@ -147,12 +248,15 @@ def ensure_zorder_events(
     from ..sources.catalog import table_stat_signature
     from ..sources.manifest import read_meta
 
+    from ..sources.manifest import commit_meta
+
     path = zorder_events_path(sf_dir)
     n = n_files or derive_shuffle_partitions(sf_dir)
     meta = read_meta(path) or {}
     if (
         meta.get("source_signature") == table_stat_signature(sf_dir, ("events",))
         and meta.get("n_files") == n
+        and meta.get("layout_rev") == ZORDER_LAYOUT_REV
     ):
         return path
     return write_zorder_events(spark, sf_dir, n_files=n)

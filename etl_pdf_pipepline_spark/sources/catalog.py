@@ -188,6 +188,32 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_parquet_paths_cached(spark: SparkSession, paths: tuple[str, ...]) -> DataFrame:
+    """read_parquet_cached for an EXPLICIT file list (metadata-pruned
+    reads, e.g. the z-layout's per-file-box pruning): memoized per
+    (session, path tuple, stat signature over exactly those files)."""
+    import hashlib
+
+    parts = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{p}:gone")
+    sig = hashlib.md5("|".join(parts).encode()).hexdigest()
+    key = (id(spark), "||".join(paths))
+    hit = _PARQUET_CACHE.get(key)
+    if hit is not None:
+        if hit[1].sparkSession is not spark:
+            del _PARQUET_CACHE[key]
+        elif hit[0] == sig:
+            return hit[1]
+    df = spark.read.parquet(*paths)
+    _PARQUET_CACHE[key] = (sig, df)
+    return df
+
+
 # (session id, sf_dir, table, tag) -> (table stat signature, value)
 _SCALAR_CACHE: dict[tuple[int, str, str, str], tuple[str, object]] = {}
 
