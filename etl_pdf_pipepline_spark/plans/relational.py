@@ -533,6 +533,31 @@ def top_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _orders_custkey_sliced(
+    spark: SparkSession, sf_dir: str, custkey_hi_exclusive: int
+) -> DataFrame:
+    """orders source for custkey-selective probes: file-level footer-stat
+    pruning over the raw directory (catalog.raw_pruned_files — the
+    at-scale fix SCALING.md's task-dispatch floor decomposition named,
+    realized without a maintained layout because a clustered-on-write
+    corpus already carries tight per-file custkey stats; at ×300 the
+    custkey<50 probe reads 1 file of 300). Honors force_scan_path so the
+    plain-scan branch stays measurable; single-file tables (the driver's
+    testdata) and statless layouts fall through to the ordinary scan, so
+    gate plans are unchanged. The exact predicate is ALWAYS applied
+    downstream — pruning only shrinks the read set."""
+    from ..plans.bucketed import scan_forced
+    from ..sources.catalog import raw_pruned_files, read_parquet_paths_cached
+
+    if not scan_forced():
+        files = raw_pruned_files(
+            sf_dir, "orders", "o_custkey", hi_exclusive=custkey_hi_exclusive
+        )
+        if files:
+            return read_parquet_paths_cached(spark, tuple(files))
+    return load_table(spark, sf_dir, "orders")
+
+
 @query(
     "order_sequence_window",
     oracle="""
@@ -548,8 +573,13 @@ def order_sequence_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference A5 (chunk_index assignment) + A6 (total_chunks backfill,
     /root/reference/src/transform/chunker.py:107,113-115): dense ordinal and
     partition count in one window pass, partitioned by the parent key — the
-    exact pattern the chunker uses with document_id at scale."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    exact pattern the chunker uses with document_id at scale.
+
+    r13: the custkey<50 probe reads through _orders_custkey_sliced
+    (file-level footer-stat pruning on multi-file corpora; identical
+    plan on the driver's single-file tables). Per-custkey windows are
+    order-insensitive to which files fed them."""
+    o = _orders_custkey_sliced(spark, sf_dir, 50).filter(F.col("o_custkey") < 50)
     w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_all = Window.partitionBy("o_custkey")
     return (
@@ -583,8 +613,12 @@ def running_spend_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference A7 (greedy token-budget cut,
     /root/reference/src/retrieve/hybrid_retriever.py:190-200): ordered
     running sum + budget filter, partitioned so the window never needs a
-    single global ordering."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    single global ordering.
+
+    r13: the custkey<30 probe reads through _orders_custkey_sliced
+    (file-level footer-stat pruning on multi-file corpora; identical
+    plan on the driver's single-file tables)."""
+    o = _orders_custkey_sliced(spark, sf_dir, 30).filter(F.col("o_custkey") < 30)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")

@@ -89,6 +89,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    (_query_vector_cached — removes a per-call pre-job; the RETURNED
 #    plan is unchanged since the same literal vector lands in the same
 #    scorer), re-verified vs oracles at sf0.001/sf0.01 this round.
+#    Also NOT gate-entering: order_sequence_window / running_spend_budget
+#    now route through _orders_custkey_sliced (raw-table footer-stat
+#    file pruning) — on the driver's SINGLE-FILE tables raw_pruned_files
+#    returns None and the executed plan is bit-identical (operator-level
+#    diff of plans/r13/order_sequence_window_{before,after}.txt is
+#    expression IDs only); the pruned branch only exists on multi-file
+#    corpora, where it is verified directly vs DuckDB
+#    (tools/check_oracle.py at .scale/sf30, r13) and equality-tested in
+#    tests/test_raw_prune.py.
 # 3. Four NEW r13 rows with zero driver history: ivf_probe_int8_served
 #    (IVF-SQ8 cell serving), ivf_int8_incremental (O(delta) quantized-
 #    layout maintenance), ann_recall_int8 (scalar recall bound), and

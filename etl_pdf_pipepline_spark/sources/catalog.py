@@ -214,6 +214,94 @@ def read_parquet_paths_cached(spark: SparkSession, paths: tuple[str, ...]) -> Da
     return df
 
 
+# (sf_dir, table, col) -> (table stat signature, {abs path: (min, max)} | None)
+# In-memory only, per process: raw-table footer stats are METADATA derived
+# from the source files, recomputed whenever the files change — never
+# persisted, so every bench/oracle run still computes from the parquet
+# inputs.
+_RAW_FILE_STATS_CACHE: dict[tuple[str, str, str], tuple[str, dict | None]] = {}
+
+
+def _raw_file_stats(sf_dir: str, table: str, col: str) -> dict | None:
+    """Per-file min/max of `col` across a raw multi-file table directory,
+    read from the parquet footers (one pyarrow metadata read per file, no
+    data pages), memoized per file-stat signature. Returns None when the
+    table is a single file (nothing to prune) or any file lacks min/max
+    stats for the column (no safe pruning)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.isdir(path):
+        return None
+    sig = table_stat_signature(sf_dir, (table,))
+    key = (sf_dir, table, col)
+    hit = _RAW_FILE_STATS_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    stats: dict | None = {}
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, fn)
+        md = pq.ParquetFile(fp).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in names:
+            stats = None
+            break
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            stats = None
+            break
+        stats[fp] = (lo, hi)
+    _RAW_FILE_STATS_CACHE[key] = (sig, stats)
+    return stats
+
+
+def raw_pruned_files(
+    sf_dir: str,
+    table: str,
+    col: str,
+    hi_exclusive=None,
+    lo_inclusive=None,
+) -> list[str] | None:
+    """Manifest-style FILE-level pruning over a RAW table directory (guide
+    §6): the file list overlapping `lo_inclusive <= col < hi_exclusive`,
+    decided from footer min/max stats BEFORE Spark lists anything — the
+    same trick the z-layout's CAS boxes and a lake format's manifests do,
+    but sourced from the files themselves, so it needs no maintained
+    artifact. Spark's own scan prunes ROW GROUPS only after scheduling one
+    task per split; on a selective probe over a many-file table the
+    ~4 ms/task dispatch of never-matching files IS the wall (SCALING.md
+    sf100 decomposition). Pruning only SHRINKS the read set — callers
+    still apply the exact predicate, so results are unchanged by
+    construction (rows outside [lo, hi) cannot live in a file whose
+    min/max excludes them; parquet stats ignore nulls, and a NULL never
+    passes a range predicate). Returns None when the layout can't prune
+    (single file, missing stats, or nothing dropped) — callers fall back
+    to the plain load_table scan."""
+    stats = _raw_file_stats(sf_dir, table, col)
+    if not stats:
+        return None
+    keep = [
+        fp
+        for fp, (lo, hi) in stats.items()
+        if (hi_exclusive is None or lo < hi_exclusive)
+        and (lo_inclusive is None or hi >= lo_inclusive)
+    ]
+    if len(keep) == len(stats) or not keep:
+        # Nothing pruned (or predicate matches no file — let the normal
+        # scan produce the empty result so plan shape stays ordinary).
+        return None
+    return keep
+
+
 # (session id, sf_dir, table, tag) -> (table stat signature, value)
 _SCALAR_CACHE: dict[tuple[int, str, str, str], tuple[str, object]] = {}
 

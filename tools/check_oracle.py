@@ -11,6 +11,7 @@ own rounding). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -51,9 +52,16 @@ def main() -> int:
     _ensure_loaded()
 
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # Directory-aware views (r13): Spark-written scale copies store each
+    # table as a DIRECTORY of part files (and events ts as int64 nanos);
+    # bench_baseline.duckdb_connect_views handles both, and is exactly the
+    # single-file view set on the driver's testdata — so the gate tool can
+    # also verify routed/pruned branches that only fire on multi-file
+    # corpora (e.g. raw_pruned_files) directly against DuckDB.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from bench_baseline import duckdb_connect_views
+
+    con = duckdb_connect_views(sf_dir)
 
     failures = []
     for name, rq in sorted(_REGISTRY.items()):
