@@ -156,7 +156,15 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap analysis via lag() — the sessionization primitive
     (gap > threshold ⇒ session boundary). Partitioned by user, so the sort
-    is per-user within shuffle partitions, never global."""
+    is per-user within shuffle partitions, never global.
+
+    Deliberately NOT routed through _events_user_sliced (r13): the
+    z-layout branch would change this row's DRIVER-executed plan once a
+    gate run has built the sf0.01 layout (events_zorder_* build it every
+    run and the CAS record stays fresh on read-only testdata), and the
+    gate-entry + scan-twin machinery that covers events_sessionization
+    for exactly that reason isn't worth spending on a non-headline row —
+    the probe's raw scan is already the gate-covered shape."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis("ts")
@@ -190,6 +198,8 @@ def _events_user_sliced(
     from ..plans.bucketed import scan_forced
     from ..plans.zorder import zorder_events_path, zorder_pruned_files
     from ..sources.catalog import (
+        _normalize_events_ts,
+        raw_pruned_files,
         read_parquet_cached,
         read_parquet_paths_cached,
         table_stat_signature,
@@ -197,6 +207,23 @@ def _events_user_sliced(
     from ..sources.manifest import read_meta
 
     if not scan_forced():
+        # r13 final session: try the RAW directory's own footer stats
+        # first (catalog.raw_pruned_files) — a clustered-on-write corpus
+        # carries tight per-file user_id min/max, and a user-only
+        # predicate prunes tighter there than the z-layout's 2-D boxes
+        # (1 file of 300 vs ~24 of 256 at ×300: the z-curve interleaves
+        # ts, so a user slice crosses many z-ranges). The raw paths need
+        # the same ts normalization as load_table; pruning only shrinks
+        # the read set and the exact predicate still applies downstream
+        # (verified vs DuckDB at .scale/sf30, tools/check_oracle.py).
+        raw_files = raw_pruned_files(
+            sf_dir, "events", "user_id", hi_exclusive=user_hi_exclusive
+        )
+        if raw_files:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return _normalize_events_ts(
+                read_parquet_paths_cached(spark, tuple(raw_files))
+            )
         # r13 file-level pruning (guide §6 / SCALING.md sf100 floor
         # decomposition): the per-file (user_id, ts) boxes in the
         # layout's CAS meta drop non-overlapping FILES before Spark

@@ -107,6 +107,48 @@ def test_stats_cache_invalidates_on_rewrite(spark, multi_file_dir):
     assert raw_pruned_files(multi_file_dir, "orders", "o_custkey", hi_exclusive=50) is None
 
 
+def test_events_sessionization_raw_prune_branch(spark, tmp_path):
+    """events_sessionization's raw-prune branch (r13 final session):
+    multi-file events dir with disjoint per-file user_id ranges — the
+    routed result equals the forced-scan result, and the pruned list is
+    a strict subset."""
+    import datetime as dt
+
+    from etl_pdf_pipepline_spark.operators.events_queries import events_sessionization
+    from etl_pdf_pipepline_spark.plans.bucketed import force_scan_path
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "events.parquet")
+    t0 = dt.datetime(2024, 1, 1)
+    mode = "overwrite"
+    for rep in range(3):
+        base = rep * 100
+        rows = [
+            (
+                1000 * rep + i,
+                t0 + dt.timedelta(minutes=40 * (i % 7), seconds=i),
+                base + (i % 5),
+                "click",
+                1.0,
+                "{}",
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1)
+        df.write.mode(mode).parquet(path)
+        mode = "append"
+    pruned = raw_pruned_files(sf_dir, "events", "user_id", hi_exclusive=10)
+    assert pruned is not None and len(pruned) == 1
+    routed = events_sessionization(spark, sf_dir).collect()
+    with force_scan_path():
+        scanned = events_sessionization(spark, sf_dir).collect()
+    assert routed == scanned and len(routed) > 0
+
+
 def test_routed_queries_identical_on_multi_file(spark, multi_file_dir):
     """order_sequence_window / running_spend_budget through the routed
     source equal the forced-scan branch on a corpus where pruning FIRES."""
