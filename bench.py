@@ -86,6 +86,14 @@ INDEX_SERVED = [
     # media_metadata row above keeps the one-time ingest digest cost
     # visible (1.74x dedicated at sf100 — the digest floor, SCALING.md).
     "media_metadata_served",
+    # r14 (VERDICT r13 disclosure gap): events_sessionization has routed
+    # its user_id<10 probe to the pruned raw files / z-ordered layout
+    # since r13 (e7d76f3) but was never flagged here — the layout delta
+    # was silently folded into the engine ratio. Flagged now, with the
+    # forced-scan wall published in scan_path below (the oracle-gated
+    # events_sessionization_scan twin has covered the cold branch since
+    # r13).
+    "events_sessionization",
 ]
 
 
@@ -234,6 +242,7 @@ def main() -> None:
         "hybrid_rrf_search",
         "dedup_minhash_signatures",
         "dedup_simhash",
+        "events_sessionization",
     ):
         best = float("inf")
         for _ in range(2):

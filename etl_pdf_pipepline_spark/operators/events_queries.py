@@ -138,9 +138,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_user_gaps",
-    oracle="""
+_USER_GAPS_ORACLE = """
     WITH g AS (
         SELECT user_id,
                epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
@@ -151,21 +149,24 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(max(gap_ms) AS DOUBLE) / 1000, 2) AS max_gap_s
     FROM g WHERE gap_ms IS NOT NULL
     GROUP BY user_id ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("events_user_gaps", oracle=_USER_GAPS_ORACLE)
 def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap analysis via lag() — the sessionization primitive
     (gap > threshold ⇒ session boundary). Partitioned by user, so the sort
     is per-user within shuffle partitions, never global.
 
-    Deliberately NOT routed through _events_user_sliced (r13): the
-    z-layout branch would change this row's DRIVER-executed plan once a
-    gate run has built the sf0.01 layout (events_zorder_* build it every
-    run and the CAS record stays fresh on read-only testdata), and the
-    gate-entry + scan-twin machinery that covers events_sessionization
-    for exactly that reason isn't worth spending on a non-headline row —
-    the probe's raw scan is already the gate-covered shape."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    r14 (VERDICT r13 ask #7): the user_id < 20 probe routes through
+    _events_user_sliced like its sessionization sibling — pruned raw
+    files / z-layout when fresh, raw scan otherwise; per-user windows
+    are order-insensitive to which files fed them and the exact
+    predicate still applies downstream. The cold branch stays
+    gate-covered via the forced-scan twin events_user_gaps_scan."""
+    ev = _events_user_sliced(spark, sf_dir, user_hi_exclusive=20).filter(
+        F.col("user_id") < 20
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis("ts")
     gaps = ev.select(
@@ -180,6 +181,17 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda df: ordered_small(df, "user_id"))
     )
+
+
+@query("events_user_gaps_scan", oracle=_USER_GAPS_ORACLE)
+def events_user_gaps_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_user_gaps forced onto the raw-corpus scan path — gates the
+    cold branch every run regardless of layout freshness (the same
+    both-branches-gated pattern as events_sessionization_scan)."""
+    from ..plans.bucketed import force_scan_path
+
+    with force_scan_path():
+        return events_user_gaps(spark, sf_dir)
 
 
 def _events_user_sliced(
@@ -199,6 +211,7 @@ def _events_user_sliced(
     from ..plans.zorder import zorder_events_path, zorder_pruned_files
     from ..sources.catalog import (
         _normalize_events_ts,
+        pin_events_read_confs,
         raw_pruned_files,
         read_parquet_cached,
         read_parquet_paths_cached,
@@ -220,7 +233,12 @@ def _events_user_sliced(
             sf_dir, "events", "user_id", hi_exclusive=user_hi_exclusive
         )
         if raw_files:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Same load-boundary conf pinning as load_table (r14: the
+            # bare nanosAsLong conf.set that lived here — a session
+            # mutation inside a query path, VERDICT r13 #3 — moved into
+            # the shared catalog helper, which also pins the UTC session
+            # zone the ntz→timestamp cast depends on, ADVICE r13 #1).
+            pin_events_read_confs(spark)
             return _normalize_events_ts(
                 read_parquet_paths_cached(spark, tuple(raw_files))
             )

@@ -47,14 +47,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same file (file streams require an explicit schema); the
     TIMESTAMP(NANOS) column rides in as int64 and is rebuilt to
     microseconds exactly as the batch catalog does."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Same session hardening as sources/catalog.load_table: the driver may
     # hand us a non-UTC session, and window renderings must match the
-    # timezone-naive oracle.
-    # NB: no default arg to conf.get — an unset conf makes Spark 4 parse
-    # and VALIDATE the supplied default ("" -> INVALID_CONF_VALUE).
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # timezone-naive oracle. One shared load-boundary helper (r14).
+    from ..sources.catalog import pin_events_read_confs
+
+    pin_events_read_confs(spark)
     key = (id(spark), sf_dir)
     raw_schema = _SCHEMA_CACHE.get(key)
     if raw_schema is None:

@@ -80,10 +80,43 @@ def audit_streaming(plan: str) -> list[str]:
     return flags
 
 
+def lint_conf_mutations() -> list[str]:
+    """Source lint (VERDICT r13 ask #6): no `spark.conf.set` inside query-
+    path modules (operators/, plans/, retrieval/) — a query function
+    mutating shared session conf as a routing side effect silently
+    changes how CONCURRENT queries read (the r13 nanosAsLong case).
+    Read-critical conf pinning lives in the load boundary
+    (sources/catalog.pin_events_read_confs); scoped set/restore pairs in
+    streaming/run_available_now are the one sanctioned exception and
+    live outside the linted dirs."""
+    import os as _os
+
+    pkg = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "etl_pdf_pipepline_spark",
+    )
+    hits: list[str] = []
+    for sub in ("operators", "plans", "retrieval"):
+        d = _os.path.join(pkg, sub)
+        for fn in sorted(_os.listdir(d)):
+            if not fn.endswith(".py"):
+                continue
+            with open(_os.path.join(d, fn)) as fh:
+                for i, line in enumerate(fh, 1):
+                    if ".conf.set(" in line and not line.lstrip().startswith("#"):
+                        hits.append(f"{sub}/{fn}:{i}: {line.strip()}")
+    return hits
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     _ensure_loaded()
+
+    conf_hits = lint_conf_mutations()
+    if conf_hits:
+        for h in conf_hits:
+            print(f"FLAG conf-mutation in query path: {h}")
     from etl_pdf_pipepline_spark.session import parquet_bytes, partitions_for_bytes
     from etl_pdf_pipepline_spark.streaming.events import (
         STREAM_STAGES,
@@ -93,7 +126,7 @@ def main() -> int:
     spark = get_spark("plan-audit")
     em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
-    n_flagged = 0
+    n_flagged = len(conf_hits)
 
     # State-store partition sizing: every drain passes
     # _stream_state_partitions, which must BE the shared floor-1 rule

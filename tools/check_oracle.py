@@ -58,7 +58,7 @@ def main() -> int:
     # single-file view set on the driver's testdata — so the gate tool can
     # also verify routed/pruned branches that only fire on multi-file
     # corpora (e.g. raw_pruned_files) directly against DuckDB.
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_baseline import duckdb_connect_views
 
     con = duckdb_connect_views(sf_dir)
