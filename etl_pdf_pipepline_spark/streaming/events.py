@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.ordering import ordered_small
 from ..plans.partitioned import DAY_ROLLUP_ORACLE as _DAY_ROLLUP_ORACLE
 from ..registry import query
 
@@ -116,11 +115,39 @@ def _stream_state_partitions(sf_dir: str) -> int:
 # construction, not a copy.
 STREAM_STAGES: dict[str, Any] = {}
 
+# (session id, sf_dir, stage name) -> stage DataFrame. A stage is a LAZY
+# streaming plan handle — rebuilding one costs ~0.15-0.5 s of py4j
+# construction per drain (r14 probe: the single biggest removable slice
+# of the drain wall), while reusing one is correct by construction: the
+# file source resolves its file list when each QUERY starts (not when
+# the DataFrame is built), every drain runs under a fresh checkpoint, so
+# nothing is cached but the plan. Same discipline as catalog._DF_CACHE,
+# including the `.sparkSession is spark` id()-reuse guard.
+_STAGE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def stream_stage(name: str):
     def deco(fn):
-        STREAM_STAGES[name] = fn
-        return fn
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (id(spark), sf_dir, name)
+            hit = _STAGE_CACHE.get(key)
+            if hit is not None:
+                if hit.sparkSession is spark:
+                    # Re-pin the read confs the cached plan depends on
+                    # (guarded reads — no py4j set in steady state).
+                    from ..sources.catalog import pin_events_read_confs
+
+                    pin_events_read_confs(spark)
+                    return hit
+                del _STAGE_CACHE[key]
+            df = fn(spark, sf_dir)
+            _STAGE_CACHE[key] = df
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        STREAM_STAGES[name] = cached
+        return cached
 
     return deco
 
@@ -209,19 +236,34 @@ def release_stream_tables(spark: SparkSession) -> int:
 
 @stream_stage("streaming_hourly_rollup")
 def _hourly_rollup_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the state key is the INTEGER hour index (unix_micros div
+    3.6e9), not the window() struct — the same identity the batch twin
+    (events_hourly_rollup) adopted in r13: 1-hour tumbling windows are
+    epoch-aligned, post-1970 clocks make truncating `div` equal
+    flooring, and the hour index renders back to the identical
+    timestamp string AFTER the agg on ~3.4k rows. Cheaper state-key
+    hashing/equality per input row (long vs struct<start,end>), and the
+    TimeWindow analysis rewrite drops out of per-drain planning.
+    A/B at sf0.1 (min-of-5, results frame-identical): 0.852 → 0.808 s.
+    The watermark stays: complete mode never evicts state, but the
+    declaration is the production posture (append/update deployments
+    bound state with it)."""
     ev = stream_events(spark, sf_dir)
     from ..functions.money import cents as _cents
 
     cents = _cents("value")
+    hour_us = F.lit(3_600_000_000).cast("bigint")
     return (
         ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .groupBy(F.expr("unix_micros(ts) div 3600000000").alias("hb"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(cents).cast("double") / 100, 2).alias("total_value"),
         )
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(
+                F.timestamp_micros(F.col("hb") * hour_us), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -246,14 +288,15 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical streaming rollup. Complete output mode so every window
     is emitted when the stream drains (append would hold back windows the
     final watermark hasn't passed). Matches the batch rollup bit-for-bit:
-    1-hour tumbling windows are epoch-aligned, i.e. date_trunc('hour')."""
+    1-hour tumbling windows are epoch-aligned, i.e. date_trunc('hour').
+
+    r14: no terminal order — a ~3.4k-row listing nobody consumes in
+    order; the oracle compare is order-insensitive (the sort-free
+    events_hourly_rollup/doc_token_stats precedent), and ordered_small
+    cost a coalesce+sort job per drain."""
     agg = _hourly_rollup_stage(spark, sf_dir)
-    return ordered_small(
-        run_available_now(
-            agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
-        ),
-        "window_start",
-        "event_type",
+    return run_available_now(
+        agg, "complete", state_partitions=_stream_state_partitions(sf_dir)
     )
 
 

@@ -205,21 +205,15 @@ def test_stats_manifest_round_trip(multi_file_dir, monkeypatch):
     shutil.rmtree(mroot, ignore_errors=True)
 
 
-def test_parallel_footer_walk_matches_serial(multi_file_dir, monkeypatch):
-    """The thread-pool footer walk (fires above _RAW_STATS_MAX_SERIAL
-    files) must produce the same stats as the serial walk."""
-    import shutil
-
+def test_small_dirs_do_not_persist_manifest(multi_file_dir):
+    """Directories at or below _RAW_STATS_MAX_SERIAL files recompute in
+    single-digit ms — no warehouse manifest should be written for them
+    (tiny test corpora must not litter spark-warehouse)."""
     from etl_pdf_pipepline_spark.sources import catalog as cat
 
     cat._RAW_FILE_STATS_CACHE.clear()
-    serial = cat._raw_file_stats(multi_file_dir, "orders", "o_custkey")
-    assert serial and len(serial) == 3
-    monkeypatch.setattr(cat, "_RAW_STATS_MAX_SERIAL", 0)
+    stats = cat._raw_file_stats(multi_file_dir, "orders", "o_custkey")
+    assert stats and len(stats) == 3
     table_dir = os.path.join(os.path.abspath(multi_file_dir), "orders.parquet")
     mroot = cat._raw_stats_manifest_root(table_dir, "o_custkey")
-    shutil.rmtree(mroot, ignore_errors=True)
-    cat._RAW_FILE_STATS_CACHE.clear()
-    parallel = cat._raw_file_stats(multi_file_dir, "orders", "o_custkey")
-    assert parallel == serial
-    shutil.rmtree(mroot, ignore_errors=True)
+    assert not os.path.exists(mroot)

@@ -134,3 +134,26 @@ def test_streaming_near_dup_matches_batch(spark):
     batch = sorted(tuple(r) for r in qs["near_dup_incremental"](spark, SF).collect())
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_stream_stage_memoized_per_session(spark):
+    """r14: stream stages are lazy plan handles memoized per
+    (session, sf_dir) — the same object comes back, and a second drain
+    from the cached stage still re-executes (fresh sink rows each time,
+    proving nothing but the plan is cached)."""
+    from etl_pdf_pipepline_spark.streaming.events import (
+        _hourly_rollup_stage,
+        _stream_state_partitions,
+        release_stream_tables,
+        run_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s1 = _hourly_rollup_stage(spark, sf)
+    s2 = _hourly_rollup_stage(spark, sf)
+    assert s1 is s2
+    sp = _stream_state_partitions(sf)
+    a = run_available_now(s1, "complete", state_partitions=sp).collect()
+    b = run_available_now(s2, "complete", state_partitions=sp).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+    release_stream_tables(spark)
