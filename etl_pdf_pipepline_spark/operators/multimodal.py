@@ -433,9 +433,39 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sped DuckDB up 1.7× but Spark not at all — sha256 minimizes the
     ratio, and the probe also showed the digest is NOT the floor
     (xxhash64/sha2 differ by only 0.3 s over 7M windows; the floor is
-    the blob scan + substr copies)."""
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
-    return sample_frames(media, 4)
+    the blob scan + substr copies).
+
+    r14: built as ONE spark.sql round-trip (guide §1 — the 4 per-frame
+    struct expressions cost ~0.08 s of op-by-op py4j per call, MORE
+    than the query's 0.064 s noop execution; the r13 SQL-ification
+    pattern). Same expressions verbatim — static 4-element struct array
+    (codegen-resident, the r7 finding) exploded to rows; equality vs
+    the op-by-op form pinned in tests/test_multimodal.py."""
+    frames = ", ".join(
+        f"named_struct('frame_index', CAST({i} AS INT), "
+        f"'offset_bytes', CAST(FLOOR((n_total * {i}) / 4) AS BIGINT), "
+        f"'frame_digest', sha2(substring(content, "
+        f"CAST(CAST(FLOOR((n_total * {i}) / 4) AS BIGINT) + 1 AS INT), 64), 256))"
+        for i in range(4)
+    )
+    return spark.sql(
+        f"""
+        SELECT media_id, f.frame_index, f.offset_bytes, f.frame_digest
+        FROM (
+          SELECT media_id, CAST(octet_length(content) AS BIGINT) AS n_total, content
+          FROM (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   encode(text, 'UTF-8') AS content
+            FROM {{docs}}
+          ) WHERE media_type = 'video'
+        )
+        LATERAL VIEW explode(array({frames})) t AS f
+        """,
+        docs=load_table(spark, sf_dir, "documents"),
+    )
 
 
 PNG_ROUNDTRIP_W = 64  # grayscale row width for the codec-gate query

@@ -221,3 +221,20 @@ def test_real_pil_jpeg_roundtrip(spark):
     rows = {r.media_id: r for r in decode_media(df, codec=decode_image_real).collect()}
     for i, _ in payloads:
         assert (rows[i].width, rows[i].height, rows[i].format) == (4 + i, 3 + i, "jpeg")
+
+
+def test_media_frame_sample_sql_equals_op_by_op(spark):
+    """r14: the SQL-built media_frame_sample equals the op-by-op
+    media_table+sample_frames form row-for-row (same expressions, one
+    spark.sql construction)."""
+    from etl_pdf_pipepline_spark.operators.multimodal import (
+        media_frame_sample,
+        media_table,
+        sample_frames,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sql_rows = sorted(map(tuple, media_frame_sample(spark, sf).collect()))
+    media = media_table(spark, sf).filter("media_type = 'video'")
+    op_rows = sorted(map(tuple, sample_frames(media, 4).collect()))
+    assert sql_rows == op_rows and len(sql_rows) > 0

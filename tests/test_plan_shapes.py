@@ -95,6 +95,7 @@ _LISTING_QUERIES = [
     "near_dup_incremental",
     "media_resize",  # terminal orderBy dropped r12; pin added r13 (ADVICE)
     "events_hourly_rollup",  # terminal range sort dropped r13 (~3.4k-row agg)
+    "streaming_hourly_rollup",  # drain's terminal ordered_small dropped r14
 ]
 
 
